@@ -1,0 +1,34 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is unavailable in CI; sharding correctness is
+validated on XLA's host platform with 8 virtual devices (the JAX-native
+analog of a fake backend — the C++ reference had no distributed tests at
+all, SURVEY.md §4).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("TINYGPT_LOG_LEVEL", "WARNING")
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+REFERENCE_ASSETS = "/root/reference/assets/tokenizer"
+
+
+def reference_asset(name: str) -> str:
+    """Path to a read-only HF tokenizer fixture shipped with the reference
+    checkout; tests that need one skip when it is absent."""
+    path = os.path.join(REFERENCE_ASSETS, name)
+    if not os.path.exists(path):
+        pytest.skip(f"reference asset {name} not available")
+    return path
