@@ -8,17 +8,30 @@ all, SURVEY.md §4).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard-set (not setdefault): the host environment pins JAX_PLATFORMS=axon
+# and a sitecustomize calls jax.config.update("jax_platforms", "axon,cpu")
+# at interpreter start, so both the env var and the config must be forced.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("TINYGPT_LOG_LEVEL", "WARNING")
+os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")
 
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on the virtual CPU mesh, got "
+    f"{jax.devices()[0].platform}"
+)
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,110 @@
+"""Engine end-to-end tests on a tiny GPT-2 with the real gpt2 tokenizer:
+sync batch, streaming, EOS/abort, determinism, prefill/decode consistency.
+(The reference validates the engine only manually — SURVEY.md §4.)"""
+
+import numpy as np
+import pytest
+
+from tests.fixtures import build_full_model_dir
+from tinygpt_tpu.engine.engine import (
+    FinishReason,
+    GPTConfig,
+    GPTEngine,
+)
+from tinygpt_tpu.ops.sampling import SamplerConfig
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    d = tmp_path_factory.mktemp("full_gpt2")
+    build_full_model_dir(str(d), seed=7)
+    eng = GPTEngine(GPTConfig(
+        model_dir=str(d), dtype="float32", max_tokens=8,
+        prefill_bucket=16,
+    ))
+    eng.prepare()
+    return eng
+
+
+def test_generate_sync_batch(engine):
+    outs = engine.generate_sync(["Hello world", "The quick brown fox"])
+    assert len(outs) == 2
+    for o in outs:
+        assert 0 < len(o.token_ids) <= 8
+        assert o.finish_reason in (FinishReason.LENGTH, FinishReason.STOP)
+        assert isinstance(o.text, str)
+
+
+def test_greedy_determinism(engine):
+    a = engine.generate_sync(["Deterministic prompt"])[0]
+    b = engine.generate_sync(["Deterministic prompt"])[0]
+    assert a.token_ids == b.token_ids
+    assert a.text == b.text
+
+
+def test_batch_matches_single(engine):
+    """A sequence generated in a batch must equal the same sequence
+    generated alone (left-padding invariance end-to-end)."""
+    solo = engine.generate_sync(["One fish two fish"])[0]
+    batch = engine.generate_sync(
+        ["One fish two fish", "A much much much longer prompt than that one"]
+    )[0]
+    assert solo.token_ids == batch.token_ids
+
+
+def test_streaming_matches_sync(engine):
+    chunks = []
+    out = engine.generate_async(
+        "Hello world", lambda chunk, done: (chunks.append(chunk), True)[1]
+    )
+    sync = engine.generate_sync(["Hello world"])[0]
+    assert out.token_ids == sync.token_ids
+    assert "".join(chunks) == sync.text == out.text
+
+
+def test_streaming_abort(engine):
+    seen = []
+
+    def cb(chunk, done):
+        seen.append(chunk)
+        return False  # abort immediately
+
+    out = engine.generate_async("Hello world", cb)
+    assert out.finish_reason == FinishReason.ABORT
+    assert len(out.token_ids) <= 2
+
+
+def test_extra_stop_token(engine):
+    base = engine.generate_sync(["Stop test prompt"])[0]
+    assert len(base.token_ids) >= 2
+    stop_tok = base.token_ids[1]
+    expected = base.token_ids[: base.token_ids.index(stop_tok)]
+    engine.reconfigure(extra_stop_token_ids=[stop_tok])
+    try:
+        out = engine.generate_sync(["Stop test prompt"])[0]
+        assert out.finish_reason == FinishReason.STOP
+        assert out.token_ids == expected
+    finally:
+        engine.reconfigure(extra_stop_token_ids=[])
+
+
+def test_reconfigure_sampler_and_max_tokens(engine):
+    engine.reconfigure(
+        sampler=SamplerConfig(temperature=0.8, top_p=0.9), max_tokens=3
+    )
+    try:
+        out = engine.generate_sync(["Sampling prompt"])[0]
+        assert len(out.token_ids) <= 3
+    finally:
+        engine.reconfigure(sampler=SamplerConfig(), max_tokens=8)
+
+
+def test_empty_prompt(engine):
+    out = engine.generate_sync([""])[0]
+    assert isinstance(out.text, str)
+
+
+def test_chat_template_missing_raises(engine):
+    # gpt2 has no chat template and no ChatML tokens
+    with pytest.raises(ValueError):
+        engine.apply_chat_template([{"role": "user", "content": "hi"}])

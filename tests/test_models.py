@@ -1,0 +1,180 @@
+"""Model numerics tests: logit parity with HF transformers per family,
+prefill/decode cache equivalence, left-padding invariance."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from tests.fixtures import build_tiny_model_dir, hf_reference_logits
+from tinygpt_tpu.engine.kv_cache import create_kv_cache
+from tinygpt_tpu.hf.config import load_model_config
+from tinygpt_tpu.hf.safetensors_io import load_safetensors_dir
+from tinygpt_tpu.models import get_model
+
+FAMILIES = ["gpt2", "llama", "llama_scaled", "qwen2", "qwen3", "mistral"]
+
+
+@pytest.fixture(scope="module")
+def model_dirs(tmp_path_factory):
+    out = {}
+    for fam in FAMILIES:
+        d = tmp_path_factory.mktemp(f"tiny_{fam}")
+        build_tiny_model_dir(fam, str(d), seed=hash(fam) % 2**31)
+        out[fam] = str(d)
+    return out
+
+
+def _load(model_dirs, fam):
+    d = model_dirs[fam]
+    cfg = load_model_config(d)
+    model = get_model(cfg.model_type)
+    weights = load_safetensors_dir(d)
+    params = model.load_params(cfg, weights, dtype=jnp.float32)
+    return cfg, model, params
+
+
+@pytest.mark.parametrize("fam", FAMILIES)
+def test_logit_parity_prefill(model_dirs, fam):
+    cfg, model, params = _load(model_dirs, fam)
+    rng = np.random.default_rng(0)
+    B, S = 2, 12
+    ids = rng.integers(0, cfg.vocab_size, (B, S))
+    ref = hf_reference_logits(model_dirs[fam], ids)
+
+    cache = create_kv_cache(cfg, B, 32, dtype=jnp.float32)
+    positions = jnp.broadcast_to(jnp.arange(S), (B, S))
+    valid = jnp.ones((B, S), jnp.bool_)
+    logits, _ = model.forward(
+        params, cfg, jnp.asarray(ids), cache, positions, valid
+    )
+    got = np.asarray(logits)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("fam", ["llama", "gpt2", "qwen3"])
+def test_decode_matches_prefill(model_dirs, fam):
+    """Prefill S tokens, then decode one-by-one: the final logits must
+    match a single full prefill of S+K tokens (cache correctness)."""
+    cfg, model, params = _load(model_dirs, fam)
+    rng = np.random.default_rng(1)
+    B, S, K = 2, 6, 4
+    ids = rng.integers(0, cfg.vocab_size, (B, S + K))
+
+    # full prefill
+    cache = create_kv_cache(cfg, B, 32, dtype=jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(S + K), (B, S + K))
+    full_logits, _ = model.forward(
+        params, cfg, jnp.asarray(ids), cache,
+        pos, jnp.ones((B, S + K), jnp.bool_),
+    )
+
+    # prefill S then K single-token steps
+    cache = create_kv_cache(cfg, B, 32, dtype=jnp.float32)
+    logits, cache = model.forward(
+        params, cfg, jnp.asarray(ids[:, :S]), cache,
+        pos[:, :S], jnp.ones((B, S), jnp.bool_),
+    )
+    step_logits = []
+    for t in range(S, S + K):
+        logits, cache = model.forward(
+            params, cfg, jnp.asarray(ids[:, t : t + 1]), cache,
+            pos[:, t : t + 1], jnp.ones((B, 1), jnp.bool_),
+        )
+        step_logits.append(np.asarray(logits[:, 0]))
+
+    for i, t in enumerate(range(S, S + K)):
+        np.testing.assert_allclose(
+            step_logits[i], np.asarray(full_logits[:, t]),
+            rtol=1e-4, atol=1e-4,
+        )
+
+
+def test_left_padding_invariance(model_dirs):
+    """A left-padded row must produce the same last-token logits as the
+    unpadded sequence — the correctness the reference punts on
+    (GPTEngine.cpp:95 'TODO: support attention mask')."""
+    cfg, model, params = _load(model_dirs, "llama")
+    rng = np.random.default_rng(2)
+    S, PAD = 8, 3
+    seq = rng.integers(2, cfg.vocab_size, (1, S))
+
+    cache = create_kv_cache(cfg, 1, 32, dtype=jnp.float32)
+    pos = jnp.arange(S)[None, :]
+    ref_logits, _ = model.forward(
+        params, cfg, jnp.asarray(seq), cache, pos,
+        jnp.ones((1, S), jnp.bool_),
+    )
+
+    padded = np.concatenate([np.zeros((1, PAD), np.int64), seq], axis=1)
+    token_valid = np.concatenate(
+        [np.zeros((1, PAD), bool), np.ones((1, S), bool)], axis=1
+    )
+    # logical positions: pads get 0, real tokens 0..S-1
+    positions = np.concatenate(
+        [np.zeros((1, PAD), np.int32), np.arange(S, dtype=np.int32)[None, :]],
+        axis=1,
+    )
+    cache = create_kv_cache(cfg, 1, 32, dtype=jnp.float32)
+    pad_logits, _ = model.forward(
+        params, cfg, jnp.asarray(padded), cache,
+        jnp.asarray(positions), jnp.asarray(token_valid),
+    )
+    np.testing.assert_allclose(
+        np.asarray(pad_logits[:, -1]), np.asarray(ref_logits[:, -1]),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_last_only_logits(model_dirs):
+    cfg, model, params = _load(model_dirs, "llama")
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, cfg.vocab_size, (2, 5))
+    pos = jnp.broadcast_to(jnp.arange(5), (2, 5))
+    valid = jnp.ones((2, 5), jnp.bool_)
+    cache = create_kv_cache(cfg, 2, 16, dtype=jnp.float32)
+    full, _ = model.forward(params, cfg, jnp.asarray(ids), cache, pos, valid)
+    cache = create_kv_cache(cfg, 2, 16, dtype=jnp.float32)
+    last, _ = model.forward(
+        params, cfg, jnp.asarray(ids), cache, pos, valid, last_only=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(last[:, 0]), np.asarray(full[:, -1]), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_sliding_window_masks_old_keys():
+    """Sliding-window attention: keys further than `window` back must get
+    zero weight (single attention op — at model level the receptive field
+    is window × depth, so old tokens legitimately leak through layers).
+    The reference parses sliding_window but never applies it
+    (ModelMistral.h:23-40); we do."""
+    from tinygpt_tpu.ops.attention import sdpa_with_cache
+
+    rng = np.random.default_rng(4)
+    B, T, N, D, W = 1, 10, 2, 8, 4
+    k = rng.standard_normal((B, T, N, D)).astype(np.float32)
+    v = rng.standard_normal((B, T, N, D)).astype(np.float32)
+    q = rng.standard_normal((B, 1, N, D)).astype(np.float32)
+    kv_pos = np.arange(T, dtype=np.int32)[None, :]
+    valid = np.ones((B, T), bool)
+    q_pos = np.full((B, 1), T - 1, np.int32)
+
+    def run(kk, vv):
+        return np.asarray(sdpa_with_cache(
+            jnp.asarray(q), jnp.asarray(kk), jnp.asarray(vv),
+            q_pos=jnp.asarray(q_pos), kv_pos=jnp.asarray(kv_pos),
+            kv_valid=jnp.asarray(valid), sliding_window=W,
+        ))
+
+    base = run(k, v)
+    k2, v2 = k.copy(), v.copy()
+    # positions 0..T-1-W are outside the window of the last query
+    k2[:, : T - W], v2[:, : T - W] = 123.0, -55.0
+    np.testing.assert_allclose(base, run(k2, v2), rtol=1e-6, atol=1e-6)
+
+    # and a key inside the window DOES matter
+    v3 = v.copy()
+    v3[:, T - 2] = 99.0
+    assert np.abs(base - run(k, v3)).max() > 1e-3

@@ -1,0 +1,87 @@
+"""Batch-inference CLI.
+
+Capability parity with /root/reference/examples/inference/main.cpp:
+--model/--dtype/--max-tokens/--temperature/--top-p flags, a fixed prompt
+batch (overridable with --prompt), and token/s timing output.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from tinygpt_tpu.engine.engine import GPTConfig, GPTEngine
+from tinygpt_tpu.ops.sampling import SamplerConfig
+
+DEFAULT_PROMPTS = [
+    "The meaning of life is",
+    "Once upon a time,",
+    "In a shocking finding, scientists discovered",
+    "The best way to learn programming is",
+]
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="tinygpt_tpu", description="batch inference example"
+    )
+    ap.add_argument("--model", required=True, help="HF model directory")
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["float32", "float16", "bfloat16",
+                             "fp32", "fp16", "bf16"])
+    ap.add_argument("--max-tokens", type=int, default=32)
+    ap.add_argument("--temperature", type=float, default=None)
+    ap.add_argument("--top-p", type=float, default=None)
+    ap.add_argument("--min-p", type=float, default=None)
+    ap.add_argument("--top-k", type=int, default=None)
+    ap.add_argument("--prompt", action="append", default=None,
+                    help="prompt (repeatable); default: 4 fixed prompts")
+    ap.add_argument("--stream", action="store_true",
+                    help="stream the first prompt token-by-token")
+    args = ap.parse_args(argv)
+
+    engine = GPTEngine(GPTConfig(
+        model_dir=args.model,
+        dtype=args.dtype,
+        max_tokens=args.max_tokens,
+        sampler=SamplerConfig(
+            temperature=args.temperature, top_p=args.top_p,
+            min_p=args.min_p, top_k=args.top_k,
+        ),
+    ))
+    t0 = time.perf_counter()
+    engine.prepare()
+    print(f"[load] {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    prompts = args.prompt or DEFAULT_PROMPTS
+
+    if args.stream:
+        print(f">>> {prompts[0]}", flush=True)
+        t0 = time.perf_counter()
+        out = engine.generate_async(
+            prompts[0],
+            lambda chunk, done: (print(chunk, end="", flush=True), True)[1],
+        )
+        dt = time.perf_counter() - t0
+        print(f"\n[{len(out.token_ids)} tokens, "
+              f"{len(out.token_ids) / dt:.2f} token/s]", file=sys.stderr)
+        return 0
+
+    # warmup compile so the timing matches the reference methodology
+    t0 = time.perf_counter()
+    outs = engine.generate_sync(prompts)
+    dt = time.perf_counter() - t0
+    total_tokens = sum(len(o.token_ids) for o in outs)
+    for p, o in zip(prompts, outs):
+        print(f">>> {p}\n{o.text}\n")
+    print(
+        f"[generate] {total_tokens} tokens in {dt * 1e3:.0f} ms "
+        f"({total_tokens / dt:.2f} token/s)",
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,309 @@
+"""GPTEngine: load → encode → prefill → decode → detokenize.
+
+Capability parity with /root/reference/src/engine/GPTEngine.{h,cpp}:
+prepare() (model-dir load + EOS collection from generation_config falling
+back to the tokenizer), reconfigure() (sampler/max-tokens/extra stop ids +
+KV reset), generate_sync (batch), generate_async (batch=1 streaming with
+callback, EOS/abort, UTF-8-safe chunks), left-pad/truncate batch encoding,
+and the device↔host token pipeline.
+
+TPU-first design:
+  * prefill and decode are two jitted programs with STATIC shapes —
+    prompts are left-padded to bucketed lengths so a handful of compiles
+    covers every request (the reference re-runs dynamic-shape kernels);
+  * the decode loop feeds the sampled token back device-to-device; the
+    host only reads token t while step t+1 is already enqueued (JAX async
+    dispatch) — the overlap the reference built AsyncTokenPipeline for
+    (GPTEngine.cpp:17-35) falls out of the runtime;
+  * the KV cache is preallocated; positions/validity make left-padding
+    exact (the reference leaves the post-prefill mask as a TODO,
+    GPTEngine.cpp:95);
+  * unlike the reference's generateSync (no EOS early-exit,
+    GPTEngine.cpp:170-172), batch generation stops once every row
+    finished, and per-row finish reasons are reported.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Callable, List, Optional, Sequence, Set
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tinygpt_tpu.engine.kv_cache import KVCache, create_kv_cache
+from tinygpt_tpu.hf.loader import GPTContext, load_model_dir, resolve_dtype
+from tinygpt_tpu.ops.sampling import SamplerConfig, sample
+from tinygpt_tpu.utils.logging import get_logger
+
+log = get_logger("engine")
+
+
+class FinishReason(Enum):
+    NONE = "none"
+    LENGTH = "length"
+    STOP = "stop"
+    ABORT = "abort"
+
+
+@dataclass
+class GPTConfig:
+    """Engine configuration (reference: GPTEngine.h:24-40)."""
+
+    model_dir: str
+    dtype: str = "bfloat16"
+    max_tokens: int = 512
+    sampler: SamplerConfig = field(default_factory=SamplerConfig)
+    extra_stop_token_ids: tuple = ()
+    seed: int = 0
+    # prompt lengths are bucketed to these multiples to bound recompiles
+    prefill_bucket: int = 64
+    max_context: Optional[int] = None  # default: model context size
+
+
+@dataclass
+class GPTOutput:
+    """Per-sequence result (reference: GPTEngine.h:42-47)."""
+
+    token_ids: List[int]
+    text: str
+    finish_reason: FinishReason = FinishReason.NONE
+
+
+# callback(chunk_text, finished) -> keep_going
+GenerateCallback = Callable[[str, bool], bool]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class GPTEngine:
+    def __init__(self, config: GPTConfig):
+        self.config = config
+        self.ctx: Optional[GPTContext] = None
+        self._eos_ids: Set[int] = set()
+        self._key = jax.random.PRNGKey(config.seed)
+        self._forward_jit = None
+
+    # -- lifecycle -----------------------------------------------------
+
+    def prepare(self) -> None:
+        """Load everything (reference: GPTEngine.cpp:41-65)."""
+        cfg = self.config
+        self.ctx = load_model_dir(cfg.model_dir, dtype=cfg.dtype)
+        self._collect_eos_ids()
+        mc = self.ctx.model_config
+        self._max_context = cfg.max_context or mc.context_size
+        self._forward_jit = jax.jit(
+            self.ctx.model.forward,
+            static_argnames=("cfg", "last_only"),
+            donate_argnames=("cache",),
+        )
+        log.info(
+            "engine ready: %s, %d layers, context %d, eos=%s",
+            mc.model_type, mc.num_hidden_layers, self._max_context,
+            sorted(self._eos_ids),
+        )
+
+    def _collect_eos_ids(self) -> None:
+        """EOS priority: generation_config list, else model config, else
+        tokenizer eos (reference: GPTEngine.cpp:50-64), plus extra stop ids
+        from reconfigure."""
+        assert self.ctx is not None
+        ids: Set[int] = set()
+        gen = self.ctx.generation_config
+        if gen is not None:
+            ids.update(gen.eos_token_ids)
+        ids.update(self.ctx.model_config.eos_token_id)
+        tok_eos = self.ctx.tokenizer.eos_token_id
+        if not ids and tok_eos is not None:
+            ids.add(tok_eos)
+        ids.update(self.config.extra_stop_token_ids)
+        self._eos_ids = ids
+
+    def reconfigure(
+        self,
+        sampler: Optional[SamplerConfig] = None,
+        max_tokens: Optional[int] = None,
+        extra_stop_token_ids: Optional[Sequence[int]] = None,
+    ) -> None:
+        """Swap sampling knobs between requests (reference:
+        GPTEngine.cpp:67-84). The KV cache here is per-call state, so no
+        reset is needed — each generate() builds a fresh cache."""
+        if sampler is not None:
+            self.config.sampler = sampler
+        if max_tokens is not None:
+            self.config.max_tokens = max_tokens
+        if extra_stop_token_ids is not None:
+            self.config.extra_stop_token_ids = tuple(extra_stop_token_ids)
+        self._collect_eos_ids()
+
+    def apply_chat_template(self, messages, add_generation_prompt=True) -> str:
+        assert self.ctx is not None
+        return self.ctx.tokenizer.apply_chat_template(
+            messages, add_generation_prompt=add_generation_prompt
+        )
+
+    # -- encoding (reference: GPTEngine.cpp:101-144) ---------------------
+
+    def _encode_batch(self, texts: Sequence[str]):
+        """Encode, left-truncate to context budget, left-pad to a bucketed
+        common length. Returns (ids [B,S], positions [B,S], valid [B,S],
+        prompt_lens [B], prompt_token_lists)."""
+        assert self.ctx is not None
+        tok = self.ctx.tokenizer
+        max_new = self.config.max_tokens
+        budget = max(1, self._max_context - max_new)
+        encoded = [tok.encode(t) for t in texts]
+        encoded = [e[-budget:] if len(e) > budget else e for e in encoded]
+        max_len = max(1, max(len(e) for e in encoded))
+        S = min(_round_up(max_len, self.config.prefill_bucket),
+                max(budget, 1))
+        S = max(S, max_len)
+        B = len(encoded)
+        pad_id = tok.pad_token_id or 0
+        ids = np.full((B, S), pad_id, dtype=np.int32)
+        valid = np.zeros((B, S), dtype=bool)
+        positions = np.zeros((B, S), dtype=np.int32)
+        lens = np.zeros((B,), dtype=np.int32)
+        for b, e in enumerate(encoded):
+            n = len(e)
+            if n:
+                ids[b, S - n:] = e
+                valid[b, S - n:] = True
+                positions[b, S - n:] = np.arange(n)
+            lens[b] = n
+        return ids, positions, valid, lens, encoded
+
+    # -- generation ------------------------------------------------------
+
+    def _prefill_and_loop(
+        self,
+        texts: Sequence[str],
+        max_tokens: int,
+        on_token,  # callable(step, np.ndarray [B]) -> bool keep_going
+    ):
+        """Shared prefill + decode loop driving on_token per step."""
+        assert self.ctx is not None, "call prepare() first"
+        cfg = self.ctx.model_config
+        sampler_cfg = self.config.sampler
+        ids, positions, valid, lens, encoded = self._encode_batch(texts)
+        B, S = ids.shape
+        cache = create_kv_cache(
+            cfg, B, S + max_tokens, dtype=resolve_dtype(self.config.dtype)
+        )
+        params = self.ctx.params
+
+        logits, cache = self._forward_jit(
+            params, cfg, jnp.asarray(ids), cache,
+            jnp.asarray(positions), jnp.asarray(valid), last_only=True,
+        )
+        self._key, k = jax.random.split(self._key)
+        tok_dev = sample(logits[:, -1, :], sampler_cfg, k)  # [B]
+
+        lens_dev = jnp.asarray(lens)
+        ones = jnp.ones((B, 1), jnp.bool_)
+
+        @functools.partial(
+            jax.jit, static_argnames=("last_only",), donate_argnames=("cache",)
+        )
+        def step_fn(params, tok, cache, pos, key, last_only=True):
+            logits, cache = self.ctx.model.forward(
+                params, cfg, tok[:, None], cache, pos, ones,
+                last_only=last_only,
+            )
+            nxt = sample(logits[:, -1, :], sampler_cfg, key)
+            return nxt, cache
+
+        step = 0
+        while step < max_tokens:
+            # enqueue next step before syncing the current token to host
+            if step + 1 < max_tokens:
+                pos = (lens_dev + step)[:, None]
+                self._key, k = jax.random.split(self._key)
+                next_dev, cache = step_fn(params, tok_dev, cache, pos, k)
+            else:
+                next_dev = None
+            tok_host = np.asarray(tok_dev)  # device→host sync (overlapped)
+            keep_going = on_token(step, tok_host)
+            step += 1
+            if not keep_going or next_dev is None:
+                break
+            tok_dev = next_dev
+        return encoded
+
+    def generate_sync(self, texts: Sequence[str]) -> List[GPTOutput]:
+        """Batch generation (reference: GPTEngine.cpp:154-174 — which
+        never exits early on EOS; here rows finish individually and the
+        loop stops when all are done)."""
+        assert self.ctx is not None, "call prepare() first"
+        B = len(texts)
+        max_tokens = self.config.max_tokens
+        out_ids: List[List[int]] = [[] for _ in range(B)]
+        finished = np.zeros(B, dtype=bool)
+        reasons = [FinishReason.LENGTH] * B
+
+        def on_token(step, toks):
+            for b in range(B):
+                if finished[b]:
+                    continue
+                t = int(toks[b])
+                if t in self._eos_ids:
+                    finished[b] = True
+                    reasons[b] = FinishReason.STOP
+                else:
+                    out_ids[b].append(t)
+                    if len(out_ids[b]) >= max_tokens:
+                        finished[b] = True
+            return not finished.all()
+
+        self._prefill_and_loop(texts, max_tokens, on_token)
+        tok = self.ctx.tokenizer
+        texts_out = tok.decode_batch(out_ids, skip_special_tokens=True)
+        return [
+            GPTOutput(token_ids=out_ids[b], text=texts_out[b],
+                      finish_reason=reasons[b])
+            for b in range(B)
+        ]
+
+    def generate_async(
+        self,
+        text: str,
+        callback: GenerateCallback,
+    ) -> GPTOutput:
+        """Streaming generation, batch=1 (reference:
+        GPTEngine.cpp:180-232): per-token callback with UTF-8-safe chunks,
+        EOS stop, abort when the callback returns False, final flush."""
+        assert self.ctx is not None, "call prepare() first"
+        tok = self.ctx.tokenizer
+        stream = tok.decode_stream(skip_special_tokens=True)
+        out_tokens: List[int] = []
+        state = {"reason": FinishReason.LENGTH, "aborted": False}
+
+        def on_token(step, toks):
+            t = int(toks[0])
+            if t in self._eos_ids:
+                state["reason"] = FinishReason.STOP
+                return False
+            out_tokens.append(t)
+            chunk = stream.step(t)
+            if chunk:
+                if not callback(chunk, False):
+                    state["reason"] = FinishReason.ABORT
+                    state["aborted"] = True
+                    return False
+            return True
+
+        self._prefill_and_loop([text], self.config.max_tokens, on_token)
+        tail = stream.flush()
+        if not state["aborted"]:
+            callback(tail, True)
+        text_out = tok.decode(out_tokens, skip_special_tokens=True)
+        return GPTOutput(
+            token_ids=out_tokens, text=text_out,
+            finish_reason=state["reason"],
+        )

@@ -1,0 +1,33 @@
+"""Model registry: model_type → (load_params, init_params, forward).
+
+Capability parity with the reference's model_type dispatch
+(/root/reference/src/huggingface/ModelLoader.cpp:50-68). llama / qwen2 /
+qwen3 / mistral share the generic CausalLM (they differ only by config
+deltas); gpt2 is bespoke.
+"""
+
+from types import SimpleNamespace
+
+from tinygpt_tpu.models import causal_lm, gpt2
+
+_FAMILY = {
+    "llama": causal_lm,
+    "qwen2": causal_lm,
+    "qwen3": causal_lm,
+    "mistral": causal_lm,
+    "gpt2": gpt2,
+}
+
+
+def get_model(model_type: str):
+    mod = _FAMILY.get(model_type)
+    if mod is None:
+        raise ValueError(f"unsupported model_type {model_type!r}")
+    return SimpleNamespace(
+        load_params=mod.load_params,
+        init_params=mod.init_params,
+        forward=mod.forward,
+    )
+
+
+__all__ = ["get_model", "causal_lm", "gpt2"]

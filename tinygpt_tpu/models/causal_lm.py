@@ -1,0 +1,241 @@
+"""Generic CausalLM for the HF-Llama family (llama / qwen2 / qwen3 / mistral).
+
+Capability parity with the reference's CausalLM template + family deltas
+(/root/reference/src/model/GPTModel.h:18-65, ModelLlama.h, ModelQwen2.h,
+ModelQwen3.h, ModelMistral.h): embed → N pre-norm decoder layers (fused
+QKV matmul, RoPE, GQA attention over the KV cache, fused gate-up SwiGLU)
+→ RMSNorm → lm_head, with tied embeddings, qkv-bias (qwen2), per-head
+q/k RMSNorm (qwen3), explicit head_dim (qwen3), Llama-3 rope scaling, and
+sliding-window masking (mistral/qwen — which the reference parses but
+never applies, ModelMistral.h:23-40).
+
+TPU-first design decisions:
+  * functional: params are a pytree, forward is pure, state (KV cache)
+    is an explicit carry — jit once, use for every step;
+  * layers are STACKED along a leading axis and executed with lax.scan —
+    O(1) compile time in depth instead of unrolled HLO;
+  * weights transposed to [in, out] at load so the hot path is plain
+    x @ W (MXU-friendly, no per-step transposes), with q/k/v and
+    gate/up pre-fused into single matmuls (same fusion the reference
+    does via MergedLinear, src/layer/Linear.h);
+  * lm_head can run on the last position only (`last_only`), skipping
+    the full-vocab matmul for all prefill positions — the reference
+    computes [B,S,V] and throws away all but the last row
+    (GPTModel.h:57, GPTEngine.cpp:97).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tinygpt_tpu.engine.kv_cache import KVCache
+from tinygpt_tpu.hf.config import ModelConfig
+from tinygpt_tpu.ops.attention import sdpa_with_cache
+from tinygpt_tpu.ops.norms import rms_norm
+from tinygpt_tpu.ops.rope import apply_rope, compute_rope_freqs
+
+
+def _t(w: np.ndarray, dtype) -> np.ndarray:
+    """HF linear weights are [out, in]; store [in, out]."""
+    return np.ascontiguousarray(np.asarray(w).T).astype(dtype)
+
+
+def load_params(
+    cfg: ModelConfig,
+    weights: Dict[str, np.ndarray],
+    dtype=jnp.bfloat16,
+) -> Dict:
+    """Map HF safetensors names into the stacked-layer param pytree.
+
+    HF name scheme (reference registers the same names,
+    GPTModel.h:43-48, DecoderLayer.h:46-53): model.embed_tokens,
+    model.layers.{i}.self_attn.{q,k,v,o}_proj, .mlp.{gate,up,down}_proj,
+    .input_layernorm, .post_attention_layernorm, model.norm, lm_head.
+    """
+    import ml_dtypes
+
+    nd = np.dtype(ml_dtypes.bfloat16) if dtype == jnp.bfloat16 else np.dtype(
+        jnp.dtype(dtype).name
+    )
+    L = cfg.num_hidden_layers
+    D = cfg.head_dim
+    Nq, Nk = cfg.num_attention_heads, cfg.num_kv_heads
+
+    def g(name: str) -> np.ndarray:
+        if name not in weights:
+            raise KeyError(f"missing weight {name!r}")
+        return weights[name]
+
+    def layer(i: int) -> Dict[str, np.ndarray]:
+        p = f"model.layers.{i}."
+        qkv = np.concatenate(
+            [
+                _t(g(p + "self_attn.q_proj.weight"), nd),
+                _t(g(p + "self_attn.k_proj.weight"), nd),
+                _t(g(p + "self_attn.v_proj.weight"), nd),
+            ],
+            axis=1,
+        )  # [H, (Nq+2Nk)*D]
+        out = {
+            "input_ln": np.asarray(g(p + "input_layernorm.weight")).astype(nd),
+            "qkv_w": qkv,
+            "o_w": _t(g(p + "self_attn.o_proj.weight"), nd),
+            "post_ln": np.asarray(
+                g(p + "post_attention_layernorm.weight")
+            ).astype(nd),
+            "gate_up_w": np.concatenate(
+                [
+                    _t(g(p + "mlp.gate_proj.weight"), nd),
+                    _t(g(p + "mlp.up_proj.weight"), nd),
+                ],
+                axis=1,
+            ),
+            "down_w": _t(g(p + "mlp.down_proj.weight"), nd),
+        }
+        if cfg.qkv_bias or cfg.attention_bias:
+            out["qkv_b"] = np.concatenate(
+                [
+                    np.asarray(g(p + "self_attn.q_proj.bias")).astype(nd),
+                    np.asarray(g(p + "self_attn.k_proj.bias")).astype(nd),
+                    np.asarray(g(p + "self_attn.v_proj.bias")).astype(nd),
+                ]
+            )
+        if cfg.qk_norm:
+            out["q_norm"] = np.asarray(g(p + "self_attn.q_norm.weight")).astype(nd)
+            out["k_norm"] = np.asarray(g(p + "self_attn.k_norm.weight")).astype(nd)
+        return out
+
+    layers = [layer(i) for i in range(L)]
+    stacked = {
+        k: jnp.asarray(np.stack([l[k] for l in layers])) for k in layers[0]
+    }
+
+    embed = np.asarray(g("model.embed_tokens.weight")).astype(nd)
+    if cfg.tie_word_embeddings or "lm_head.weight" not in weights:
+        lm_head = None  # reuse embed
+    else:
+        lm_head = jnp.asarray(_t(g("lm_head.weight"), nd))
+
+    cos, sin = compute_rope_freqs(
+        D, cfg.max_position_embeddings, cfg.rope_theta, cfg.rope_scaling
+    )
+    return {
+        "embed": jnp.asarray(embed),
+        "layers": stacked,
+        "final_ln": jnp.asarray(np.asarray(g("model.norm.weight")).astype(nd)),
+        "lm_head": lm_head,
+        "rope_cos": jnp.asarray(cos),
+        "rope_sin": jnp.asarray(sin),
+    }
+
+
+def init_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16) -> Dict:
+    """Random params with the HF layout (for tests / benches)."""
+    rng = np.random.default_rng(seed)
+    H, D = cfg.hidden_size, cfg.head_dim
+    Nq, Nk, I = cfg.num_attention_heads, cfg.num_kv_heads, cfg.intermediate_size
+    V = cfg.vocab_size
+
+    def w(*shape, scale=0.02):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    weights = {"model.embed_tokens.weight": w(V, H),
+               "model.norm.weight": np.ones(H, np.float32)}
+    if not cfg.tie_word_embeddings:
+        weights["lm_head.weight"] = w(V, H)
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}."
+        weights[p + "self_attn.q_proj.weight"] = w(Nq * D, H)
+        weights[p + "self_attn.k_proj.weight"] = w(Nk * D, H)
+        weights[p + "self_attn.v_proj.weight"] = w(Nk * D, H)
+        weights[p + "self_attn.o_proj.weight"] = w(H, Nq * D)
+        weights[p + "mlp.gate_proj.weight"] = w(I, H)
+        weights[p + "mlp.up_proj.weight"] = w(I, H)
+        weights[p + "mlp.down_proj.weight"] = w(H, I)
+        weights[p + "input_layernorm.weight"] = np.ones(H, np.float32)
+        weights[p + "post_attention_layernorm.weight"] = np.ones(H, np.float32)
+        if cfg.qkv_bias or cfg.attention_bias:
+            weights[p + "self_attn.q_proj.bias"] = w(Nq * D)
+            weights[p + "self_attn.k_proj.bias"] = w(Nk * D)
+            weights[p + "self_attn.v_proj.bias"] = w(Nk * D)
+        if cfg.qk_norm:
+            weights[p + "self_attn.q_norm.weight"] = np.ones(D, np.float32)
+            weights[p + "self_attn.k_norm.weight"] = np.ones(D, np.float32)
+    return load_params(cfg, weights, dtype)
+
+
+def forward(
+    params: Dict,
+    cfg: ModelConfig,
+    input_ids: jnp.ndarray,    # [B, S]
+    cache: KVCache,
+    positions: jnp.ndarray,    # [B, S] logical positions (RoPE/causality)
+    token_valid: jnp.ndarray,  # [B, S] bool — real token vs left-pad
+    last_only: bool = False,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """One forward step (prefill S>1 or decode S=1).
+
+    Returns (logits [B, S, V] or [B, 1, V] if last_only, updated cache).
+    """
+    B, S = input_ids.shape
+    D = cfg.head_dim
+    Nq, Nk = cfg.num_attention_heads, cfg.num_kv_heads
+    q_dim = Nq * D
+
+    x = params["embed"][input_ids]  # [B, S, H]
+    cos, sin = params["rope_cos"], params["rope_sin"]
+    slot = cache.length  # scalar: write offset for this step
+
+    # update slot bookkeeping (shared by all layers)
+    kv_pos = jax.lax.dynamic_update_slice(
+        cache.kv_pos, positions.astype(jnp.int32), (0, slot)
+    )
+    valid = jax.lax.dynamic_update_slice(cache.valid, token_valid, (0, slot))
+
+    def layer_fn(x, scanned):
+        lp, k_cache, v_cache = scanned
+        h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
+        qkv = h @ lp["qkv_w"]
+        if "qkv_b" in lp:
+            qkv = qkv + lp["qkv_b"]
+        q = qkv[..., :q_dim].reshape(B, S, Nq, D)
+        k = qkv[..., q_dim : q_dim + Nk * D].reshape(B, S, Nk, D)
+        v = qkv[..., q_dim + Nk * D :].reshape(B, S, Nk, D)
+        if cfg.qk_norm:
+            q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
+            k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
+        q, k = apply_rope(q, k, cos, sin, positions)
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, slot, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, slot, 0, 0))
+        attn = sdpa_with_cache(
+            q, k_cache, v_cache,
+            q_pos=positions, kv_pos=kv_pos, kv_valid=valid,
+            sliding_window=cfg.sliding_window,
+        )
+        x = x + attn.reshape(B, S, q_dim) @ lp["o_w"]
+        h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
+        gate_up = h @ lp["gate_up_w"]
+        gate, up = jnp.split(gate_up, 2, axis=-1)
+        x = x + (jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up) @ lp["down_w"]
+        return x, (k_cache, v_cache)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        layer_fn, x, (params["layers"], cache.k, cache.v)
+    )
+    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+    if last_only:
+        x = x[:, -1:, :]
+    head = params["lm_head"]
+    if head is None:
+        logits = x @ params["embed"].T
+    else:
+        logits = x @ head
+    new_cache = KVCache(
+        k=new_k, v=new_v, kv_pos=kv_pos, valid=valid,
+        length=slot + S,
+    )
+    return logits.astype(jnp.float32), new_cache

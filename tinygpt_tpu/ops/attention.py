@@ -1,0 +1,71 @@
+"""Attention over a static-shape KV cache (jnp reference path).
+
+TPU-native replacement for the reference's flashAttention/sdpAttention
+calls (/root/reference/src/layer/Attention.h:103-112,
+src/model/ModelGPT2.h:71-79). Where the reference concatenates the whole
+KV cache every step (CacheManager.h:24-42, the O(seq²) hot spot), this path
+writes new K/V into a preallocated buffer with dynamic_update_slice and
+masks invalid slots — static shapes, one jit trace for every step.
+
+The Pallas flash/paged kernels in ops/flash_attention.py and
+ops/decode_attention.py supersede this on the hot path; this version is
+the numerics oracle and the fallback for odd head dims.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def sdpa_with_cache(
+    q: jnp.ndarray,  # [B, S, Nq, D] (RoPE already applied)
+    k_cache: jnp.ndarray,  # [B, T, Nk, D] full cache buffer
+    v_cache: jnp.ndarray,  # [B, T, Nk, D]
+    q_pos: jnp.ndarray,  # [B, S] logical position of each query token
+    kv_pos: jnp.ndarray,  # [B, T] logical position of each cache slot
+    kv_valid: jnp.ndarray,  # [B, T] bool: slot holds a real token
+    scale: float | None = None,
+    soft_cap: float | None = None,
+    sliding_window: int | None = None,
+) -> jnp.ndarray:
+    """Grouped-query attention of S query tokens against the cache.
+
+    Causality runs in LOGICAL position space: a query at position p sees
+    key slots with kv_pos <= p and kv_valid (left-pad slots are invalid,
+    so their kv_pos never matters). With a sliding window w, additionally
+    kv_pos > p - w. Returns [B, S, Nq, D].
+    """
+    B, S, Nq, D = q.shape
+    T = k_cache.shape[1]
+    Nk = k_cache.shape[2]
+    G = Nq // Nk
+    if scale is None:
+        scale = D ** -0.5
+
+    qg = q.reshape(B, S, Nk, G, D)
+    # scores: [B, Nk, G, S, T]
+    scores = jnp.einsum(
+        "bskgd,btkd->bkgst", qg.astype(jnp.float32),
+        k_cache.astype(jnp.float32),
+    ) * scale
+    if soft_cap is not None:
+        scores = soft_cap * jnp.tanh(scores / soft_cap)
+
+    t_pos = kv_pos[:, None, :]  # [B, 1, T]
+    p = q_pos[:, :, None]  # [B, S, 1]
+    causal = t_pos <= p  # [B, S, T]
+    if sliding_window is not None:
+        causal &= t_pos > p - sliding_window
+    mask = causal & kv_valid[:, None, :]  # [B, S, T]
+    scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bkgst,btkd->bskgd", probs, v_cache.astype(jnp.float32)
+    )
+    return out.reshape(B, S, Nq, D).astype(q.dtype)

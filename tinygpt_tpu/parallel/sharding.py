@@ -1,0 +1,119 @@
+"""Mesh construction and tensor-parallel sharding rules.
+
+The reference has NO distributed layer at all ("Distributed Inference" is
+an unchecked TODO, /root/reference/README.md:32) — this component is
+green-field TPU-native design:
+
+  * a jax.sharding.Mesh over (dp, tp) axes — tp rides ICI within a slice,
+    dp spans slices/hosts (DCN);
+  * Megatron-style TP: QKV and gate/up projections sharded on the output
+    feature dim, O and down projections on the input dim (so each layer
+    needs one psum, inserted by GSPMD), KV cache sharded over kv-heads,
+    vocab/lm_head sharded over vocab;
+  * plain NamedSharding + jit: XLA GSPMD propagates intermediates and
+    inserts the collectives. shard_map overlap tuning comes on top for
+    the multi-host configs.
+
+Head-count divisibility: tp must divide num_kv_heads for the cache spec;
+otherwise KV is replicated on tp (GQA models with few KV heads).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tinygpt_tpu.hf.config import ModelConfig
+from tinygpt_tpu.utils.logging import get_logger
+
+log = get_logger("parallel")
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    dp: int = 1,
+    tp: Optional[int] = None,
+    devices=None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = n_devices or len(devices)
+    devices = devices[:n]
+    if tp is None:
+        tp = n // dp
+    if dp * tp != n:
+        raise ValueError(f"dp({dp}) * tp({tp}) != devices({n})")
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def param_pspecs(cfg: ModelConfig, params: Dict) -> Dict:
+    """PartitionSpec pytree matching the causal_lm/gpt2 param layout."""
+    if cfg.model_type == "gpt2":
+        layer_specs = {
+            "ln1_w": P(), "ln1_b": P(),
+            "qkv_w": P(None, None, "tp"), "qkv_b": P(None, "tp"),
+            "o_w": P(None, "tp", None), "o_b": P(),
+            "ln2_w": P(), "ln2_b": P(),
+            "fc_w": P(None, None, "tp"), "fc_b": P(None, "tp"),
+            "proj_w": P(None, "tp", None), "proj_b": P(),
+        }
+        specs = {
+            "wte": P("tp", None),
+            "wpe": P(),
+            "layers": {k: layer_specs[k] for k in params["layers"]},
+            "lnf_w": P(), "lnf_b": P(),
+        }
+        return specs
+
+    layer_specs = {
+        "input_ln": P(),
+        "qkv_w": P(None, None, "tp"),
+        "qkv_b": P(None, "tp"),
+        "o_w": P(None, "tp", None),
+        "post_ln": P(),
+        "gate_up_w": P(None, None, "tp"),
+        "down_w": P(None, "tp", None),
+        "q_norm": P(),
+        "k_norm": P(),
+    }
+    specs = {
+        "embed": P("tp", None),
+        "layers": {k: layer_specs[k] for k in params["layers"]},
+        "final_ln": P(),
+        "lm_head": None if params.get("lm_head") is None else P(None, "tp"),
+        "rope_cos": P(),
+        "rope_sin": P(),
+    }
+    return specs
+
+
+def cache_pspecs(cfg: ModelConfig, tp_size: int):
+    """KV cache [L, B, T, Nk, D]: shard kv-heads on tp when divisible,
+    batch on dp."""
+    kv_tp = "tp" if cfg.num_kv_heads % max(tp_size, 1) == 0 and tp_size > 1 else None
+    from tinygpt_tpu.engine.kv_cache import KVCache
+
+    return KVCache(
+        k=P(None, "dp", None, kv_tp, None),
+        v=P(None, "dp", None, kv_tp, None),
+        kv_pos=P("dp", None),
+        valid=P("dp", None),
+        length=P(),
+    )
+
+
+def shard_params(params: Dict, mesh: Mesh, specs: Dict) -> Dict:
+    """device_put the param pytree with NamedShardings."""
+
+    def put(x, spec):
+        if x is None:
+            return None
+        return jax.device_put(x, NamedSharding(mesh, spec or P()))
+
+    return jax.tree.map(
+        put, params, specs,
+        is_leaf=lambda x: x is None,
+    )
