@@ -154,8 +154,8 @@ def test_sliding_window_masks_old_keys():
 
     rng = np.random.default_rng(4)
     B, T, N, D, W = 1, 10, 2, 8, 4
-    k = rng.standard_normal((B, T, N, D)).astype(np.float32)
-    v = rng.standard_normal((B, T, N, D)).astype(np.float32)
+    k = rng.standard_normal((B, N, T, D)).astype(np.float32)
+    v = rng.standard_normal((B, N, T, D)).astype(np.float32)
     q = rng.standard_normal((B, 1, N, D)).astype(np.float32)
     kv_pos = np.arange(T, dtype=np.int32)[None, :]
     valid = np.ones((B, T), bool)
@@ -171,10 +171,10 @@ def test_sliding_window_masks_old_keys():
     base = run(k, v)
     k2, v2 = k.copy(), v.copy()
     # positions 0..T-1-W are outside the window of the last query
-    k2[:, : T - W], v2[:, : T - W] = 123.0, -55.0
+    k2[:, :, : T - W], v2[:, :, : T - W] = 123.0, -55.0
     np.testing.assert_allclose(base, run(k2, v2), rtol=1e-6, atol=1e-6)
 
     # and a key inside the window DOES matter
     v3 = v.copy()
-    v3[:, T - 2] = 99.0
+    v3[:, :, T - 2] = 99.0
     assert np.abs(base - run(k, v3)).max() > 1e-3

@@ -1,0 +1,92 @@
+"""Quantization tests: pack/unpack roundtrip, dequant error bounds, fused
+kernel parity (interpret mode on CPU) for int8/int4, model-level accuracy."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tinygpt_tpu.ops.quant import (
+    QuantizedTensor,
+    dequantize,
+    matmul_any,
+    pack_int4,
+    quantize_weight,
+    unpack_int4,
+)
+from tinygpt_tpu.ops.quant_kernels import (
+    matmul_dequant_int4,
+    matmul_dequant_int8,
+)
+
+
+def test_int4_pack_roundtrip():
+    rng = np.random.default_rng(0)
+    q = rng.integers(-8, 8, (64, 32)).astype(np.int8)
+    packed = pack_int4(q)
+    assert packed.shape == (32, 32)
+    back = np.asarray(unpack_int4(jnp.asarray(packed)))
+    np.testing.assert_array_equal(back, q)
+
+
+@pytest.mark.parametrize("bits,group", [(8, None), (8, 64), (4, 64), (4, 32)])
+def test_quantize_dequant_error(bits, group):
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((256, 128)).astype(np.float32) * 0.05
+    qt = quantize_weight(w, bits=bits, group_size=group)
+    back = np.asarray(dequantize(qt, dtype=jnp.float32))
+    err = np.abs(back - w).max()
+    step = np.abs(w).max() / (127 if bits == 8 else 7)
+    assert err <= step  # max error is one quantization step of the group max
+
+
+@pytest.mark.parametrize("bits,group,M", [
+    (8, 64, 16), (8, 128, 100), (4, 64, 16), (4, 32, 100),
+])
+def test_fused_kernel_matches_reference(bits, group, M):
+    """Pallas kernel (interpret mode) vs explicit dequant matmul."""
+    rng = np.random.default_rng(2)
+    IN, OUT = 256, 384
+    w = rng.standard_normal((IN, OUT)).astype(np.float32) * 0.05
+    x = rng.standard_normal((M, IN)).astype(np.float32)
+    qt = quantize_weight(w, bits=bits, group_size=group)
+    ref = np.asarray(x @ np.asarray(dequantize(qt, dtype=jnp.float32)))
+    if bits == 8:
+        got = matmul_dequant_int8(
+            jnp.asarray(x), qt.data, qt.scales, group=qt.group_size,
+            interpret=True,
+        )
+    else:
+        got = matmul_dequant_int4(
+            jnp.asarray(x), qt.data, qt.scales, group=qt.group_size,
+            interpret=True,
+        )
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_matmul_any_dispatch():
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((128, 64)).astype(np.float32) * 0.05
+    x = rng.standard_normal((2, 5, 128)).astype(np.float32)
+    qt = quantize_weight(w, bits=8, group_size=64)
+    plain = np.asarray(matmul_any(jnp.asarray(x), jnp.asarray(w)))
+    quant = np.asarray(matmul_any(jnp.asarray(x), qt))
+    assert quant.shape == plain.shape == (2, 5, 64)
+    # int8 with small weights: close but not equal
+    assert np.abs(plain - quant).max() < 0.05
+    assert np.abs(plain - quant).max() > 0  # actually quantized
+
+
+def test_quantized_tensor_is_pytree():
+    w = np.ones((64, 32), np.float32)
+    qt = quantize_weight(w, bits=8, group_size=32)
+    leaves, treedef = jax.tree.flatten(qt)
+    assert len(leaves) == 2
+    qt2 = jax.tree.unflatten(treedef, leaves)
+    assert isinstance(qt2, QuantizedTensor)
+    assert qt2.bits == 8 and qt2.group_size == 32
+
+    # stackable for lax.scan (the model stacks per-layer weights)
+    stacked = jax.tree.map(lambda a, b: jnp.stack([a, b]), qt, qt2)
+    assert stacked.data.shape == (2, 64, 32)

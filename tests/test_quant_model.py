@@ -1,0 +1,71 @@
+"""Model-level quantization tests: quantized forward stays close to the
+float model, engine runs with quantization enabled, scan-compatibility."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tests.fixtures import build_full_model_dir, build_tiny_model_dir
+from tinygpt_tpu.engine.engine import GPTConfig, GPTEngine
+from tinygpt_tpu.engine.kv_cache import create_kv_cache
+from tinygpt_tpu.hf.config import load_model_config
+from tinygpt_tpu.hf.safetensors_io import load_safetensors_dir
+from tinygpt_tpu.models import causal_lm
+from tinygpt_tpu.ops.quant import QuantizedTensor, quantize_params
+
+
+@pytest.fixture(scope="module")
+def llama_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tiny_llama_q")
+    build_tiny_model_dir("llama", str(d), seed=9)
+    return str(d)
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_quantized_forward_close_to_float(llama_dir, bits):
+    cfg = load_model_config(llama_dir)
+    params = causal_lm.load_params(
+        cfg, load_safetensors_dir(llama_dir), dtype=jnp.float32
+    )
+    qparams = quantize_params(params, bits=bits, group_size=32)
+    assert isinstance(qparams["layers"]["qkv_w"], QuantizedTensor)
+    assert isinstance(qparams["layers"]["down_w"], QuantizedTensor)
+    assert qparams["layers"]["input_ln"] is params["layers"]["input_ln"]
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, cfg.vocab_size, (2, 8))
+    pos = jnp.broadcast_to(jnp.arange(8), (2, 8))
+    vld = jnp.ones((2, 8), jnp.bool_)
+
+    cache = create_kv_cache(cfg, 2, 16, dtype=jnp.float32)
+    ref, _ = causal_lm.forward(params, cfg, jnp.asarray(ids), cache, pos, vld)
+    cache = create_kv_cache(cfg, 2, 16, dtype=jnp.float32)
+    got, _ = causal_lm.forward(qparams, cfg, jnp.asarray(ids), cache, pos, vld)
+
+    ref, got = np.asarray(ref), np.asarray(got)
+    # quantization error is bounded; top-1 predictions should mostly agree
+    agree = (ref.argmax(-1) == got.argmax(-1)).mean()
+    assert agree > (0.9 if bits == 8 else 0.6), agree
+    # int8 logits stay numerically close on a tiny random model
+    if bits == 8:
+        assert np.abs(ref - got).max() < 0.5
+
+
+def test_engine_with_quantization(tmp_path):
+    d = str(tmp_path / "m")
+    build_full_model_dir(d, seed=13)
+    ref_eng = GPTEngine(GPTConfig(model_dir=d, dtype="float32",
+                                  max_tokens=6, prefill_bucket=16))
+    ref_eng.prepare()
+    ref_out = ref_eng.generate_sync(["Hello quantized world"])[0]
+
+    q_eng = GPTEngine(GPTConfig(model_dir=d, dtype="float32", max_tokens=6,
+                                prefill_bucket=16, quantization="int8",
+                                quant_group_size=32))
+    q_eng.prepare()
+    q_out = q_eng.generate_sync(["Hello quantized world"])[0]
+    assert len(q_out.token_ids) > 0
+    assert isinstance(q_out.text, str)
+    # greedy int8 on a tiny model usually tracks fp32 for the first tokens
+    assert q_out.token_ids[0] == ref_out.token_ids[0]

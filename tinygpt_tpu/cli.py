@@ -39,6 +39,10 @@ def main(argv=None) -> int:
                     help="prompt (repeatable); default: 4 fixed prompts")
     ap.add_argument("--stream", action="store_true",
                     help="stream the first prompt token-by-token")
+    ap.add_argument("--quantization", default=None,
+                    choices=["int8", "int4"],
+                    help="weight-only quantization")
+    ap.add_argument("--quant-group-size", type=int, default=128)
     args = ap.parse_args(argv)
 
     engine = GPTEngine(GPTConfig(
@@ -49,6 +53,8 @@ def main(argv=None) -> int:
             temperature=args.temperature, top_p=args.top_p,
             min_p=args.min_p, top_k=args.top_k,
         ),
+        quantization=args.quantization,
+        quant_group_size=args.quant_group_size,
     ))
     t0 = time.perf_counter()
     engine.prepare()

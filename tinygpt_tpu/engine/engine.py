@@ -62,6 +62,9 @@ class GPTConfig:
     # prompt lengths are bucketed to these multiples to bound recompiles
     prefill_bucket: int = 64
     max_context: Optional[int] = None  # default: model context size
+    # weight-only quantization: None | "int8" | "int4"
+    quantization: Optional[str] = None
+    quant_group_size: int = 128
 
 
 @dataclass
@@ -95,12 +98,26 @@ class GPTEngine:
         """Load everything (reference: GPTEngine.cpp:41-65)."""
         cfg = self.config
         self.ctx = load_model_dir(cfg.model_dir, dtype=cfg.dtype)
+        if cfg.quantization:
+            from tinygpt_tpu.ops.quant import quantize_params
+
+            bits = {"int8": 8, "int4": 4}[cfg.quantization]
+            self.ctx.params = quantize_params(
+                self.ctx.params, bits=bits,
+                group_size=cfg.quant_group_size,
+            )
+            log.info("quantized weights to %s (group %d)",
+                     cfg.quantization, cfg.quant_group_size)
         self._collect_eos_ids()
         mc = self.ctx.model_config
         self._max_context = cfg.max_context or mc.context_size
+        # Pallas attention kernels on TPU; XLA reference path elsewhere
+        self._attn_impl = (
+            "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+        )
         self._forward_jit = jax.jit(
             self.ctx.model.forward,
-            static_argnames=("cfg", "last_only"),
+            static_argnames=("cfg", "last_only", "attn_impl"),
             donate_argnames=("cache",),
         )
         log.info(
@@ -193,14 +210,17 @@ class GPTEngine:
         sampler_cfg = self.config.sampler
         ids, positions, valid, lens, encoded = self._encode_batch(texts)
         B, S = ids.shape
+        # cache length rounded to 128 so the Pallas KV tiles divide evenly
         cache = create_kv_cache(
-            cfg, B, S + max_tokens, dtype=resolve_dtype(self.config.dtype)
+            cfg, B, _round_up(S + max_tokens, 128),
+            dtype=resolve_dtype(self.config.dtype),
         )
         params = self.ctx.params
 
         logits, cache = self._forward_jit(
             params, cfg, jnp.asarray(ids), cache,
             jnp.asarray(positions), jnp.asarray(valid), last_only=True,
+            attn_impl=self._attn_impl,
         )
         self._key, k = jax.random.split(self._key)
         tok_dev = sample(logits[:, -1, :], sampler_cfg, k)  # [B]
@@ -214,7 +234,7 @@ class GPTEngine:
         def step_fn(params, tok, cache, pos, key, last_only=True):
             logits, cache = self.ctx.model.forward(
                 params, cfg, tok[:, None], cache, pos, ones,
-                last_only=last_only,
+                last_only=last_only, attn_impl=self._attn_impl,
             )
             nxt = sample(logits[:, -1, :], sampler_cfg, key)
             return nxt, cache

@@ -23,15 +23,15 @@ from tinygpt_tpu.hf.config import ModelConfig
 
 
 class KVCache(NamedTuple):
-    k: jnp.ndarray        # [L, B, T, Nk, D]
-    v: jnp.ndarray        # [L, B, T, Nk, D]
+    k: jnp.ndarray        # [L, B, Nk, T, D] — kernel-native layout: the
+    v: jnp.ndarray        #   Pallas kernels tile (T, D) per (batch, head)
     kv_pos: jnp.ndarray   # [B, T] int32 logical position of each slot
     valid: jnp.ndarray    # [B, T] bool — slot holds a real (non-pad) token
     length: jnp.ndarray   # scalar int32 — next free slot
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     @property
     def batch_size(self) -> int:
@@ -47,8 +47,8 @@ def create_kv_cache(
     shape = (
         cfg.num_hidden_layers,
         batch_size,
-        max_len,
         cfg.num_kv_heads,
+        max_len,
         cfg.head_dim,
     )
     return KVCache(

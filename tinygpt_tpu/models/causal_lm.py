@@ -34,8 +34,9 @@ import numpy as np
 
 from tinygpt_tpu.engine.kv_cache import KVCache
 from tinygpt_tpu.hf.config import ModelConfig
-from tinygpt_tpu.ops.attention import sdpa_with_cache
+from tinygpt_tpu.ops.attention import attention_with_cache
 from tinygpt_tpu.ops.norms import rms_norm
+from tinygpt_tpu.ops.quant import matmul_any
 from tinygpt_tpu.ops.rope import apply_rope, compute_rope_freqs
 
 
@@ -176,6 +177,7 @@ def forward(
     positions: jnp.ndarray,    # [B, S] logical positions (RoPE/causality)
     token_valid: jnp.ndarray,  # [B, S] bool — real token vs left-pad
     last_only: bool = False,
+    attn_impl: str = "xla",    # "xla" | "pallas" (static under jit)
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One forward step (prefill S>1 or decode S=1).
 
@@ -199,7 +201,7 @@ def forward(
     def layer_fn(x, scanned):
         lp, k_cache, v_cache = scanned
         h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
-        qkv = h @ lp["qkv_w"]
+        qkv = matmul_any(h, lp["qkv_w"])
         if "qkv_b" in lp:
             qkv = qkv + lp["qkv_b"]
         q = qkv[..., :q_dim].reshape(B, S, Nq, D)
@@ -209,18 +211,28 @@ def forward(
             q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
             k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
         q, k = apply_rope(q, k, cos, sin, positions)
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, slot, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, slot, 0, 0))
-        attn = sdpa_with_cache(
-            q, k_cache, v_cache,
-            q_pos=positions, kv_pos=kv_pos, kv_valid=valid,
-            sliding_window=cfg.sliding_window,
+        # cache layout [B, Nk, T, D]
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k.transpose(0, 2, 1, 3).astype(k_cache.dtype),
+            (0, 0, slot, 0),
         )
-        x = x + attn.reshape(B, S, q_dim) @ lp["o_w"]
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.transpose(0, 2, 1, 3).astype(v_cache.dtype),
+            (0, 0, slot, 0),
+        )
+        attn = attention_with_cache(
+            q, k_cache, v_cache,
+            q_pos=positions, kv_pos=kv_pos, kv_valid=valid, slot=slot,
+            sliding_window=cfg.sliding_window, kernel=attn_impl,
+        )
+        x = x + matmul_any(attn.reshape(B, S, q_dim), lp["o_w"])
         h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
-        gate_up = h @ lp["gate_up_w"]
+        gate_up = matmul_any(h, lp["gate_up_w"])
         gate, up = jnp.split(gate_up, 2, axis=-1)
-        x = x + (jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up) @ lp["down_w"]
+        x = x + matmul_any(
+            jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up,
+            lp["down_w"],
+        )
         return x, (k_cache, v_cache)
 
     x, (new_k, new_v) = jax.lax.scan(
@@ -233,7 +245,7 @@ def forward(
     if head is None:
         logits = x @ params["embed"].T
     else:
-        logits = x @ head
+        logits = matmul_any(x, head)
     new_cache = KVCache(
         k=new_k, v=new_v, kv_pos=kv_pos, valid=valid,
         length=slot + S,

@@ -21,8 +21,9 @@ import numpy as np
 
 from tinygpt_tpu.engine.kv_cache import KVCache
 from tinygpt_tpu.hf.config import ModelConfig
-from tinygpt_tpu.ops.attention import sdpa_with_cache
+from tinygpt_tpu.ops.attention import attention_with_cache
 from tinygpt_tpu.ops.norms import layer_norm
+from tinygpt_tpu.ops.quant import matmul_any
 
 
 def load_params(
@@ -112,6 +113,7 @@ def forward(
     positions: jnp.ndarray,    # [B, S]
     token_valid: jnp.ndarray,  # [B, S]
     last_only: bool = False,
+    attn_impl: str = "xla",
 ) -> Tuple[jnp.ndarray, KVCache]:
     B, S = input_ids.shape
     N = cfg.num_attention_heads
@@ -128,21 +130,28 @@ def forward(
     def layer_fn(x, scanned):
         lp, k_cache, v_cache = scanned
         h = layer_norm(x, lp["ln1_w"], lp["ln1_b"], cfg.layer_norm_epsilon)
-        qkv = h @ lp["qkv_w"] + lp["qkv_b"]
+        qkv = matmul_any(h, lp["qkv_w"]) + lp["qkv_b"]
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, S, N, D)
         k = k.reshape(B, S, N, D)
         v = v.reshape(B, S, N, D)
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, slot, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, slot, 0, 0))
-        attn = sdpa_with_cache(
-            q, k_cache, v_cache,
-            q_pos=positions, kv_pos=kv_pos, kv_valid=valid,
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k.transpose(0, 2, 1, 3).astype(k_cache.dtype),
+            (0, 0, slot, 0),
         )
-        x = x + attn.reshape(B, S, H) @ lp["o_w"] + lp["o_b"]
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.transpose(0, 2, 1, 3).astype(v_cache.dtype),
+            (0, 0, slot, 0),
+        )
+        attn = attention_with_cache(
+            q, k_cache, v_cache,
+            q_pos=positions, kv_pos=kv_pos, kv_valid=valid, slot=slot,
+            kernel=attn_impl,
+        )
+        x = x + matmul_any(attn.reshape(B, S, H), lp["o_w"]) + lp["o_b"]
         h = layer_norm(x, lp["ln2_w"], lp["ln2_b"], cfg.layer_norm_epsilon)
-        h = jax.nn.gelu(h @ lp["fc_w"] + lp["fc_b"], approximate=True)
-        x = x + h @ lp["proj_w"] + lp["proj_b"]
+        h = jax.nn.gelu(matmul_any(h, lp["fc_w"]) + lp["fc_b"], approximate=True)
+        x = x + matmul_any(h, lp["proj_w"]) + lp["proj_b"]
         return x, (k_cache, v_cache)
 
     x, (new_k, new_v) = jax.lax.scan(

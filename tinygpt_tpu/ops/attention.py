@@ -24,8 +24,8 @@ NEG_INF = -1e30
 
 def sdpa_with_cache(
     q: jnp.ndarray,  # [B, S, Nq, D] (RoPE already applied)
-    k_cache: jnp.ndarray,  # [B, T, Nk, D] full cache buffer
-    v_cache: jnp.ndarray,  # [B, T, Nk, D]
+    k_cache: jnp.ndarray,  # [B, Nk, T, D] full cache buffer
+    v_cache: jnp.ndarray,  # [B, Nk, T, D]
     q_pos: jnp.ndarray,  # [B, S] logical position of each query token
     kv_pos: jnp.ndarray,  # [B, T] logical position of each cache slot
     kv_valid: jnp.ndarray,  # [B, T] bool: slot holds a real token
@@ -41,8 +41,7 @@ def sdpa_with_cache(
     kv_pos > p - w. Returns [B, S, Nq, D].
     """
     B, S, Nq, D = q.shape
-    T = k_cache.shape[1]
-    Nk = k_cache.shape[2]
+    Nk, T = k_cache.shape[1], k_cache.shape[2]
     G = Nq // Nk
     if scale is None:
         scale = D ** -0.5
@@ -50,7 +49,7 @@ def sdpa_with_cache(
     qg = q.reshape(B, S, Nk, G, D)
     # scores: [B, Nk, G, S, T]
     scores = jnp.einsum(
-        "bskgd,btkd->bkgst", qg.astype(jnp.float32),
+        "bskgd,bktd->bkgst", qg.astype(jnp.float32),
         k_cache.astype(jnp.float32),
     ) * scale
     if soft_cap is not None:
@@ -66,6 +65,55 @@ def sdpa_with_cache(
 
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
-        "bkgst,btkd->bskgd", probs, v_cache.astype(jnp.float32)
+        "bkgst,bktd->bskgd", probs, v_cache.astype(jnp.float32)
     )
     return out.reshape(B, S, Nq, D).astype(q.dtype)
+
+
+def attention_with_cache(
+    q: jnp.ndarray,         # [B, S, Nq, D]
+    k_cache: jnp.ndarray,   # [B, Nk, T, D]
+    v_cache: jnp.ndarray,   # [B, Nk, T, D]
+    q_pos: jnp.ndarray,     # [B, S]
+    kv_pos: jnp.ndarray,    # [B, T]
+    kv_valid: jnp.ndarray,  # [B, T]
+    slot: jnp.ndarray,      # scalar int32 — slot of the first query row
+    scale: float | None = None,
+    sliding_window: int | None = None,
+    kernel: str = "xla",    # "xla" | "pallas" (static under jit)
+) -> jnp.ndarray:
+    """Dispatch between the XLA oracle path and the Pallas kernels.
+
+    The Pallas path exploits the slot/position split: within a row every
+    token shares one pad offset, so logical causality equals slot-index
+    causality (offsets cancel) — the kernels take only a validity byte
+    per slot plus the scalar first-query slot.
+    """
+    if kernel != "pallas":
+        return sdpa_with_cache(
+            q, k_cache, v_cache, q_pos=q_pos, kv_pos=kv_pos,
+            kv_valid=kv_valid, scale=scale, sliding_window=sliding_window,
+        )
+    from tinygpt_tpu.ops.attention_kernels import flash_decode, flash_prefill
+
+    B, S, Nq, D = q.shape
+    T = k_cache.shape[2]
+    if scale is None:
+        scale = D ** -0.5
+    if S == 1:
+        # decode: mask = validity (+ sliding window in slot space)
+        mask = kv_valid
+        if sliding_window is not None:
+            t_idx = jnp.arange(T, dtype=jnp.int32)[None, :]
+            mask = mask & (t_idx > slot - sliding_window)
+        out = flash_decode(
+            q[:, 0].astype(k_cache.dtype), k_cache, v_cache, mask,
+            scale=scale,
+        )
+        return out[:, None].astype(q.dtype)
+    out = flash_prefill(
+        q.transpose(0, 2, 1, 3).astype(k_cache.dtype), k_cache, v_cache,
+        kv_valid, scale=scale, sliding_window=sliding_window,
+        q_slot=slot,
+    )
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)

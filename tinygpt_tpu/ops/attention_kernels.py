@@ -1,0 +1,299 @@
+"""Pallas TPU attention kernels: flash prefill + GQA decode.
+
+TPU-native replacement for TinyFA's CUDA flash attention
+(/root/reference/src/layer/Attention.h:103-112, head dims 64/128 at
+src/CMakeLists.txt:17-23) — here any head dim that tiles to 128 lanes.
+
+Both kernels run over the engine's dense slot cache. Causality uses SLOT
+indices: with left padding, every token in a row shares one pad offset, so
+(logical kv_pos <= logical q_pos) ⟺ (kv slot <= q slot) — the offsets
+cancel. Slot indices come from program_id iota; the only mask input is a
+per-slot validity byte [B, 1, T] (pads = 0), so no position tensors are
+relayouted inside the kernel. Sliding windows work the same way (slot
+deltas == logical deltas within a row).
+
+Prefill:  grid (B, Nq, S/BQ, T/BT), online softmax (m, l, acc scratch),
+          fully-masked KV tiles are skipped (causal upper triangle).
+Decode:   grid (B, Nk, T/BT); the G = Nq/Nk query heads that share a KV
+          head form the 'row' axis of one MXU tile — S=1 decode becomes a
+          [G, D] x [D, BT] matmul, not a vector op.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _pick_bt(T: int, target: int) -> int:
+    """Largest multiple of 8 dividing T, at most `target`. KV tiles MUST
+    tile T exactly: an out-of-bounds tail tile reads unspecified K/V
+    values, and even fully-masked columns poison the output through
+    0 * NaN in the p @ v contraction. The engine sizes caches to
+    multiples of 128 so this always finds a healthy tile."""
+    best = 0
+    for bt in range(8, min(T, target) + 1, 8):
+        if T % bt == 0:
+            best = bt
+    if best == 0:
+        raise ValueError(
+            f"KV length {T} has no multiple-of-8 divisor <= {target}; "
+            "round the cache length up (engine uses multiples of 128)"
+        )
+    return best
+
+
+# -- prefill ------------------------------------------------------------------
+
+
+def _prefill_kernel(
+    q_ref,      # [1, 1, BQ, D]
+    k_ref,      # [1, 1, BT, D]
+    v_ref,      # [1, 1, BT, D]
+    valid_ref,  # [1, 1, BT] int8
+    slot_ref,   # [1, 1] int32 SMEM — slot of the first query row
+    o_ref,      # [1, 1, BQ, D]
+    m_scr,      # [BQ, 128] f32
+    l_scr,      # [BQ, 128] f32
+    acc_scr,    # [BQ, D] f32
+    *,
+    scale: float,
+    n_t: int,
+    bq: int,
+    bt: int,
+    sliding_window,
+):
+    iq = pl.program_id(2)
+    jt = pl.program_id(3)
+
+    @pl.when(jt == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    # slot coordinates of this tile
+    q_start = slot_ref[0, 0] + iq * bq
+    t_start = jt * bt
+
+    # skip KV tiles entirely above the causal diagonal
+    not_all_masked = t_start <= q_start + bq - 1
+
+    @pl.when(not_all_masked)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32)  # [BQ, D]
+        k = k_ref[0, 0].astype(jnp.float32)  # [BT, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [BQ, BT]
+
+        rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bt), 0)
+        cols = t_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bt), 1)
+        mask = cols <= rows
+        if sliding_window is not None:
+            mask &= cols > rows - sliding_window
+        mask &= valid_ref[0, 0][None, :] != 0
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scr[:, :1]  # [BQ, 1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)  # [BQ, BT]
+        alpha = jnp.exp(m_prev - m_new)  # [BQ, 1]
+        l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p, v_ref[0, 0].astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(jt == n_t - 1)
+    def _():
+        l = l_scr[:, :1]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "sliding_window", "bq", "bt", "interpret"),
+)
+def flash_prefill(
+    q: jnp.ndarray,        # [B, Nq, S, D]
+    k_cache: jnp.ndarray,  # [B, Nk, T, D]
+    v_cache: jnp.ndarray,  # [B, Nk, T, D]
+    valid: jnp.ndarray,    # [B, T] bool/int8 — slot holds a real token
+    scale: float,
+    q_slot=0,              # scalar int32 — slot index of the first query row
+    sliding_window=None,
+    bq: int = 256,
+    bt: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, Nq, S, D = q.shape
+    Nk, T = k_cache.shape[1], k_cache.shape[2]
+    G = Nq // Nk
+    bq = min(bq, S)
+    bt = _pick_bt(T, bt)
+    n_q, n_t = _cdiv(S, bq), T // bt
+    valid8 = valid.astype(jnp.int8).reshape(B, 1, T)
+    slot_arr = jnp.asarray(q_slot, jnp.int32).reshape(1, 1)
+
+    kernel = functools.partial(
+        _prefill_kernel, scale=scale, n_t=n_t, bq=bq, bt=bt,
+        sliding_window=sliding_window,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B, Nq, n_q, n_t),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, iq, jt: (b, h, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bt, D),
+                         lambda b, h, iq, jt, _G=G: (b, h // _G, jt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bt, D),
+                         lambda b, h, iq, jt, _G=G: (b, h // _G, jt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bt), lambda b, h, iq, jt: (b, 0, jt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda b, h, iq, jt: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, bq, D), lambda b, h, iq, jt: (b, h, iq, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Nq, S, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, D), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Nq * S * T * D,
+            bytes_accessed=(q.size + 2 * k_cache.size) * 2,
+            transcendentals=B * Nq * S * T,
+        ),
+        interpret=interpret,
+    )(q, k_cache, v_cache, valid8, slot_arr)
+
+
+# -- decode -------------------------------------------------------------------
+
+
+def _decode_kernel(
+    q_ref,      # [1, 1, G, D]
+    k_ref,      # [1, 1, BT, D]
+    v_ref,      # [1, 1, BT, D]
+    mask_ref,   # [1, 1, BT] int8 — validity (incl. window) precomputed
+    o_ref,      # [1, 1, G, D]
+    m_scr,      # [G, 128]
+    l_scr,      # [G, 128]
+    acc_scr,    # [G, D]
+    *,
+    scale: float,
+    n_t: int,
+):
+    jt = pl.program_id(2)
+
+    @pl.when(jt == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0].astype(jnp.float32)  # [G, D]
+    k = k_ref[0, 0].astype(jnp.float32)  # [BT, D]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [G, BT]
+    s = jnp.where(mask_ref[0, 0][None, :] != 0, s, NEG_INF)
+
+    m_prev = m_scr[:, :1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p, v_ref[0, 0].astype(jnp.float32),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(jt == n_t - 1)
+    def _():
+        l = l_scr[:, :1]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "bt", "interpret")
+)
+def flash_decode(
+    q: jnp.ndarray,        # [B, Nq, D] — single query position
+    k_cache: jnp.ndarray,  # [B, Nk, T, D]
+    v_cache: jnp.ndarray,  # [B, Nk, T, D]
+    mask: jnp.ndarray,     # [B, T] bool — valid & window, precomputed
+    scale: float,
+    bt: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, Nq, D = q.shape
+    Nk, T = k_cache.shape[1], k_cache.shape[2]
+    G = Nq // Nk
+    bt = _pick_bt(T, bt)
+    n_t = T // bt
+    q4 = q.reshape(B, Nk, G, D)
+    mask8 = mask.astype(jnp.int8).reshape(B, 1, T)
+
+    kernel = functools.partial(_decode_kernel, scale=scale, n_t=n_t)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, Nk, n_t),
+        in_specs=[
+            pl.BlockSpec((1, 1, G, D), lambda b, h, jt: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bt, D), lambda b, h, jt: (b, h, jt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bt, D), lambda b, h, jt: (b, h, jt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bt), lambda b, h, jt: (b, 0, jt),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, G, D), lambda b, h, jt: (b, h, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Nk, G, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((G, 128), jnp.float32),
+            pltpu.VMEM((G, 128), jnp.float32),
+            pltpu.VMEM((G, D), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Nq * T * D,
+            bytes_accessed=2 * k_cache.size * 2,
+            transcendentals=B * Nq * T,
+        ),
+        interpret=interpret,
+    )(q4, k_cache, v_cache, mask8)
+    return out.reshape(B, Nq, D)

@@ -1,0 +1,218 @@
+"""Weight-only quantization: INT8 / INT4 with per-channel or per-group
+scales, plus the fused dequant+matmul path.
+
+This is north-star functionality with NO reference implementation — the
+reference is FP32/FP16/BF16 only (/root/reference/README.md:17); INT8/INT4
+weight-only quant and the fused dequant kernels are TinyGPT TODO-class
+capabilities built TPU-native here.
+
+Layout: weights are stored [in, out] (as everywhere in this framework).
+Quantization groups run along the `in` (contraction) dim:
+  data   int8  [in, out]            (int4: two nibbles packed per byte,
+                                     [in/2, out])
+  scales fp    [in/group, out]
+Dequant: w[i, o] = data[i, o] * scales[i // group, o].
+
+The Pallas kernel fuses dequantization into the matmul so the int8/int4
+bytes are the ONLY weight traffic from HBM — decode GEMV is HBM-bound, so
+this directly multiplies decode throughput by the compression ratio.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_pytree_node_class
+class QuantizedTensor:
+    """A quantized [in, out] weight. Pytree: (data, scales) dynamic;
+    bits/group static."""
+
+    def __init__(self, data, scales, bits: int, group_size: int,
+                 in_dim: int):
+        self.data = data          # int8 [in, out] or packed [in/2, out]
+        self.scales = scales      # [in/group, out] (float32/bf16)
+        self.bits = bits
+        self.group_size = group_size
+        self.in_dim = in_dim
+
+    @property
+    def out_dim(self) -> int:
+        return self.data.shape[-1]
+
+    @property
+    def shape(self):
+        return (self.in_dim, self.out_dim)
+
+    def tree_flatten(self):
+        return (self.data, self.scales), (self.bits, self.group_size,
+                                          self.in_dim)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        data, scales = children
+        bits, group_size, in_dim = aux
+        return cls(data, scales, bits, group_size, in_dim)
+
+    def __repr__(self):
+        return (f"QuantizedTensor(int{self.bits}, {self.shape}, "
+                f"group={self.group_size})")
+
+
+def pack_int4(q: np.ndarray) -> np.ndarray:
+    """Pack int4 values in [-8, 7] along axis 0 with the HALF-SPLIT
+    scheme: packed row p holds original row p in the low nibble and row
+    p + in/2 in the high nibble. This keeps each nibble plane a contiguous
+    row range, so the Pallas kernel reads one packed tile and pairs it
+    with two contiguous x tiles — no sublane interleaving on TPU."""
+    assert q.shape[0] % 2 == 0
+    half = q.shape[0] // 2
+    lo = (q[:half] & 0x0F).astype(np.uint8)
+    hi = (q[half:] & 0x0F).astype(np.uint8)
+    return (lo | (hi << 4)).astype(np.int8)
+
+
+def _sign_extend_4bit(v: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(v >= 8, v.astype(jnp.int32) - 16, v).astype(jnp.int8)
+
+
+def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of pack_int4 (jit-friendly): [in/2, out] int8 → [in, out]
+    int8 in [-8, 7] (original row order)."""
+    u = packed.astype(jnp.uint8)
+    lo = _sign_extend_4bit(u & 0x0F)
+    hi = _sign_extend_4bit((u >> 4) & 0x0F)
+    return jnp.concatenate([lo, hi], axis=0)
+
+
+def quantize_weight(
+    w: np.ndarray,  # [in, out] float
+    bits: int = 8,
+    group_size: Optional[int] = None,
+    scale_dtype=np.float32,
+) -> QuantizedTensor:
+    """Symmetric per-group (or per-channel when group_size=None) quant."""
+    assert bits in (8, 4)
+    w = np.asarray(w, dtype=np.float32)
+    in_dim, out_dim = w.shape
+    g = group_size or in_dim
+    if bits == 4:
+        # the packed kernel needs whole groups inside each nibble plane
+        g = min(g, in_dim // 2)
+    if in_dim % g:
+        raise ValueError(f"in_dim {in_dim} not divisible by group {g}")
+    qmax = 127.0 if bits == 8 else 7.0
+    wg = w.reshape(in_dim // g, g, out_dim)
+    absmax = np.abs(wg).max(axis=1)  # [in/g, out]
+    scales = (absmax / qmax).astype(np.float64)
+    scales = np.where(scales == 0, 1e-8, scales)
+    q = np.clip(
+        np.rint(wg / scales[:, None, :]), -qmax - 1, qmax
+    ).astype(np.int8).reshape(in_dim, out_dim)
+    if bits == 4:
+        data = pack_int4(q)
+    else:
+        data = q
+    return QuantizedTensor(
+        jnp.asarray(data), jnp.asarray(scales.astype(scale_dtype)),
+        bits=bits, group_size=g, in_dim=in_dim,
+    )
+
+
+def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Reference full dequantization (tests / CPU fallback)."""
+    data = qt.data if qt.bits == 8 else unpack_int4(qt.data)
+    g = qt.group_size
+    w = data.astype(jnp.float32).reshape(qt.in_dim // g, g, qt.out_dim)
+    w = w * qt.scales.astype(jnp.float32)[:, None, :]
+    return w.reshape(qt.in_dim, qt.out_dim).astype(dtype)
+
+
+# -- fused dequant matmul -----------------------------------------------------
+
+
+def _matmul_dequant_reference(x: jnp.ndarray, qt: QuantizedTensor) -> jnp.ndarray:
+    w = dequantize(qt, dtype=jnp.bfloat16)
+    return (x @ w.astype(x.dtype))
+
+
+def _use_pallas() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def matmul_dequant(x: jnp.ndarray, qt: QuantizedTensor) -> jnp.ndarray:
+    """x [..., in] @ dequant(qt) → [..., out], fusing dequant into the
+    matmul. Dispatches to the Pallas TPU kernel; falls back to the XLA
+    reference path elsewhere (tests run it in interpret mode too)."""
+    from tinygpt_tpu.ops.quant_kernels import matmul_dequant_tpu
+
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    if _use_pallas():
+        out = matmul_dequant_tpu(x2, qt)
+    else:
+        out = _matmul_dequant_reference(x2, qt)
+    return out.reshape(*lead, qt.out_dim)
+
+
+def matmul_any(x: jnp.ndarray, w) -> jnp.ndarray:
+    """Matmul against either a plain array or a QuantizedTensor — the
+    single call-site hook the model layers use."""
+    if isinstance(w, QuantizedTensor):
+        return matmul_dequant(x, w)
+    return x @ w
+
+
+# -- whole-model quantization --------------------------------------------------
+
+# stacked per-layer matmul weights ([L, in, out]) eligible for weight-only
+# quantization, per model family
+_QUANT_KEYS = {"qkv_w", "o_w", "gate_up_w", "down_w", "fc_w", "proj_w"}
+
+
+def _quantize_stacked(w, bits: int, group_size: Optional[int]) -> QuantizedTensor:
+    """Quantize a stacked [L, in, out] weight layer-by-layer and restack,
+    so lax.scan slices out one QuantizedTensor per layer."""
+    import numpy as np
+
+    w = np.asarray(w, dtype=np.float32)
+    per_layer = [quantize_weight(w[l], bits=bits, group_size=group_size)
+                 for l in range(w.shape[0])]
+    data = jnp.stack([q.data for q in per_layer])
+    scales = jnp.stack([q.scales for q in per_layer])
+    q0 = per_layer[0]
+    return QuantizedTensor(data, scales, bits=q0.bits,
+                           group_size=q0.group_size, in_dim=q0.in_dim)
+
+
+def quantize_params(
+    params: dict,
+    bits: int = 8,
+    group_size: Optional[int] = 128,
+    quantize_lm_head: bool = True,
+) -> dict:
+    """Convert a loaded param pytree to weight-only quantized form.
+    Norm weights, biases, embeddings and rope tables stay in float."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    for key, w in layers.items():
+        if key in _QUANT_KEYS:
+            layers[key] = _quantize_stacked(w, bits, group_size)
+    out["layers"] = layers
+    head = params.get("lm_head")
+    if quantize_lm_head and head is not None:
+        import numpy as np
+
+        out["lm_head"] = quantize_weight(
+            np.asarray(head, dtype=np.float32), bits=bits,
+            group_size=group_size,
+        )
+    return out

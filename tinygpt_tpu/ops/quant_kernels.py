@@ -1,0 +1,234 @@
+"""Pallas TPU kernels: fused dequant(INT8/INT4) + matmul.
+
+The weight bytes (int8, or packed int4 nibbles) are the only weight
+traffic from HBM; dequantization happens in VMEM right before the MXU
+dot. Decode-time GEMV is HBM-bandwidth-bound, so throughput scales with
+the compression ratio — the north-star "speed-of-light dequant kernel"
+from BASELINE.json (no reference counterpart; the reference is
+FP32/FP16/BF16-only, /root/reference/README.md:17).
+
+Grid layout: (m, o, k) with k innermost; partial products accumulate in
+a VMEM fp32 scratch, and the bf16 output tile is written once on the last
+k step (no fp32 output round-trip through HBM).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import TYPE_CHECKING
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+if TYPE_CHECKING:
+    from tinygpt_tpu.ops.quant import QuantizedTensor
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(a: int, b: int) -> int:
+    return _cdiv(a, b) * b
+
+
+def _pick_bk(total: int, group: int, target: int) -> int:
+    """Largest multiple of `group` that divides `total` and is <= target.
+    The contraction dim must tile EXACTLY: a padded tail block would feed
+    unspecified values into the accumulator (M/OUT tails are safe — their
+    garbage rows/cols are sliced away by out_shape)."""
+    if total % group:
+        raise ValueError(f"in_dim {total} not divisible by group {group}")
+    best = group
+    for mult in range(1, total // group + 1):
+        bk = group * mult
+        if total % bk == 0 and bk <= target:
+            best = bk
+    return best
+
+
+# -- int8 ---------------------------------------------------------------------
+
+
+def _int8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int, group: int):
+    # s_ref: [1, rows, BO] — this k-block's scale rows, pre-blocked by the
+    # wrapper (Mosaic cannot dynamically slice sub-8-row tiles in VMEM).
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = w_ref[:].astype(jnp.float32)  # [BK, BO] int8 → f32
+    bk, bo = w.shape
+    rows = bk // group
+    s = s_ref[0].astype(jnp.float32)  # [rows, BO]
+    wf = (w.reshape(rows, group, bo) * s[:, None, :]).reshape(bk, bo)
+    acc_ref[:] += jnp.dot(
+        x_ref[:].astype(jnp.float32), wf, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group", "bm", "bk", "bo", "interpret")
+)
+def matmul_dequant_int8(
+    x: jnp.ndarray,       # [M, IN] (bf16/f32)
+    data: jnp.ndarray,    # [IN, OUT] int8
+    scales: jnp.ndarray,  # [IN/group, OUT]
+    group: int,
+    bm: int = 256,
+    bk: int = 512,
+    bo: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    M, IN = x.shape
+    OUT = data.shape[1]
+    bm = min(bm, _round_up(M, 8))
+    bk = _pick_bk(IN, group, bk)
+    bo = min(bo, OUT)
+    n_m, n_o, n_k = _cdiv(M, bm), _cdiv(OUT, bo), IN // bk
+
+    rows = bk // group
+    s_blocks = scales.reshape(n_k, rows, OUT)
+    return pl.pallas_call(
+        functools.partial(_int8_kernel, n_k=n_k, group=group),
+        grid=(n_m, n_o, n_k),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda m, o, k: (m, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bo), lambda m, o, k: (k, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, bo), lambda m, o, k: (k, 0, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bo), lambda m, o, k: (m, o),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, OUT), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bo), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * IN * OUT,
+            bytes_accessed=M * IN * 2 + IN * OUT + M * OUT * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, data, s_blocks)
+
+
+# -- int4 (half-split nibble packing, see quant.pack_int4) -------------------
+
+
+def _int4_kernel(x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref, o_ref,
+                 acc_ref, *, n_k: int, group: int):
+    # s_lo/s_hi: [1, rows, BO] — this k-block's scale rows per nibble
+    # plane, pre-blocked by the wrapper.
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    packed = w_ref[:].astype(jnp.int32)  # [BKP, BO] — packed rows
+    bkp, bo = packed.shape
+    rows = bkp // group
+    lo = packed & 0x0F
+    lo = jnp.where(lo >= 8, lo - 16, lo).astype(jnp.float32)
+    hi = (packed >> 4) & 0x0F
+    hi = jnp.where(hi >= 8, hi - 16, hi).astype(jnp.float32)
+
+    s_lo = s_lo_ref[0].astype(jnp.float32)  # [rows, BO]
+    s_hi = s_hi_ref[0].astype(jnp.float32)
+    w_lo = (lo.reshape(rows, group, bo) * s_lo[:, None, :]).reshape(bkp, bo)
+    w_hi = (hi.reshape(rows, group, bo) * s_hi[:, None, :]).reshape(bkp, bo)
+
+    acc_ref[:] += jnp.dot(
+        x_lo_ref[:].astype(jnp.float32), w_lo,
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] += jnp.dot(
+        x_hi_ref[:].astype(jnp.float32), w_hi,
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group", "bm", "bk", "bo", "interpret")
+)
+def matmul_dequant_int4(
+    x: jnp.ndarray,       # [M, IN]
+    data: jnp.ndarray,    # [IN/2, OUT] packed int8 (half-split nibbles)
+    scales: jnp.ndarray,  # [IN/group, OUT]
+    group: int,
+    bm: int = 256,
+    bk: int = 512,       # tile of PACKED rows
+    bo: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    M, IN = x.shape
+    INP = data.shape[0]  # IN // 2
+    OUT = data.shape[1]
+    half = IN // 2
+    assert INP == half, "packed rows must be in/2"
+    # scales for the lo plane are rows [0, half/group); hi plane rows
+    # [half/group, ...). bk must divide the packed rows exactly so both
+    # nibble planes and both scale planes tile cleanly.
+    bm = min(bm, _round_up(M, 8))
+    bk = _pick_bk(INP, group, bk)
+    bo = min(bo, OUT)
+    n_m, n_o, n_k = _cdiv(M, bm), _cdiv(OUT, bo), INP // bk
+    half_groups = half // group
+
+    rows = bk // group
+    s_lo_blocks = scales[:half_groups].reshape(n_k, rows, OUT)
+    s_hi_blocks = scales[half_groups:].reshape(n_k, rows, OUT)
+    return pl.pallas_call(
+        functools.partial(_int4_kernel, n_k=n_k, group=group),
+        grid=(n_m, n_o, n_k),
+        in_specs=[
+            # x lo plane: columns [k*bk, k*bk+bk)
+            pl.BlockSpec((bm, bk), lambda m, o, k: (m, k),
+                         memory_space=pltpu.VMEM),
+            # x hi plane: columns [half + k*bk, ...) — block index shifted
+            pl.BlockSpec((bm, bk),
+                         lambda m, o, k, _nk=n_k: (m, k + _nk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bo), lambda m, o, k: (k, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, bo), lambda m, o, k: (k, 0, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, bo), lambda m, o, k: (k, 0, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bo), lambda m, o, k: (m, o),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, OUT), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bo), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * IN * OUT,
+            bytes_accessed=M * IN * 2 + IN * OUT // 2 + M * OUT * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, x, data, s_lo_blocks, s_hi_blocks)
+
+
+def matmul_dequant_tpu(x: jnp.ndarray, qt: "QuantizedTensor",
+                       interpret: bool = False) -> jnp.ndarray:
+    """Dispatch by bit width; x is [M, IN] 2-D."""
+    if qt.bits == 8:
+        return matmul_dequant_int8(
+            x, qt.data, qt.scales, group=qt.group_size, interpret=interpret
+        )
+    return matmul_dequant_int4(
+        x, qt.data, qt.scales, group=qt.group_size, interpret=interpret
+    )

@@ -91,14 +91,14 @@ def param_pspecs(cfg: ModelConfig, params: Dict) -> Dict:
 
 
 def cache_pspecs(cfg: ModelConfig, tp_size: int):
-    """KV cache [L, B, T, Nk, D]: shard kv-heads on tp when divisible,
+    """KV cache [L, B, Nk, T, D]: shard kv-heads on tp when divisible,
     batch on dp."""
     kv_tp = "tp" if cfg.num_kv_heads % max(tp_size, 1) == 0 and tp_size > 1 else None
     from tinygpt_tpu.engine.kv_cache import KVCache
 
     return KVCache(
-        k=P(None, "dp", None, kv_tp, None),
-        v=P(None, "dp", None, kv_tp, None),
+        k=P(None, "dp", kv_tp, None, None),
+        v=P(None, "dp", kv_tp, None, None),
         kv_pos=P("dp", None),
         valid=P("dp", None),
         length=P(),

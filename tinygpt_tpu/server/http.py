@@ -45,6 +45,8 @@ class ServerConfig:
     chat_template: Optional[str] = None  # literal template string
     chat_template_file: Optional[str] = None
     web_dir: Optional[str] = None
+    quantization: Optional[str] = None  # None | "int8" | "int4"
+    quant_group_size: int = 128
 
 
 class TinyGPTServer:
@@ -66,6 +68,8 @@ class TinyGPTServer:
         self.engine = GPTEngine(GPTConfig(
             model_dir=cfg.model_dir, dtype=cfg.dtype,
             max_tokens=cfg.max_tokens, sampler=sampler,
+            quantization=cfg.quantization,
+            quant_group_size=cfg.quant_group_size,
         ))
         self.engine.prepare()
         self._setup_chat_template()
@@ -301,6 +305,9 @@ def main(argv=None) -> None:
                     help="literal Jinja template string")
     ap.add_argument("--chat-template-file", default=None)
     ap.add_argument("--web-dir", default=None)
+    ap.add_argument("--quantization", default=None,
+                    choices=["int8", "int4"])
+    ap.add_argument("--quant-group-size", type=int, default=128)
     args = ap.parse_args(argv)
 
     server = TinyGPTServer(ServerConfig(
@@ -310,6 +317,8 @@ def main(argv=None) -> None:
         chat_template=args.chat_template,
         chat_template_file=args.chat_template_file,
         web_dir=args.web_dir,
+        quantization=args.quantization,
+        quant_group_size=args.quant_group_size,
     ))
     server.prepare()
 
