@@ -1,0 +1,226 @@
+"""Paged KV + continuous batching tests: kernel parity with the dense
+oracle, allocator behavior, and scheduler output equivalence with the
+dense decode path (the reference has neither feature — README TODOs)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.fixtures import build_tiny_model_dir
+from tinygpt_tpu.engine.kv_cache import create_kv_cache
+from tinygpt_tpu.engine.paged_kv import BlockAllocator, blocks_needed
+from tinygpt_tpu.engine.scheduler import (
+    ContinuousBatcher,
+    Request,
+    SchedulerConfig,
+)
+from tinygpt_tpu.hf.config import load_model_config
+from tinygpt_tpu.hf.safetensors_io import load_safetensors_dir
+from tinygpt_tpu.models import causal_lm, get_model
+from tinygpt_tpu.ops.paged_attention import (
+    paged_decode_tpu,
+    paged_decode_xla,
+)
+from tinygpt_tpu.ops.sampling import SamplerConfig
+
+
+def test_block_allocator():
+    a = BlockAllocator(8)  # block 0 reserved
+    assert a.n_free == 7
+    got = a.alloc(3)
+    assert len(got) == 3 and 0 not in got
+    assert a.alloc(5) is None  # only 4 left
+    a.release(got)
+    assert a.n_free == 7
+    assert blocks_needed(0, 16) == 1
+    assert blocks_needed(17, 16) == 2
+
+
+def test_paged_kernel_vs_xla_oracle():
+    rng = np.random.default_rng(0)
+    n_blocks, Nk, bs, D, B, MB, G = 16, 2, 16, 64, 3, 4, 2
+    Nq = Nk * G
+    k_pool = (rng.standard_normal((n_blocks, Nk, bs, D)) * 0.3).astype(np.float32)
+    v_pool = (rng.standard_normal((n_blocks, Nk, bs, D)) * 0.3).astype(np.float32)
+    k_pool[0] = 0.0
+    v_pool[0] = 0.0
+    q = (rng.standard_normal((B, Nq, D)) * 0.3).astype(np.float32)
+    tables = np.array([[1, 2, 3, 0],
+                       [4, 5, 0, 0],
+                       [6, 0, 0, 0]], np.int32)
+    lengths = np.array([41, 20, 9], np.int32)
+    starts = np.array([0, 3, 1], np.int32)
+    args = (jnp.asarray(q), jnp.asarray(k_pool), jnp.asarray(v_pool),
+            jnp.asarray(tables), jnp.asarray(lengths), jnp.asarray(starts))
+    ref = paged_decode_xla(*args, scale=D ** -0.5)
+    got = paged_decode_tpu(*args, scale=D ** -0.5, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_paged_kernel_sliding_window():
+    rng = np.random.default_rng(1)
+    n_blocks, Nk, bs, D, B, MB = 8, 1, 16, 64, 1, 3
+    k_pool = (rng.standard_normal((n_blocks, Nk, bs, D)) * 0.3).astype(np.float32)
+    v_pool = (rng.standard_normal((n_blocks, Nk, bs, D)) * 0.3).astype(np.float32)
+    q = (rng.standard_normal((B, Nk, D)) * 0.3).astype(np.float32)
+    tables = np.array([[1, 2, 3]], np.int32)
+    lengths = np.array([40], np.int32)
+    starts = np.array([0], np.int32)
+    args = (jnp.asarray(q), jnp.asarray(k_pool), jnp.asarray(v_pool),
+            jnp.asarray(tables), jnp.asarray(lengths), jnp.asarray(starts))
+    for w in (8, 24):
+        ref = paged_decode_xla(*args, scale=D ** -0.5, sliding_window=w)
+        got = paged_decode_tpu(*args, scale=D ** -0.5, sliding_window=w,
+                               interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+@pytest.fixture(scope="module")
+def llama(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tiny_llama_paged")
+    build_tiny_model_dir("llama", str(d), seed=21)
+    cfg = load_model_config(str(d))
+    model = get_model(cfg.model_type)
+    params = model.load_params(cfg, load_safetensors_dir(str(d)),
+                               dtype=jnp.float32)
+    return cfg, model, params
+
+
+def _dense_greedy(cfg, model, params, prompt_ids, n_new):
+    """Oracle: dense-cache greedy decode."""
+    S = len(prompt_ids)
+    cache = create_kv_cache(cfg, 1, 128, dtype=jnp.float32)
+    ids = jnp.asarray([prompt_ids], jnp.int32)
+    pos = jnp.arange(S)[None, :]
+    logits, cache = model.forward(params, cfg, ids, cache, pos,
+                                  jnp.ones((1, S), jnp.bool_),
+                                  last_only=True)
+    out = []
+    tok = int(jnp.argmax(logits[0, -1]))
+    for t in range(n_new):
+        out.append(tok)
+        logits, cache = model.forward(
+            params, cfg, jnp.asarray([[tok]], jnp.int32), cache,
+            jnp.asarray([[S + t]]), jnp.ones((1, 1), jnp.bool_),
+            last_only=True,
+        )
+        tok = int(jnp.argmax(logits[0, -1]))
+    return out
+
+
+def _dense_logits(cfg, model, params, token_ids):
+    """Teacher-forced dense logits for the NEXT token after token_ids."""
+    S = len(token_ids)
+    cache = create_kv_cache(cfg, 1, 128, dtype=jnp.float32)
+    logits, _ = model.forward(
+        params, cfg, jnp.asarray([token_ids], jnp.int32), cache,
+        jnp.arange(S)[None, :], jnp.ones((1, S), jnp.bool_), last_only=True,
+    )
+    return np.asarray(logits[0, -1])
+
+
+def test_scheduler_matches_dense_greedy(llama):
+    """Every token the batched/paged path emits must be the dense model's
+    greedy choice under teacher forcing (ties within float-reduction noise
+    are accepted — XLA CPU reduction order is thread-timing dependent on
+    near-tie logits of a tiny random model)."""
+    cfg, model, params = llama
+    rng = np.random.default_rng(3)
+    prompts = [list(rng.integers(2, cfg.vocab_size, n)) for n in (5, 9, 3)]
+    n_new = 6
+
+    batcher = ContinuousBatcher(
+        model, cfg, params, eos_ids=set(),
+        config=SchedulerConfig(
+            batch_capacity=4, block_size=16, n_blocks=64,
+            max_blocks_per_seq=8, prefill_bucket=16, dtype="float32",
+        ),
+    )
+    for i, p in enumerate(prompts):
+        batcher.add_request(Request(
+            request_id=i, prompt_ids=[int(x) for x in p],
+            max_new_tokens=n_new,
+        ))
+    got = {i: [] for i in range(len(prompts))}
+    steps = 0
+    while batcher.has_work and steps < 100:
+        for ev in batcher.step():
+            if ev.token_id is not None:
+                got[ev.request_id].append(ev.token_id)
+        steps += 1
+
+    for i, p in enumerate(prompts):
+        assert len(got[i]) == n_new
+        context = [int(x) for x in p]
+        for step_idx, tok in enumerate(got[i]):
+            logits = _dense_logits(cfg, model, params, context)
+            best = int(logits.argmax())
+            assert tok == best or (
+                logits[best] - logits[tok] < 1e-4
+            ), (f"request {i} step {step_idx}: got {tok} "
+                f"(logit {logits[tok]:.6f}) vs dense argmax {best} "
+                f"(logit {logits[best]:.6f})")
+            context.append(tok)
+
+
+def test_scheduler_eos_and_capacity(llama):
+    cfg, model, params = llama
+    rng = np.random.default_rng(4)
+    batcher = ContinuousBatcher(
+        model, cfg, params, eos_ids=set(),
+        config=SchedulerConfig(
+            batch_capacity=2, block_size=16, n_blocks=32,
+            max_blocks_per_seq=4, prefill_bucket=16, dtype="float32",
+        ),
+    )
+    # more requests than rows: they queue and all finish
+    for i in range(4):
+        batcher.add_request(Request(
+            request_id=i,
+            prompt_ids=[int(x) for x in rng.integers(2, cfg.vocab_size, 4)],
+            max_new_tokens=3,
+        ))
+    finished = set()
+    steps = 0
+    while batcher.has_work and steps < 200:
+        for ev in batcher.step():
+            assert batcher.n_running <= 2
+            if ev.finished:
+                finished.add(ev.request_id)
+        steps += 1
+    assert finished == {0, 1, 2, 3}
+    # all blocks returned
+    assert batcher.allocator.n_free == 31
+
+
+def test_scheduler_stop_token(llama):
+    cfg, model, params = llama
+    rng = np.random.default_rng(5)
+    prompt = [int(x) for x in rng.integers(2, cfg.vocab_size, 5)]
+    expected = _dense_greedy(cfg, model, params, prompt, 6)
+    stop_tok = expected[2]
+
+    batcher = ContinuousBatcher(
+        model, cfg, params, eos_ids={stop_tok},
+        config=SchedulerConfig(
+            batch_capacity=2, block_size=16, n_blocks=32,
+            max_blocks_per_seq=4, prefill_bucket=16, dtype="float32",
+        ),
+    )
+    batcher.add_request(Request(request_id=0, prompt_ids=prompt,
+                                max_new_tokens=6))
+    toks, reason = [], None
+    steps = 0
+    while batcher.has_work and steps < 50:
+        for ev in batcher.step():
+            if ev.token_id is not None:
+                toks.append(ev.token_id)
+            if ev.finished:
+                reason = ev.finish_reason
+        steps += 1
+    assert reason == "stop"
+    assert toks == expected[: expected.index(stop_tok)]

@@ -181,6 +181,57 @@ def test_health(server):
     assert _get(url, "/health")["status"] == "ok"
 
 
+def test_concurrent_requests_interleave(server):
+    """Continuous batching: several simultaneous requests all complete
+    correctly (they share decode steps instead of queueing whole-request)."""
+    import concurrent.futures
+
+    url, srv = server
+    assert type(srv.worker).__name__ == "BatchedInferenceWorker"
+
+    def one(i):
+        return _post(url, "/v1/completions",
+                     {"prompt": f"request number {i}", "max_tokens": 5})
+
+    with concurrent.futures.ThreadPoolExecutor(4) as ex:
+        results = list(ex.map(one, range(4)))
+    for d in results:
+        assert d["choices"][0]["finish_reason"] in ("length", "stop")
+        assert d["usage"]["completion_tokens"] <= 5
+
+
+def test_sequential_scheduler_mode(tmp_path):
+    """The reference-style one-at-a-time worker stays available."""
+    import http.server as hs
+    import threading as th
+
+    from tests.fixtures import build_full_model_dir
+    from tinygpt_tpu.server.http import (
+        ServerConfig,
+        TinyGPTServer,
+        _make_handler,
+    )
+
+    d = str(tmp_path / "m")
+    build_full_model_dir(d, seed=4)
+    srv = TinyGPTServer(ServerConfig(
+        model_dir=d, dtype="float32", max_tokens=4, scheduler="sequential",
+    ))
+    srv.prepare()
+    assert type(srv.worker).__name__ == "InferenceWorker"
+    httpd = hs.ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(srv))
+    port = httpd.server_address[1]
+    t = th.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        out = _post(f"http://127.0.0.1:{port}", "/v1/completions",
+                    {"prompt": "hello", "max_tokens": 3})
+        assert out["usage"]["completion_tokens"] <= 3
+    finally:
+        httpd.shutdown()
+        srv.worker.stop()
+
+
 # -- stop-string machinery (pure) -------------------------------------------
 
 def test_check_stop_strings():

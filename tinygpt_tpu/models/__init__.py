@@ -27,6 +27,7 @@ def get_model(model_type: str):
         load_params=mod.load_params,
         init_params=mod.init_params,
         forward=mod.forward,
+        forward_paged=getattr(mod, "forward_paged", None),
     )
 
 

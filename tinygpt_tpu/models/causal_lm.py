@@ -251,3 +251,86 @@ def forward(
         length=slot + S,
     )
     return logits.astype(jnp.float32), new_cache
+
+
+def forward_paged(
+    params: Dict,
+    cfg: ModelConfig,
+    input_ids: jnp.ndarray,  # [B] — one decode token per row
+    state,                   # PagedKVState
+    attn_impl: str = "xla",
+):
+    """One decode step over the paged block pool (continuous batching).
+
+    Each row's new token goes to slot `lengths[b]` of its block table; its
+    logical RoPE position is lengths[b] - starts[b]. Inactive rows write
+    into the reserved null block and their outputs are discarded by the
+    scheduler. Returns (logits [B, V], new PagedKVState with lengths
+    advanced for active rows).
+    """
+    from tinygpt_tpu.ops.paged_attention import paged_decode
+
+    B = input_ids.shape[0]
+    D = cfg.head_dim
+    Nq, Nk = cfg.num_attention_heads, cfg.num_kv_heads
+    q_dim = Nq * D
+    bs = state.block_size
+
+    lengths, starts, tables = state.lengths, state.starts, state.block_tables
+    positions = (lengths - starts)[:, None]  # [B, 1] logical
+    rows = jnp.arange(B)
+    blk = tables[rows, lengths // bs]  # [B] target block per row
+    blk = jnp.where(state.active, blk, 0)  # inactive rows → null block
+    off = lengths % bs
+    new_lengths = jnp.where(state.active, lengths + 1, lengths)
+
+    x = params["embed"][input_ids[:, None]]  # [B, 1, H]
+    cos, sin = params["rope_cos"], params["rope_sin"]
+
+    def layer_fn(x, scanned):
+        lp, k_pool, v_pool = scanned
+        h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
+        qkv = matmul_any(h, lp["qkv_w"])
+        if "qkv_b" in lp:
+            qkv = qkv + lp["qkv_b"]
+        q = qkv[..., :q_dim].reshape(B, 1, Nq, D)
+        k = qkv[..., q_dim : q_dim + Nk * D].reshape(B, 1, Nk, D)
+        v = qkv[..., q_dim + Nk * D :].reshape(B, 1, Nk, D)
+        if cfg.qk_norm:
+            q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
+            k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
+        q, k = apply_rope(q, k, cos, sin, positions)
+        # scatter the new K/V into each row's current block/offset
+        k_pool = k_pool.at[blk, :, off, :].set(
+            k[:, 0].astype(k_pool.dtype), mode="drop"
+        )
+        v_pool = v_pool.at[blk, :, off, :].set(
+            v[:, 0].astype(v_pool.dtype), mode="drop"
+        )
+        attn = paged_decode(
+            q[:, 0], k_pool, v_pool, tables, new_lengths, starts,
+            scale=D ** -0.5, sliding_window=cfg.sliding_window,
+            kernel=attn_impl,
+        )
+        x = x + matmul_any(attn.reshape(B, 1, q_dim), lp["o_w"])
+        h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
+        gate_up = matmul_any(h, lp["gate_up_w"])
+        gate, up = jnp.split(gate_up, 2, axis=-1)
+        x = x + matmul_any(
+            jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up,
+            lp["down_w"],
+        )
+        return x, (k_pool, v_pool)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        layer_fn, x, (params["layers"], state.k_pool, state.v_pool)
+    )
+    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+    head = params["lm_head"]
+    if head is None:
+        logits = x[:, 0] @ params["embed"].T
+    else:
+        logits = matmul_any(x[:, 0], head)
+    new_state = state._replace(k_pool=new_k, v_pool=new_v,
+                               lengths=new_lengths)
+    return logits.astype(jnp.float32), new_state

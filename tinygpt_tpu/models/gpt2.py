@@ -164,3 +164,63 @@ def forward(
     new_cache = KVCache(k=new_k, v=new_v, kv_pos=kv_pos, valid=valid,
                         length=slot + S)
     return logits.astype(jnp.float32), new_cache
+
+
+def forward_paged(
+    params: Dict,
+    cfg: ModelConfig,
+    input_ids: jnp.ndarray,  # [B]
+    state,                   # PagedKVState
+    attn_impl: str = "xla",
+):
+    """One paged decode step (continuous batching) — GPT-2 variant of
+    causal_lm.forward_paged: learned positional embeddings, LayerNorm,
+    GELU MLP, no RoPE/GQA."""
+    from tinygpt_tpu.ops.paged_attention import paged_decode
+
+    B = input_ids.shape[0]
+    N, D, H = cfg.num_attention_heads, cfg.head_dim, cfg.hidden_size
+    bs = state.block_size
+
+    lengths, starts, tables = state.lengths, state.starts, state.block_tables
+    positions = (lengths - starts)[:, None]
+    rows = jnp.arange(B)
+    blk = tables[rows, lengths // bs]
+    blk = jnp.where(state.active, blk, 0)
+    off = lengths % bs
+    new_lengths = jnp.where(state.active, lengths + 1, lengths)
+
+    x = params["wte"][input_ids[:, None]] + params["wpe"][positions]
+
+    def layer_fn(x, scanned):
+        lp, k_pool, v_pool = scanned
+        h = layer_norm(x, lp["ln1_w"], lp["ln1_b"], cfg.layer_norm_epsilon)
+        qkv = matmul_any(h, lp["qkv_w"]) + lp["qkv_b"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, 1, N, D)
+        k = k.reshape(B, 1, N, D)
+        v = v.reshape(B, 1, N, D)
+        k_pool = k_pool.at[blk, :, off, :].set(
+            k[:, 0].astype(k_pool.dtype), mode="drop")
+        v_pool = v_pool.at[blk, :, off, :].set(
+            v[:, 0].astype(v_pool.dtype), mode="drop")
+        attn = paged_decode(
+            q[:, 0], k_pool, v_pool, tables, new_lengths, starts,
+            scale=D ** -0.5, kernel=attn_impl,
+        )
+        x = x + matmul_any(attn.reshape(B, 1, H), lp["o_w"]) + lp["o_b"]
+        h = layer_norm(x, lp["ln2_w"], lp["ln2_b"], cfg.layer_norm_epsilon)
+        h = jax.nn.gelu(matmul_any(h, lp["fc_w"]) + lp["fc_b"],
+                        approximate=True)
+        x = x + matmul_any(h, lp["proj_w"]) + lp["proj_b"]
+        return x, (k_pool, v_pool)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        layer_fn, x, (params["layers"], state.k_pool, state.v_pool)
+    )
+    x = layer_norm(x, params["lnf_w"], params["lnf_b"],
+                   cfg.layer_norm_epsilon)
+    logits = x[:, 0] @ params["wte"].T
+    new_state = state._replace(k_pool=new_k, v_pool=new_v,
+                               lengths=new_lengths)
+    return logits.astype(jnp.float32), new_state

@@ -1,0 +1,197 @@
+"""Paged decode attention: Pallas kernel over a block pool + XLA oracle.
+
+The kernel walks each sequence's block table with
+PrefetchScalarGridSpec — table entries are scalar-prefetched so the
+index_map can point each grid step's DMA at the right pool block. Blocks
+past the sequence length resolve to the reserved null block (index 0),
+which is all-zeros, and their scores are masked; compute for them is
+skipped with pl.when.
+
+The XLA oracle gathers the table into a dense [B, Nk, T, D] view — O(T)
+copies per step, used for tests/CPU only.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def paged_gather_dense(pool: jnp.ndarray, block_tables: jnp.ndarray):
+    """[n_blocks, Nk, bs, D] pool + [B, MB] tables → dense [B, Nk, MB*bs, D]."""
+    g = pool[block_tables]  # [B, MB, Nk, bs, D]
+    B, MB, Nk, bs, D = g.shape
+    return g.transpose(0, 2, 1, 3, 4).reshape(B, Nk, MB * bs, D)
+
+
+def paged_decode_xla(
+    q: jnp.ndarray,            # [B, Nq, D]
+    k_pool: jnp.ndarray,       # [n_blocks, Nk, bs, D] (single layer)
+    v_pool: jnp.ndarray,
+    block_tables: jnp.ndarray,  # [B, MB]
+    lengths: jnp.ndarray,       # [B] — slots used per row (incl. current)
+    starts: jnp.ndarray,        # [B] — first real slot (left-pad offset)
+    scale: float,
+    sliding_window=None,
+) -> jnp.ndarray:
+    from tinygpt_tpu.ops.attention import sdpa_with_cache
+
+    k = paged_gather_dense(k_pool, block_tables)
+    v = paged_gather_dense(v_pool, block_tables)
+    B, Nk, T, D = k.shape
+    t_idx = jnp.arange(T, dtype=jnp.int32)[None, :]
+    valid = (t_idx < lengths[:, None]) & (t_idx >= starts[:, None])
+    kv_pos = jnp.broadcast_to(t_idx, (B, T))
+    q_pos = (lengths - 1)[:, None]
+    out = sdpa_with_cache(
+        q[:, None], k, v, q_pos=q_pos, kv_pos=kv_pos, kv_valid=valid,
+        scale=scale, sliding_window=sliding_window,
+    )
+    return out[:, 0]
+
+
+def _paged_decode_kernel(
+    tables_ref,  # scalar prefetch: [B, MB] int32
+    lengths_ref,  # scalar prefetch: [B] int32
+    starts_ref,  # scalar prefetch: [B] int32
+    q_ref,       # [1, 1, G, D]
+    k_ref,       # [1, 1, bs, D] — the selected pool block for this step
+    v_ref,       # [1, 1, bs, D]
+    o_ref,       # [1, 1, G, D]
+    m_scr, l_scr, acc_scr,
+    *,
+    scale: float,
+    n_blk: int,
+    bs: int,
+    sliding_window,
+):
+    b = pl.program_id(0)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    length = lengths_ref[b]
+    start = starts_ref[b]
+    block_live = (j * bs < length) & ((j + 1) * bs > start)
+
+    @pl.when(block_live)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32)      # [G, D]
+        k = k_ref[0, 0].astype(jnp.float32)      # [bs, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                 # [G, bs]
+        t = j * bs + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        mask = (t < length) & (t >= start)
+        if sliding_window is not None:
+            mask &= t > length - 1 - sliding_window
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scr[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_scr[:] = jnp.broadcast_to(
+            l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True),
+            l_scr.shape,
+        )
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p, v_ref[0, 0].astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+
+    @pl.when(j == n_blk - 1)
+    def _():
+        l = l_scr[:, :1]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "sliding_window", "interpret")
+)
+def paged_decode_tpu(
+    q: jnp.ndarray,            # [B, Nq, D]
+    k_pool: jnp.ndarray,       # [n_blocks, Nk, bs, D] single layer
+    v_pool: jnp.ndarray,
+    block_tables: jnp.ndarray,  # [B, MB] int32
+    lengths: jnp.ndarray,       # [B] int32
+    starts: jnp.ndarray,        # [B] int32
+    scale: float,
+    sliding_window=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, Nq, D = q.shape
+    n_blocks, Nk, bs, _ = k_pool.shape
+    MB = block_tables.shape[1]
+    G = Nq // Nk
+    q4 = q.reshape(B, Nk, G, D)
+
+    def table_lookup(b, h, j, tables, lengths, starts):
+        idx = tables[b, j]
+        # dead table entries resolve to the reserved null block
+        return (jnp.where(j * bs < lengths[b], idx, 0), h, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, Nk, MB),
+        in_specs=[
+            pl.BlockSpec((1, 1, G, D),
+                         lambda b, h, j, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bs, D), table_lookup,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bs, D), table_lookup,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, G, D), lambda b, h, j, *_: (b, h, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((G, 128), jnp.float32),
+            pltpu.VMEM((G, 128), jnp.float32),
+            pltpu.VMEM((G, D), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _paged_decode_kernel, scale=scale, n_blk=MB, bs=bs,
+        sliding_window=sliding_window,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Nk, G, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Nq * MB * bs * D,
+            bytes_accessed=2 * B * MB * bs * D * Nk * 2,
+            transcendentals=B * Nq * MB * bs,
+        ),
+        interpret=interpret,
+    )(block_tables, lengths, starts, q4, k_pool, v_pool)
+    return out.reshape(B, Nq, D)
+
+
+def paged_decode(
+    q, k_pool, v_pool, block_tables, lengths, starts, scale,
+    sliding_window=None,
+    kernel: str = "xla",
+) -> jnp.ndarray:
+    if kernel == "pallas":
+        return paged_decode_tpu(q, k_pool, v_pool, block_tables, lengths,
+                                starts, scale, sliding_window=sliding_window)
+    return paged_decode_xla(q, k_pool, v_pool, block_tables, lengths,
+                            starts, scale, sliding_window=sliding_window)

@@ -69,6 +69,49 @@ def apply_min_p(logits: jnp.ndarray, min_p: float) -> jnp.ndarray:
     return jnp.where(probs < threshold, NEG_INF, logits)
 
 
+def sample_batched(
+    logits: jnp.ndarray,       # [B, V] fp32
+    temperature: jnp.ndarray,  # [B] — 0 ⇒ greedy for that row
+    top_k: jnp.ndarray,        # [B] int32 — 0 ⇒ disabled
+    top_p: jnp.ndarray,        # [B] — 1.0 ⇒ disabled
+    min_p: jnp.ndarray,        # [B] — 0.0 ⇒ disabled
+    key: jax.Array,
+) -> jnp.ndarray:
+    """Per-row sampling knobs in one jitted op — continuous batching mixes
+    requests with different sampler settings in a single decode step.
+    Returns token ids [B]."""
+    B, V = logits.shape
+    greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    t = jnp.where(temperature <= 0, 1.0, temperature)[:, None]
+    scaled = logits / t
+
+    sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]  # desc
+    ranks = jnp.argsort(
+        jnp.argsort(scaled, axis=-1)[:, ::-1], axis=-1
+    )  # rank of each vocab entry in the descending order
+
+    # top-k: mask entries ranked >= k (k == 0 disables)
+    k_eff = jnp.where(top_k <= 0, V, top_k)[:, None]
+    keep = ranks < k_eff
+
+    # top-p over the sorted distribution, always keeping rank 0
+    probs_sorted = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs_sorted, axis=-1)
+    keep_sorted = (cum - probs_sorted) < top_p[:, None]
+    keep_sorted = keep_sorted.at[:, 0].set(True)
+    keep &= jnp.take_along_axis(keep_sorted, ranks, axis=-1)
+
+    # min-p
+    probs = jax.nn.softmax(scaled, axis=-1)
+    threshold = jnp.max(probs, axis=-1, keepdims=True) * min_p[:, None]
+    keep &= probs >= threshold
+
+    masked = jnp.where(keep, scaled, NEG_INF)
+    sampled = jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
+    return jnp.where(temperature <= 0, greedy_tok, sampled)
+
+
 def sample(
     logits: jnp.ndarray,  # [B, V] fp32
     cfg: SamplerConfig,

@@ -127,6 +127,144 @@ class InferenceWorker:
             task.finish_reason = "length"
 
 
+class BatchedInferenceWorker:
+    """Continuous-batching worker: same submit() surface as
+    InferenceWorker, but requests join a shared paged decode step
+    mid-flight instead of running one-at-a-time (the reference's TODO,
+    /root/reference/README.md:30-34)."""
+
+    def __init__(self, engine: GPTEngine, scheduler_config=None):
+        from tinygpt_tpu.engine.scheduler import (
+            ContinuousBatcher,
+            SchedulerConfig,
+        )
+
+        self.engine = engine
+        ctx = engine.ctx
+        if ctx.model.forward_paged is None:
+            raise ValueError(
+                f"{ctx.model_config.model_type} has no paged decode path"
+            )
+        sc = scheduler_config or SchedulerConfig(
+            dtype=engine.config.dtype,
+            attn_impl=getattr(engine, "_attn_impl", "xla"),
+        )
+        self.batcher = ContinuousBatcher(
+            ctx.model, ctx.model_config, ctx.params,
+            eos_ids=engine._eos_ids, config=sc,
+        )
+        self.incoming: "queue.Queue[Optional[InferenceTask]]" = queue.Queue()
+        self._by_rid: Dict[int, dict] = {}
+        self._next_rid = 0
+        self._stopping = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def start(self) -> None:
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stopping = True
+        self.incoming.put(None)
+        self._thread.join(timeout=30)
+
+    def submit(self, task: InferenceTask) -> None:
+        self.incoming.put(task)
+
+    def _admit(self, task: InferenceTask) -> None:
+        from tinygpt_tpu.engine.scheduler import Request
+
+        tok = self.engine.ctx.tokenizer
+        rid = self._next_rid
+        self._next_rid += 1
+        p = task.params
+        prompt_ids = tok.encode(task.prompt)
+        task.prompt_tokens = len(prompt_ids)
+        req = Request(
+            request_id=rid,
+            prompt_ids=prompt_ids,
+            max_new_tokens=p.max_tokens or self.engine.config.max_tokens,
+            sampler=p.sampler,
+            stop_token_ids=set(p.stop_token_ids),
+        )
+        self._by_rid[rid] = {
+            "task": task,
+            "req": req,
+            "stream": tok.decode_stream(skip_special_tokens=True),
+            "stopper": StopStringStreamer(
+                p.stop, p.include_stop_str_in_output
+            ),
+            "n_tokens": 0,
+            "emitted": [],
+        }
+        self.batcher.add_request(req)
+
+    def _finish(self, rid: int, reason: str) -> None:
+        st = self._by_rid.pop(rid, None)
+        if st is None:
+            return
+        task = st["task"]
+        if not st["stopper"].stopped:
+            tail = st["stopper"].push(st["stream"].flush())
+            tail += st["stopper"].flush()
+            if tail:
+                st["emitted"].append(tail)
+                task.chunks.put(tail)
+        task.result_text = "".join(st["emitted"])
+        task.completion_tokens = st["n_tokens"]
+        task.finish_reason = (
+            "stop" if st["stopper"].stopped else reason
+        )
+        task.chunks.put(None)
+        task.done.set()
+
+    def _handle_event(self, ev) -> None:
+        st = self._by_rid.get(ev.request_id)
+        if st is None:
+            return
+        task = st["task"]
+        if task.abort.is_set():
+            self.batcher.cancel(ev.request_id)
+            self._finish(ev.request_id, "abort")
+            return
+        if ev.token_id is not None:
+            st["n_tokens"] += 1
+            chunk = st["stream"].step(ev.token_id)
+            if chunk:
+                out = st["stopper"].push(chunk)
+                if out:
+                    st["emitted"].append(out)
+                    task.chunks.put(out)
+                if st["stopper"].stopped:
+                    self.batcher.cancel(ev.request_id)
+                    self._finish(ev.request_id, "stop")
+                    return
+        if ev.finished:
+            self._finish(ev.request_id, ev.finish_reason or "length")
+
+    def _run(self) -> None:
+        while not self._stopping:
+            # block when idle; drain opportunistically when busy
+            try:
+                timeout = None if not self.batcher.has_work else 0.0
+                task = self.incoming.get(timeout=timeout) if timeout is None \
+                    else self.incoming.get_nowait()
+                if task is None:
+                    return
+                self._admit(task)
+                continue  # favor admitting everything waiting first
+            except queue.Empty:
+                pass
+            try:
+                for ev in self.batcher.step():
+                    self._handle_event(ev)
+            except Exception as e:
+                log.exception("batched step failed")
+                for rid in list(self._by_rid):
+                    st = self._by_rid[rid]
+                    st["task"].error = str(e)
+                    self._finish(rid, "error")
+
+
 # -- request parsing ---------------------------------------------------------
 
 

@@ -47,6 +47,12 @@ class ServerConfig:
     web_dir: Optional[str] = None
     quantization: Optional[str] = None  # None | "int8" | "int4"
     quant_group_size: int = 128
+    # "continuous" = paged continuous batching; "sequential" = the
+    # reference's one-request-at-a-time worker
+    scheduler: str = "continuous"
+    batch_capacity: int = 8
+    kv_block_size: int = 64
+    kv_n_blocks: int = 1024
 
 
 class TinyGPTServer:
@@ -73,7 +79,24 @@ class TinyGPTServer:
         ))
         self.engine.prepare()
         self._setup_chat_template()
-        self.worker = api.InferenceWorker(self.engine)
+        if cfg.scheduler == "continuous":
+            from tinygpt_tpu.engine.scheduler import SchedulerConfig
+
+            ctx_size = self.engine._max_context
+            max_blocks = -(-ctx_size // cfg.kv_block_size)
+            self.worker = api.BatchedInferenceWorker(
+                self.engine,
+                SchedulerConfig(
+                    batch_capacity=cfg.batch_capacity,
+                    block_size=cfg.kv_block_size,
+                    n_blocks=cfg.kv_n_blocks,
+                    max_blocks_per_seq=max_blocks,
+                    dtype=cfg.dtype,
+                    attn_impl=self.engine._attn_impl,
+                ),
+            )
+        else:
+            self.worker = api.InferenceWorker(self.engine)
         self.worker.start()
 
     def _setup_chat_template(self) -> None:
@@ -308,6 +331,11 @@ def main(argv=None) -> None:
     ap.add_argument("--quantization", default=None,
                     choices=["int8", "int4"])
     ap.add_argument("--quant-group-size", type=int, default=128)
+    ap.add_argument("--scheduler", default="continuous",
+                    choices=["continuous", "sequential"])
+    ap.add_argument("--batch-capacity", type=int, default=8)
+    ap.add_argument("--kv-block-size", type=int, default=64)
+    ap.add_argument("--kv-n-blocks", type=int, default=1024)
     args = ap.parse_args(argv)
 
     server = TinyGPTServer(ServerConfig(
@@ -319,6 +347,10 @@ def main(argv=None) -> None:
         web_dir=args.web_dir,
         quantization=args.quantization,
         quant_group_size=args.quant_group_size,
+        scheduler=args.scheduler,
+        batch_capacity=args.batch_capacity,
+        kv_block_size=args.kv_block_size,
+        kv_n_blocks=args.kv_n_blocks,
     ))
     server.prepare()
 
