@@ -65,6 +65,8 @@ class GPTConfig:
     # weight-only quantization: None | "int8" | "int4"
     quantization: Optional[str] = None
     quant_group_size: int = 128
+    # KV cache storage dtype: "auto" (= compute dtype) | "fp8" | "bf16"
+    kv_cache_dtype: str = "auto"
 
 
 @dataclass
@@ -159,6 +161,17 @@ class GPTEngine:
             self.config.extra_stop_token_ids = tuple(extra_stop_token_ids)
         self._collect_eos_ids()
 
+    def _kv_dtype(self):
+        """KV storage dtype: fp8 (e4m3) halves KV HBM traffic on top of
+        bf16 — a north-star capability with no reference counterpart
+        (the reference stores KV in the compute dtype only)."""
+        kd = self.config.kv_cache_dtype
+        if kd in ("auto", None):
+            return resolve_dtype(self.config.dtype)
+        if kd in ("fp8", "float8_e4m3", "e4m3"):
+            return jnp.float8_e4m3fn
+        return resolve_dtype(kd)
+
     def apply_chat_template(self, messages, add_generation_prompt=True) -> str:
         assert self.ctx is not None
         return self.ctx.tokenizer.apply_chat_template(
@@ -213,7 +226,7 @@ class GPTEngine:
         # cache length rounded to 128 so the Pallas KV tiles divide evenly
         cache = create_kv_cache(
             cfg, B, _round_up(S + max_tokens, 128),
-            dtype=resolve_dtype(self.config.dtype),
+            dtype=self._kv_dtype(),
         )
         params = self.ctx.params
 

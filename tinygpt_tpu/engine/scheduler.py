@@ -53,6 +53,7 @@ class SchedulerConfig:
     max_blocks_per_seq: int = 64
     prefill_bucket: int = 64
     dtype: str = "bfloat16"
+    kv_cache_dtype: str = "auto"  # "auto" | "fp8" | explicit dtype name
     attn_impl: str = "xla"  # "pallas" on TPU
     seed: int = 0
 
@@ -98,9 +99,15 @@ class ContinuousBatcher:
         self.sc = config or SchedulerConfig()
         sc = self.sc
         self.dtype = resolve_dtype(sc.dtype)
+        if sc.kv_cache_dtype in ("auto", None):
+            self.kv_dtype = self.dtype
+        elif sc.kv_cache_dtype in ("fp8", "float8_e4m3", "e4m3"):
+            self.kv_dtype = jnp.float8_e4m3fn
+        else:
+            self.kv_dtype = resolve_dtype(sc.kv_cache_dtype)
         self.state: PagedKVState = create_paged_state(
             model_config, sc.n_blocks, sc.block_size, sc.batch_capacity,
-            sc.max_blocks_per_seq, dtype=self.dtype,
+            sc.max_blocks_per_seq, dtype=self.kv_dtype,
         )
         self.allocator = BlockAllocator(sc.n_blocks)
         self.waiting: List[Request] = []
@@ -212,8 +219,9 @@ class ContinuousBatcher:
         positions = np.zeros((1, S_pad), np.int32)
         positions[0, pad:] = np.arange(S)
 
-        # dense bucketed prefill (cache length = S_pad exactly)
-        cache = create_kv_cache(self.cfg, 1, S_pad, dtype=self.dtype)
+        # dense bucketed prefill (cache length = S_pad exactly); the dense
+        # cache already stores in the paged pool's dtype (e.g. fp8)
+        cache = create_kv_cache(self.cfg, 1, S_pad, dtype=self.kv_dtype)
         logits, cache = self._prefill_fn(
             self.params, self.cfg, jnp.asarray(ids), cache,
             jnp.asarray(positions), jnp.asarray(valid), last_only=True,
