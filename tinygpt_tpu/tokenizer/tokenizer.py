@@ -142,6 +142,24 @@ class Tokenizer:
                 unk_token=config.unk_token or "",
             )
 
+        # native (C++) fast path for byte-level BPE families; None keeps
+        # everything on the pure-Python pipeline
+        self._native = None
+        self._native_tried = False
+
+    @property
+    def native_encoder(self):
+        if not self._native_tried:
+            self._native_tried = True
+            try:
+                from tinygpt_tpu.tokenizer.native import build_native_encoder
+
+                self._native = build_native_encoder(self)
+            except Exception as e:  # never break tokenization
+                log.warning("native tokenizer unavailable: %s", e)
+                self._native = None
+        return self._native
+
     # -- constructors --------------------------------------------------
 
     @classmethod
@@ -242,16 +260,49 @@ class Tokenizer:
                 ids.extend(self.model.tokenize(piece))
         return ids
 
-    def encode(self, text: str, add_special_tokens: bool = True) -> List[int]:
-        ids: List[int] = []
-        first = True
+    def _segment_items(self, text: str) -> List[Tuple[Optional[int], str]]:
+        """Fully split `text` into (added_token_id, '') and (None, plain)
+        items, applying both the raw and normalized added-token splits.
+        Only valid when there is no normalizer (the native path's
+        precondition), so split order cannot change results."""
+        items: List[Tuple[Optional[int], str]] = []
         for is_added, seg in self._split_added(text, self._added_re_raw):
             if is_added:
-                ids.append(self._added_by_content[seg].id)
-                first = False
-            else:
-                ids.extend(self._encode_segment(seg, is_first=first))
-                first = False
+                items.append((self._added_by_content[seg].id, ""))
+                continue
+            for is_a2, seg2 in self._split_added(seg, self._added_re_norm):
+                if is_a2:
+                    items.append((self._added_by_content[seg2].id, ""))
+                else:
+                    items.append((None, seg2))
+        return items
+
+    def _encode_native(self, texts: Sequence[str],
+                       num_threads: int = 0) -> List[List[int]]:
+        """Batch encode through the C++ core: Python does the added-token
+        splits, C++ does split-pattern matching + BPE for every plain
+        segment of every text in one GIL-free call."""
+        per_text = [self._segment_items(t) for t in texts]
+        segments = [seg for items in per_text
+                    for tid, seg in items if tid is None]
+        encoded = self.native_encoder.encode_segments(
+            segments, num_threads=num_threads
+        )
+        out: List[List[int]] = []
+        k = 0
+        for items in per_text:
+            ids: List[int] = []
+            for tid, _seg in items:
+                if tid is not None:
+                    ids.append(tid)
+                else:
+                    ids.extend(encoded[k])
+                    k += 1
+            out.append(ids)
+        return out
+
+    def _finish_encode(self, ids: List[int],
+                       add_special_tokens: bool) -> List[int]:
         if self.post_processor is not None:
             ids = self.post_processor.process(
                 ids, add_special_tokens=add_special_tokens
@@ -264,11 +315,32 @@ class Tokenizer:
                 ids = ids + [self.eos_token_id]
         return ids
 
+    def encode(self, text: str, add_special_tokens: bool = True) -> List[int]:
+        if self.native_encoder is not None:
+            ids = self._encode_native([text], num_threads=1)[0]
+            return self._finish_encode(ids, add_special_tokens)
+        ids: List[int] = []
+        first = True
+        for is_added, seg in self._split_added(text, self._added_re_raw):
+            if is_added:
+                ids.append(self._added_by_content[seg].id)
+                first = False
+            else:
+                ids.extend(self._encode_segment(seg, is_first=first))
+                first = False
+        return self._finish_encode(ids, add_special_tokens)
+
     def encode_batch(self, texts: Sequence[str], add_special_tokens: bool = True,
                      num_threads: int = 0) -> List[List[int]]:
         """Parallel batch encode (reference: thread pool,
-        Tokenizer.cpp:333-397). Pure-Python BPE is GIL-bound, so threads
-        only help once the C++ core handles segments; the API is stable."""
+        Tokenizer.cpp:333-397). With the native core, all segments of all
+        texts go through one GIL-free C++ call fanned over a thread pool;
+        the pure-Python fallback uses a ThreadPoolExecutor (GIL-bound)."""
+        if self.native_encoder is not None and texts:
+            batch = self._encode_native(texts, num_threads=num_threads)
+            return [
+                self._finish_encode(ids, add_special_tokens) for ids in batch
+            ]
         if num_threads and len(texts) > 1:
             with ThreadPoolExecutor(max_workers=num_threads) as ex:
                 return list(
