@@ -160,7 +160,7 @@ def test_scheduler_matches_dense_greedy(llama):
             logits = _dense_logits(cfg, model, params, context)
             best = int(logits.argmax())
             assert tok == best or (
-                logits[best] - logits[tok] < 1e-4
+                logits[best] - logits[tok] < 1e-3
             ), (f"request {i} step {step_idx}: got {tok} "
                 f"(logit {logits[tok]:.6f}) vs dense argmax {best} "
                 f"(logit {logits[best]:.6f})")

@@ -67,6 +67,12 @@ class GPTConfig:
     quant_group_size: int = 128
     # KV cache storage dtype: "auto" (= compute dtype) | "fp8" | "bf16"
     kv_cache_dtype: str = "auto"
+    # decode steps per device dispatch. >1 runs a lax.scan of whole steps
+    # inside ONE jit program (EOS is checked on the host between chunks) —
+    # the idiomatic XLA decode loop, and the only fast shape on tunneled
+    # TPU backends where per-call dispatch is expensive. 1 = per-token
+    # dispatch (used by streaming).
+    decode_chunk: int = 32
 
 
 @dataclass
@@ -216,16 +222,27 @@ class GPTEngine:
         texts: Sequence[str],
         max_tokens: int,
         on_token,  # callable(step, np.ndarray [B]) -> bool keep_going
+        decode_chunk: Optional[int] = None,
     ):
-        """Shared prefill + decode loop driving on_token per step."""
+        """Shared prefill + decode loop driving on_token per step.
+
+        With decode_chunk > 1 the loop runs `chunk` whole decode steps as
+        one lax.scan inside one jit program per dispatch; the host sees
+        tokens chunk-wise and checks EOS/abort between chunks. With
+        chunk == 1 it degrades to per-token dispatch with the same
+        device-ahead-of-host overlap the reference built its
+        AsyncTokenPipeline for."""
         assert self.ctx is not None, "call prepare() first"
         cfg = self.ctx.model_config
         sampler_cfg = self.config.sampler
+        chunk = decode_chunk or self.config.decode_chunk
+        chunk = max(1, min(chunk, max_tokens))
         ids, positions, valid, lens, encoded = self._encode_batch(texts)
         B, S = ids.shape
+        n_chunks = -(-max_tokens // chunk)
         # cache length rounded to 128 so the Pallas KV tiles divide evenly
         cache = create_kv_cache(
-            cfg, B, _round_up(S + max_tokens, 128),
+            cfg, B, _round_up(S + n_chunks * chunk + 1, 128),
             dtype=self._kv_dtype(),
         )
         params = self.ctx.params
@@ -240,34 +257,54 @@ class GPTEngine:
 
         lens_dev = jnp.asarray(lens)
         ones = jnp.ones((B, 1), jnp.bool_)
+        forward = self.ctx.model.forward
+        attn_impl = self._attn_impl
 
         @functools.partial(
-            jax.jit, static_argnames=("last_only",), donate_argnames=("cache",)
+            jax.jit, static_argnames=("n_steps",), donate_argnames=("cache",)
         )
-        def step_fn(params, tok, cache, pos, key, last_only=True):
-            logits, cache = self.ctx.model.forward(
-                params, cfg, tok[:, None], cache, pos, ones,
-                last_only=last_only, attn_impl=self._attn_impl,
-            )
-            nxt = sample(logits[:, -1, :], sampler_cfg, key)
-            return nxt, cache
+        def chunk_fn(params, tok, cache, pos0, key, n_steps):
+            def body(carry, key_step):
+                tok, cache, pos = carry
+                logits, cache = forward(
+                    params, cfg, tok[:, None], cache, pos, ones,
+                    last_only=True, attn_impl=attn_impl,
+                )
+                nxt = sample(logits[:, -1, :], sampler_cfg, key_step)
+                return (nxt, cache, pos + 1), nxt
 
-        step = 0
-        while step < max_tokens:
-            # enqueue next step before syncing the current token to host
-            if step + 1 < max_tokens:
-                pos = (lens_dev + step)[:, None]
-                self._key, k = jax.random.split(self._key)
-                next_dev, cache = step_fn(params, tok_dev, cache, pos, k)
-            else:
-                next_dev = None
-            tok_host = np.asarray(tok_dev)  # device→host sync (overlapped)
-            keep_going = on_token(step, tok_host)
-            step += 1
-            if not keep_going or next_dev is None:
-                break
-            tok_dev = next_dev
-        return encoded
+            keys = jax.random.split(key, n_steps)
+            (tok, cache, _), toks = jax.lax.scan(
+                body, (tok, cache, pos0), keys
+            )
+            return toks, cache  # toks: [n_steps, B] tokens AFTER the input
+
+        # token index 0 is the prefill sample; decode chunks produce the
+        # rest. The next chunk is enqueued from device-resident state
+        # before the current one is synced to the host (device runs ahead).
+        def launch(cur_dev, first_step):
+            pos = (lens_dev + (first_step - 1))[:, None]
+            self._key, k = jax.random.split(self._key)
+            return chunk_fn(params, cur_dev, cache, pos, k, n_steps=chunk)
+
+        if not on_token(0, np.asarray(tok_dev)):
+            return encoded
+        step = 1
+        if step >= max_tokens:
+            return encoded
+        nxt, cache = launch(tok_dev, step)
+        while True:
+            ahead = None
+            if step + chunk < max_tokens:
+                ahead, cache = launch(nxt[-1], step + chunk)
+            nh = np.asarray(nxt)  # [chunk, B] — syncs while `ahead` runs
+            for i in range(min(chunk, max_tokens - step)):
+                if not on_token(step, nh[i]):
+                    return encoded
+                step += 1
+            if ahead is None or step >= max_tokens:
+                return encoded
+            nxt = ahead
 
     def generate_sync(self, texts: Sequence[str]) -> List[GPTOutput]:
         """Batch generation (reference: GPTEngine.cpp:154-174 — which

@@ -135,38 +135,109 @@ def load_params(
 
 
 def init_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16) -> Dict:
-    """Random params with the HF layout (for tests / benches)."""
-    rng = np.random.default_rng(seed)
+    """Random params with the stacked-layer layout (for tests / benches).
+
+    Built directly on device in the FINAL (pre-fused, [in, out]) layout —
+    host-side numpy generation + bf16 conversion of GB-scale weights costs
+    minutes on a small host, and tests/benches only need plausible
+    magnitudes, not HF-layout provenance (load_params covers that path)."""
+    L = cfg.num_hidden_layers
     H, D = cfg.hidden_size, cfg.head_dim
-    Nq, Nk, I = cfg.num_attention_heads, cfg.num_kv_heads, cfg.intermediate_size
+    Nq, Nk = cfg.num_attention_heads, cfg.num_kv_heads
+    I = cfg.intermediate_size
     V = cfg.vocab_size
+    key = jax.random.PRNGKey(seed)
 
-    def w(*shape, scale=0.02):
-        return (rng.standard_normal(shape) * scale).astype(np.float32)
+    def w(key, *shape, scale=0.02):
+        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(
+            dtype
+        )
 
-    weights = {"model.embed_tokens.weight": w(V, H),
-               "model.norm.weight": np.ones(H, np.float32)}
-    if not cfg.tie_word_embeddings:
-        weights["lm_head.weight"] = w(V, H)
-    for i in range(cfg.num_hidden_layers):
-        p = f"model.layers.{i}."
-        weights[p + "self_attn.q_proj.weight"] = w(Nq * D, H)
-        weights[p + "self_attn.k_proj.weight"] = w(Nk * D, H)
-        weights[p + "self_attn.v_proj.weight"] = w(Nk * D, H)
-        weights[p + "self_attn.o_proj.weight"] = w(H, Nq * D)
-        weights[p + "mlp.gate_proj.weight"] = w(I, H)
-        weights[p + "mlp.up_proj.weight"] = w(I, H)
-        weights[p + "mlp.down_proj.weight"] = w(H, I)
-        weights[p + "input_layernorm.weight"] = np.ones(H, np.float32)
-        weights[p + "post_attention_layernorm.weight"] = np.ones(H, np.float32)
-        if cfg.qkv_bias or cfg.attention_bias:
-            weights[p + "self_attn.q_proj.bias"] = w(Nq * D)
-            weights[p + "self_attn.k_proj.bias"] = w(Nk * D)
-            weights[p + "self_attn.v_proj.bias"] = w(Nk * D)
-        if cfg.qk_norm:
-            weights[p + "self_attn.q_norm.weight"] = np.ones(D, np.float32)
-            weights[p + "self_attn.k_norm.weight"] = np.ones(D, np.float32)
-    return load_params(cfg, weights, dtype)
+    ks = list(jax.random.split(key, 8))
+    layers = {
+        "input_ln": jnp.ones((L, H), dtype),
+        "qkv_w": w(ks[0], L, H, (Nq + 2 * Nk) * D),
+        "o_w": w(ks[1], L, Nq * D, H),
+        "post_ln": jnp.ones((L, H), dtype),
+        "gate_up_w": w(ks[2], L, H, 2 * I),
+        "down_w": w(ks[3], L, I, H),
+    }
+    if cfg.qkv_bias or cfg.attention_bias:
+        layers["qkv_b"] = w(ks[4], L, (Nq + 2 * Nk) * D)
+    if cfg.qk_norm:
+        layers["q_norm"] = jnp.ones((L, D), dtype)
+        layers["k_norm"] = jnp.ones((L, D), dtype)
+
+    cos, sin = compute_rope_freqs(
+        D, cfg.max_position_embeddings, cfg.rope_theta, cfg.rope_scaling
+    )
+    return {
+        "embed": w(ks[5], V, H),
+        "layers": layers,
+        "final_ln": jnp.ones((H,), dtype),
+        "lm_head": None if cfg.tie_word_embeddings else w(ks[6], H, V),
+        "rope_cos": jnp.asarray(cos),
+        "rope_sin": jnp.asarray(sin),
+    }
+
+
+def decoder_layer_step(
+    lp: Dict,
+    x: jnp.ndarray,          # [B, S, H]
+    k_cache: jnp.ndarray,    # [B, Nk, T, D]
+    v_cache: jnp.ndarray,    # [B, Nk, T, D]
+    *,
+    cfg: ModelConfig,
+    positions: jnp.ndarray,  # [B, S]
+    kv_pos: jnp.ndarray,     # [B, T]
+    valid: jnp.ndarray,      # [B, T]
+    slot,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    attn_impl: str,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One pre-norm decoder layer (attention + SwiGLU MLP) over the dense
+    cache. Shared by the single-program forward below and the pipeline-
+    parallel stage runner (parallel/pipeline.py)."""
+    B, S = x.shape[0], x.shape[1]
+    D = cfg.head_dim
+    Nq, Nk = cfg.num_attention_heads, cfg.num_kv_heads
+    q_dim = Nq * D
+
+    h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
+    qkv = matmul_any(h, lp["qkv_w"])
+    if "qkv_b" in lp:
+        qkv = qkv + lp["qkv_b"]
+    q = qkv[..., :q_dim].reshape(B, S, Nq, D)
+    k = qkv[..., q_dim : q_dim + Nk * D].reshape(B, S, Nk, D)
+    v = qkv[..., q_dim + Nk * D :].reshape(B, S, Nk, D)
+    if cfg.qk_norm:
+        q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
+    q, k = apply_rope(q, k, cos, sin, positions)
+    # cache layout [B, Nk, T, D]
+    k_cache = jax.lax.dynamic_update_slice(
+        k_cache, k.transpose(0, 2, 1, 3).astype(k_cache.dtype),
+        (0, 0, slot, 0),
+    )
+    v_cache = jax.lax.dynamic_update_slice(
+        v_cache, v.transpose(0, 2, 1, 3).astype(v_cache.dtype),
+        (0, 0, slot, 0),
+    )
+    attn = attention_with_cache(
+        q, k_cache, v_cache,
+        q_pos=positions, kv_pos=kv_pos, kv_valid=valid, slot=slot,
+        sliding_window=cfg.sliding_window, kernel=attn_impl,
+    )
+    x = x + matmul_any(attn.reshape(B, S, q_dim), lp["o_w"])
+    h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
+    gate_up = matmul_any(h, lp["gate_up_w"])
+    gate, up = jnp.split(gate_up, 2, axis=-1)
+    x = x + matmul_any(
+        jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up,
+        lp["down_w"],
+    )
+    return x, k_cache, v_cache
 
 
 def forward(
@@ -184,9 +255,6 @@ def forward(
     Returns (logits [B, S, V] or [B, 1, V] if last_only, updated cache).
     """
     B, S = input_ids.shape
-    D = cfg.head_dim
-    Nq, Nk = cfg.num_attention_heads, cfg.num_kv_heads
-    q_dim = Nq * D
 
     x = params["embed"][input_ids]  # [B, S, H]
     cos, sin = params["rope_cos"], params["rope_sin"]
@@ -200,38 +268,10 @@ def forward(
 
     def layer_fn(x, scanned):
         lp, k_cache, v_cache = scanned
-        h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
-        qkv = matmul_any(h, lp["qkv_w"])
-        if "qkv_b" in lp:
-            qkv = qkv + lp["qkv_b"]
-        q = qkv[..., :q_dim].reshape(B, S, Nq, D)
-        k = qkv[..., q_dim : q_dim + Nk * D].reshape(B, S, Nk, D)
-        v = qkv[..., q_dim + Nk * D :].reshape(B, S, Nk, D)
-        if cfg.qk_norm:
-            q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
-            k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
-        q, k = apply_rope(q, k, cos, sin, positions)
-        # cache layout [B, Nk, T, D]
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k.transpose(0, 2, 1, 3).astype(k_cache.dtype),
-            (0, 0, slot, 0),
-        )
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v.transpose(0, 2, 1, 3).astype(v_cache.dtype),
-            (0, 0, slot, 0),
-        )
-        attn = attention_with_cache(
-            q, k_cache, v_cache,
-            q_pos=positions, kv_pos=kv_pos, kv_valid=valid, slot=slot,
-            sliding_window=cfg.sliding_window, kernel=attn_impl,
-        )
-        x = x + matmul_any(attn.reshape(B, S, q_dim), lp["o_w"])
-        h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
-        gate_up = matmul_any(h, lp["gate_up_w"])
-        gate, up = jnp.split(gate_up, 2, axis=-1)
-        x = x + matmul_any(
-            jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up,
-            lp["down_w"],
+        x, k_cache, v_cache = decoder_layer_step(
+            lp, x, k_cache, v_cache,
+            cfg=cfg, positions=positions, kv_pos=kv_pos, valid=valid,
+            slot=slot, cos=cos, sin=sin, attn_impl=attn_impl,
         )
         return x, (k_cache, v_cache)
 
