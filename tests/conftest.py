@@ -45,3 +45,9 @@ def reference_asset(name: str) -> str:
     if not os.path.exists(path):
         pytest.skip(f"reference asset {name} not available")
     return path
+
+
+def requires_devices(n: int) -> None:
+    """Skip when the virtual mesh has fewer than n devices."""
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices, have {len(jax.devices())}")
