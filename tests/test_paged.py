@@ -198,29 +198,37 @@ def test_scheduler_eos_and_capacity(llama):
 
 
 def test_scheduler_stop_token(llama):
+    """EOS machinery: run once without stop ids to learn the paged path's
+    own greedy stream, then stop on its 3rd token. (Pinning the stop token
+    from the dense stream is flaky: dense and paged reductions may argmax
+    differently on near-tie logits of a tiny random model.)"""
     cfg, model, params = llama
     rng = np.random.default_rng(5)
     prompt = [int(x) for x in rng.integers(2, cfg.vocab_size, 5)]
-    expected = _dense_greedy(cfg, model, params, prompt, 6)
-    stop_tok = expected[2]
 
-    batcher = ContinuousBatcher(
-        model, cfg, params, eos_ids={stop_tok},
-        config=SchedulerConfig(
-            batch_capacity=2, block_size=16, n_blocks=32,
-            max_blocks_per_seq=4, prefill_bucket=16, dtype="float32",
-        ),
-    )
-    batcher.add_request(Request(request_id=0, prompt_ids=prompt,
-                                max_new_tokens=6))
-    toks, reason = [], None
-    steps = 0
-    while batcher.has_work and steps < 50:
-        for ev in batcher.step():
-            if ev.token_id is not None:
-                toks.append(ev.token_id)
-            if ev.finished:
-                reason = ev.finish_reason
-        steps += 1
+    def run(eos_ids):
+        batcher = ContinuousBatcher(
+            model, cfg, params, eos_ids=eos_ids,
+            config=SchedulerConfig(
+                batch_capacity=2, block_size=16, n_blocks=32,
+                max_blocks_per_seq=4, prefill_bucket=16, dtype="float32",
+            ),
+        )
+        batcher.add_request(Request(request_id=0, prompt_ids=prompt,
+                                    max_new_tokens=6))
+        toks, reason, steps = [], None, 0
+        while batcher.has_work and steps < 50:
+            for ev in batcher.step():
+                if ev.token_id is not None:
+                    toks.append(ev.token_id)
+                if ev.finished:
+                    reason = ev.finish_reason
+            steps += 1
+        return toks, reason
+
+    free_run, free_reason = run(set())
+    assert free_reason == "length" and len(free_run) == 6
+    stop_tok = free_run[2]
+    toks, reason = run({stop_tok})
     assert reason == "stop"
-    assert toks == expected[: expected.index(stop_tok)]
+    assert toks == free_run[: free_run.index(stop_tok)]

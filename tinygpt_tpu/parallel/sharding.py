@@ -36,17 +36,29 @@ def make_mesh(
     n_devices: Optional[int] = None,
     dp: int = 1,
     tp: Optional[int] = None,
+    sp: int = 1,
     devices=None,
 ) -> Mesh:
+    """Mesh over ("dp", "sp", "tp"). sp (sequence parallelism) shards the
+    prompt/sequence axis of prefill activations — GSPMD all-gathers K/V
+    for attention and keeps the per-token matmuls local; size-1 axes are
+    free, so dp/tp-only callers are unaffected."""
     devices = list(devices if devices is not None else jax.devices())
     n = n_devices or len(devices)
     devices = devices[:n]
     if tp is None:
-        tp = n // dp
-    if dp * tp != n:
-        raise ValueError(f"dp({dp}) * tp({tp}) != devices({n})")
-    arr = np.asarray(devices).reshape(dp, tp)
-    return Mesh(arr, ("dp", "tp"))
+        tp = n // (dp * sp)
+    if dp * sp * tp != n:
+        raise ValueError(f"dp({dp}) * sp({sp}) * tp({tp}) != devices({n})")
+    arr = np.asarray(devices).reshape(dp, sp, tp)
+    return Mesh(arr, ("dp", "sp", "tp"))
+
+
+def data_pspecs(sp: bool = False):
+    """PartitionSpecs for (ids, positions, valid) prefill inputs: batch on
+    dp, optionally sequence on sp."""
+    s = "sp" if sp else None
+    return P("dp", s)
 
 
 def param_pspecs(cfg: ModelConfig, params: Dict) -> Dict:
