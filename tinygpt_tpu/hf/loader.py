@@ -21,7 +21,6 @@ from tinygpt_tpu.hf.config import (
     load_model_config,
 )
 from tinygpt_tpu.hf.safetensors_io import load_safetensors_dir
-from tinygpt_tpu.models import get_model
 from tinygpt_tpu.tokenizer import Tokenizer
 from tinygpt_tpu.utils.logging import get_logger
 from tinygpt_tpu.utils.timer import timed
@@ -62,6 +61,10 @@ def load_model_dir(
     dtype: Any = jnp.bfloat16,
     load_weights: bool = True,
 ) -> GPTContext:
+    # deferred: models.{causal_lm,gpt2} import engine.kv_cache, whose
+    # package __init__ imports this module (circular at import time)
+    from tinygpt_tpu.models import get_model
+
     if not os.path.isdir(model_dir):
         raise FileNotFoundError(f"model dir {model_dir!r} not found")
     dtype = resolve_dtype(dtype)

@@ -40,11 +40,6 @@ from tinygpt_tpu.ops.quant import matmul_any
 from tinygpt_tpu.ops.rope import apply_rope, compute_rope_freqs
 
 
-def _t(w: np.ndarray, dtype) -> np.ndarray:
-    """HF linear weights are [out, in]; store [in, out]."""
-    return np.ascontiguousarray(np.asarray(w).T).astype(dtype)
-
-
 def load_params(
     cfg: ModelConfig,
     weights: Dict[str, np.ndarray],
@@ -56,78 +51,104 @@ def load_params(
     GPTModel.h:43-48, DecoderLayer.h:46-53): model.embed_tokens,
     model.layers.{i}.self_attn.{q,k,v,o}_proj, .mlp.{gate,up,down}_proj,
     .input_layernorm, .post_attention_layernorm, model.norm, lm_head.
-    """
-    import ml_dtypes
 
-    nd = np.dtype(ml_dtypes.bfloat16) if dtype == jnp.bfloat16 else np.dtype(
-        jnp.dtype(dtype).name
-    )
+    The repack (transpose to [in, out], q/k/v and gate/up fusion, dtype
+    cast, layer stacking) runs ON DEVICE: raw mmap views are uploaded
+    byte-for-byte and one jit-compiled writer (donated buffers, traced
+    layer index => single compile) packs each layer in place. Host-side
+    numpy would convert GB-scale weights at single-core speed — minutes
+    for 1B, the better part of an hour for 7B.
+    """
+    import functools
+
     L = cfg.num_hidden_layers
     D = cfg.head_dim
     Nq, Nk = cfg.num_attention_heads, cfg.num_kv_heads
+    H, I = cfg.hidden_size, cfg.intermediate_size
+    dt = jnp.dtype(dtype)
 
     def g(name: str) -> np.ndarray:
         if name not in weights:
             raise KeyError(f"missing weight {name!r}")
         return weights[name]
 
-    def layer(i: int) -> Dict[str, np.ndarray]:
-        p = f"model.layers.{i}."
-        qkv = np.concatenate(
-            [
-                _t(g(p + "self_attn.q_proj.weight"), nd),
-                _t(g(p + "self_attn.k_proj.weight"), nd),
-                _t(g(p + "self_attn.v_proj.weight"), nd),
-            ],
-            axis=1,
-        )  # [H, (Nq+2Nk)*D]
-        out = {
-            "input_ln": np.asarray(g(p + "input_layernorm.weight")).astype(nd),
-            "qkv_w": qkv,
-            "o_w": _t(g(p + "self_attn.o_proj.weight"), nd),
-            "post_ln": np.asarray(
-                g(p + "post_attention_layernorm.weight")
-            ).astype(nd),
-            "gate_up_w": np.concatenate(
-                [
-                    _t(g(p + "mlp.gate_proj.weight"), nd),
-                    _t(g(p + "mlp.up_proj.weight"), nd),
-                ],
-                axis=1,
-            ),
-            "down_w": _t(g(p + "mlp.down_proj.weight"), nd),
-        }
-        if cfg.qkv_bias or cfg.attention_bias:
-            out["qkv_b"] = np.concatenate(
-                [
-                    np.asarray(g(p + "self_attn.q_proj.bias")).astype(nd),
-                    np.asarray(g(p + "self_attn.k_proj.bias")).astype(nd),
-                    np.asarray(g(p + "self_attn.v_proj.bias")).astype(nd),
-                ]
-            )
-        if cfg.qk_norm:
-            out["q_norm"] = np.asarray(g(p + "self_attn.q_norm.weight")).astype(nd)
-            out["k_norm"] = np.asarray(g(p + "self_attn.k_norm.weight")).astype(nd)
-        return out
+    has_bias = bool(cfg.qkv_bias or cfg.attention_bias)
 
-    layers = [layer(i) for i in range(L)]
-    stacked = {
-        k: jnp.asarray(np.stack([l[k] for l in layers])) for k in layers[0]
+    shapes = {
+        "input_ln": (H,),
+        "qkv_w": (H, (Nq + 2 * Nk) * D),
+        "o_w": (Nq * D, H),
+        "post_ln": (H,),
+        "gate_up_w": (H, 2 * I),
+        "down_w": (I, H),
     }
+    if has_bias:
+        shapes["qkv_b"] = ((Nq + 2 * Nk) * D,)
+    if cfg.qk_norm:
+        shapes["q_norm"] = (D,)
+        shapes["k_norm"] = (D,)
 
-    embed = np.asarray(g("model.embed_tokens.weight")).astype(nd)
+    bufs = {k: jnp.zeros((L, *s), dt) for k, s in shapes.items()}
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def write_layer(bufs, i, raw):
+        upd = {
+            "input_ln": raw["input_ln"].astype(dt),
+            "qkv_w": jnp.concatenate(
+                [raw["q"].T, raw["k"].T, raw["v"].T], axis=1
+            ).astype(dt),
+            "o_w": raw["o"].T.astype(dt),
+            "post_ln": raw["post_ln"].astype(dt),
+            "gate_up_w": jnp.concatenate(
+                [raw["gate"].T, raw["up"].T], axis=1
+            ).astype(dt),
+            "down_w": raw["down"].T.astype(dt),
+        }
+        if "qb" in raw:
+            upd["qkv_b"] = jnp.concatenate(
+                [raw["qb"], raw["kb"], raw["vb"]]
+            ).astype(dt)
+        if "q_norm" in raw:
+            upd["q_norm"] = raw["q_norm"].astype(dt)
+            upd["k_norm"] = raw["k_norm"].astype(dt)
+        return {k: bufs[k].at[i].set(upd[k]) for k in bufs}
+
+    for i in range(L):
+        p = f"model.layers.{i}."
+        raw = {
+            "input_ln": g(p + "input_layernorm.weight"),
+            "q": g(p + "self_attn.q_proj.weight"),
+            "k": g(p + "self_attn.k_proj.weight"),
+            "v": g(p + "self_attn.v_proj.weight"),
+            "o": g(p + "self_attn.o_proj.weight"),
+            "post_ln": g(p + "post_attention_layernorm.weight"),
+            "gate": g(p + "mlp.gate_proj.weight"),
+            "up": g(p + "mlp.up_proj.weight"),
+            "down": g(p + "mlp.down_proj.weight"),
+        }
+        if has_bias:
+            raw["qb"] = g(p + "self_attn.q_proj.bias")
+            raw["kb"] = g(p + "self_attn.k_proj.bias")
+            raw["vb"] = g(p + "self_attn.v_proj.bias")
+        if cfg.qk_norm:
+            raw["q_norm"] = g(p + "self_attn.q_norm.weight")
+            raw["k_norm"] = g(p + "self_attn.k_norm.weight")
+        raw = {k: jnp.asarray(v) for k, v in raw.items()}  # upload raw bytes
+        bufs = write_layer(bufs, jnp.asarray(i, jnp.int32), raw)
+
+    embed = jnp.asarray(g("model.embed_tokens.weight")).astype(dt)
     if cfg.tie_word_embeddings or "lm_head.weight" not in weights:
         lm_head = None  # reuse embed
     else:
-        lm_head = jnp.asarray(_t(g("lm_head.weight"), nd))
+        lm_head = jnp.asarray(g("lm_head.weight")).T.astype(dt)
 
     cos, sin = compute_rope_freqs(
         D, cfg.max_position_embeddings, cfg.rope_theta, cfg.rope_scaling
     )
     return {
-        "embed": jnp.asarray(embed),
-        "layers": stacked,
-        "final_ln": jnp.asarray(np.asarray(g("model.norm.weight")).astype(nd)),
+        "embed": embed,
+        "layers": bufs,
+        "final_ln": jnp.asarray(g("model.norm.weight")).astype(dt),
         "lm_head": lm_head,
         "rope_cos": jnp.asarray(cos),
         "rope_sin": jnp.asarray(sin),
