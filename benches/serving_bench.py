@@ -1,0 +1,132 @@
+"""Continuous-batching serving benchmark: TTFT and aggregate throughput.
+
+Drives the ContinuousBatcher directly (no HTTP) with a synthetic arrival
+pattern and reports per-request time-to-first-token percentiles plus
+aggregate decode tokens/s — the serving metrics BASELINE.md targets and
+the reference cannot measure (it serializes whole requests through one
+worker, /root/reference/server/HttpServer.cpp:118-163).
+
+Usage:
+  python benches/serving_bench.py [--requests 16] [--prompt-len 64]
+      [--max-new 64] [--capacity 8] [--quantum 4] [--layers N ...]
+Model: Llama-3.2-1B-shaped random weights (bf16) by default; shrink with
+--layers/--hidden for smoke runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--requests", type=int, default=16)
+    ap.add_argument("--prompt-len", type=int, default=64)
+    ap.add_argument("--max-new", type=int, default=64)
+    ap.add_argument("--capacity", type=int, default=8)
+    ap.add_argument("--quantum", type=int, default=4)
+    ap.add_argument("--layers", type=int, default=16)
+    ap.add_argument("--hidden", type=int, default=2048)
+    ap.add_argument("--vocab", type=int, default=128256)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--kv-dtype", default="auto")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tinygpt_tpu.engine.scheduler import (
+        ContinuousBatcher,
+        Request,
+        SchedulerConfig,
+    )
+    from tinygpt_tpu.hf.config import parse_model_config
+    from tinygpt_tpu.models import causal_lm
+
+    cfg = parse_model_config({
+        "model_type": "llama", "vocab_size": args.vocab,
+        "hidden_size": args.hidden, "num_hidden_layers": args.layers,
+        "num_attention_heads": args.hidden // 64,
+        "num_key_value_heads": max(1, args.hidden // 256),
+        "intermediate_size": args.hidden * 4,
+        "max_position_embeddings": 4096, "rope_theta": 500000.0,
+        "rms_norm_eps": 1e-5, "tie_word_embeddings": True,
+    })
+    dtype = jnp.bfloat16 if args.dtype in ("bfloat16", "bf16") else jnp.float32
+    params = causal_lm.init_params(cfg, seed=0, dtype=dtype)
+    attn = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    batcher = ContinuousBatcher(
+        causal_lm, cfg, params, eos_ids=set(),
+        config=SchedulerConfig(
+            batch_capacity=args.capacity, block_size=64,
+            n_blocks=max(256, args.capacity * 16),
+            max_blocks_per_seq=32, prefill_bucket=64,
+            dtype=args.dtype, kv_cache_dtype=args.kv_dtype,
+            attn_impl=attn, decode_quantum=args.quantum,
+        ),
+    )
+
+    rng = np.random.default_rng(0)
+    submit_t = {}
+    first_tok_t = {}
+    done_t = {}
+    tokens_out = {i: 0 for i in range(args.requests)}
+
+    # warmup: compile prefill + quantum with one request
+    batcher.add_request(Request(request_id=-1,
+                                prompt_ids=[1] * args.prompt_len,
+                                max_new_tokens=args.quantum + 1))
+    while batcher.has_work:
+        batcher.step()
+
+    t_start = time.perf_counter()
+    for i in range(args.requests):
+        batcher.add_request(Request(
+            request_id=i,
+            prompt_ids=[int(x) for x in
+                        rng.integers(2, cfg.vocab_size, args.prompt_len)],
+            max_new_tokens=args.max_new,
+        ))
+        submit_t[i] = time.perf_counter()
+    while batcher.has_work:
+        for ev in batcher.step():
+            now = time.perf_counter()
+            rid = ev.request_id
+            if rid < 0:
+                continue
+            if ev.token_id is not None:
+                tokens_out[rid] += 1
+                first_tok_t.setdefault(rid, now)
+            if ev.finished:
+                done_t[rid] = now
+    t_end = time.perf_counter()
+
+    ttft = np.array([first_tok_t[i] - submit_t[i]
+                     for i in range(args.requests)])
+    total_tokens = sum(tokens_out.values())
+    wall = t_end - t_start
+    result = {
+        "metric": "serving_continuous_batching",
+        "requests": args.requests,
+        "prompt_len": args.prompt_len,
+        "max_new": args.max_new,
+        "capacity": args.capacity,
+        "quantum": args.quantum,
+        "ttft_p50_s": round(float(np.percentile(ttft, 50)), 3),
+        "ttft_p95_s": round(float(np.percentile(ttft, 95)), 3),
+        "throughput_tok_s": round(total_tokens / wall, 1),
+        "wall_s": round(wall, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -232,3 +232,35 @@ def test_scheduler_stop_token(llama):
     toks, reason = run({stop_tok})
     assert reason == "stop"
     assert toks == free_run[: free_run.index(stop_tok)]
+
+
+def test_scheduler_quantum_invariance(llama):
+    """Token streams must be identical for decode_quantum 1 vs 4 (greedy):
+    the quantum only changes dispatch granularity, not results."""
+    cfg, model, params = llama
+    rng = np.random.default_rng(11)
+    prompts = [list(int(x) for x in rng.integers(2, cfg.vocab_size, n))
+               for n in (4, 7)]
+
+    def run(q):
+        batcher = ContinuousBatcher(
+            model, cfg, params, eos_ids=set(),
+            config=SchedulerConfig(
+                batch_capacity=2, block_size=16, n_blocks=64,
+                max_blocks_per_seq=8, prefill_bucket=16, dtype="float32",
+                decode_quantum=q,
+            ),
+        )
+        for i, p in enumerate(prompts):
+            batcher.add_request(Request(request_id=i, prompt_ids=p,
+                                        max_new_tokens=6))
+        got = {i: [] for i in range(len(prompts))}
+        steps = 0
+        while batcher.has_work and steps < 60:
+            for ev in batcher.step():
+                if ev.token_id is not None:
+                    got[ev.request_id].append(ev.token_id)
+            steps += 1
+        return got
+
+    assert run(1) == run(4)

@@ -56,6 +56,11 @@ class SchedulerConfig:
     kv_cache_dtype: str = "auto"  # "auto" | "fp8" | explicit dtype name
     attn_impl: str = "xla"  # "pallas" on TPU
     seed: int = 0
+    # decode steps per device dispatch (a lax.scan inside ONE jit program).
+    # Amortizes host dispatch; admissions wait at most one quantum. Rows
+    # that finish mid-quantum run out the quantum in their own blocks and
+    # the host discards the surplus tokens.
+    decode_quantum: int = 4
 
 
 @dataclass
@@ -129,6 +134,7 @@ class ContinuousBatcher:
         self._decode_fn = jax.jit(
             functools.partial(self._decode_step_impl),
             donate_argnums=(1,),
+            static_argnames=("n_steps",),
         )
         self._prefill_fn = jax.jit(
             self.model.forward,
@@ -264,55 +270,90 @@ class ContinuousBatcher:
     # -- decode ------------------------------------------------------------
 
     def _decode_step_impl(self, params, state, tokens, temps, topks,
-                          topps, minps, key):
-        logits, state = self.model.forward_paged(
-            params, self.cfg, tokens, state, attn_impl=self.sc.attn_impl
-        )
-        nxt = sample_batched(logits, temps, topks, topps, minps, key)
-        return nxt, state
+                          topps, minps, key, n_steps):
+        """n_steps whole decode steps as one scanned program; returns
+        tokens [n_steps, B] and the advanced state."""
 
-    def _ensure_blocks(self) -> List["Request"]:
-        """Every active row needs a block for its next slot; rows that
-        cannot get one finish with reason 'length' (pool exhausted)."""
+        def body(carry, key_step):
+            state, toks = carry
+            logits, state = self.model.forward_paged(
+                params, self.cfg, toks, state, attn_impl=self.sc.attn_impl
+            )
+            nxt = sample_batched(logits, temps, topks, topps, minps,
+                                 key_step)
+            return (state, nxt), nxt
+
+        keys = jax.random.split(key, n_steps)
+        (state, _), toks_seq = jax.lax.scan(body, (state, tokens), keys)
+        return toks_seq, state
+
+    def _ensure_blocks(self, n_steps: int) -> Dict[int, int]:
+        """Reserve blocks covering the next n_steps slots per active row.
+        Returns row -> safe step count (how many of the quantum's steps
+        have owned storage); rows with 0 safe steps are not in the map and
+        have been evicted with reason 'length' by the caller's loop."""
         sc = self.sc
-        evicted = []
+        safe: Dict[int, int] = {}
         for row, req in list(self.running.items()):
             length = int(self._lengths[row])
-            blk_idx = length // sc.block_size
-            if blk_idx >= sc.max_blocks_per_seq:
-                evicted.append(req)
-                continue
-            if blk_idx >= len(req.blocks):
-                got = self.allocator.alloc(1)
-                if got is None:
-                    evicted.append(req)
-                    continue
-                req.blocks.extend(got)
-                self._tables[row, blk_idx] = got[0]
-        return evicted
+            first_blk = length // sc.block_size
+            last_blk = (length + n_steps - 1) // sc.block_size
+            covered_until = length  # exclusive slot bound with owned blocks
+            for blk_idx in range(first_blk, last_blk + 1):
+                if blk_idx >= sc.max_blocks_per_seq:
+                    break
+                if blk_idx >= len(req.blocks):
+                    got = self.allocator.alloc(1)
+                    if got is None:
+                        break
+                    req.blocks.extend(got)
+                    self._tables[row, blk_idx] = got[0]
+                covered_until = (blk_idx + 1) * sc.block_size
+            safe[row] = min(n_steps, covered_until - length)
+        return safe
 
     def _decode(self) -> List[TokenEvent]:
         events: List[TokenEvent] = []
-        for req in self._ensure_blocks():
-            req.finished = True
-            req.finish_reason = "length"
-            events.append(TokenEvent(req.request_id, None, True, "length"))
-            self.release(req)
+        n_steps = max(1, self.sc.decode_quantum)
+        safe = self._ensure_blocks(n_steps)
+        for row, m in list(safe.items()):
+            if m <= 0:
+                req = self.running[row]
+                req.finished = True
+                req.finish_reason = "length"
+                events.append(TokenEvent(req.request_id, None, True,
+                                         "length"))
+                self.release(req)
+                safe.pop(row)
         if not self.running:
             return events
         self._sync_state_meta()
         self._key, k = jax.random.split(self._key)
-        nxt, self.state = self._decode_fn(
+        toks_seq, self.state = self._decode_fn(
             self.params, self.state, jnp.asarray(self._tokens),
             jnp.asarray(self._temps), jnp.asarray(self._topks),
             jnp.asarray(self._topps), jnp.asarray(self._minps), k,
+            n_steps=n_steps,
         )
-        self._lengths[self._active] += 1
-        nxt_host = np.asarray(nxt)
+        was_active = self._active.copy()
+        self._lengths[was_active] += n_steps
+        toks_host = np.asarray(toks_seq)  # [n_steps, B]
         for row, req in list(self.running.items()):
-            tok = int(nxt_host[row])
-            self._tokens[row] = tok
-            events.extend(self._emit(req, tok))
+            m = safe.get(row, 0)
+            for step in range(n_steps):
+                if req.finished:
+                    break
+                if step >= m:
+                    # ran out of owned storage mid-quantum: pool exhausted
+                    req.finished = True
+                    req.finish_reason = "length"
+                    events.append(TokenEvent(req.request_id, None, True,
+                                             "length"))
+                    self.release(req)
+                    break
+                tok = int(toks_host[step, row])
+                self._tokens[row] = tok
+                events.extend(self._emit(req, tok))
         return events
 
     def _emit(self, req: Request, tok: Optional[int]) -> List[TokenEvent]:
