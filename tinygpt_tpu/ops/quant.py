@@ -90,36 +90,51 @@ def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([lo, hi], axis=0)
 
 
+def _pack_int4_jnp(q: jnp.ndarray) -> jnp.ndarray:
+    """pack_int4 on device (same half-split scheme), leading-dim agnostic:
+    packs along axis -2."""
+    half = q.shape[-2] // 2
+    lo = (q[..., :half, :].astype(jnp.uint8)) & 0x0F
+    hi = (q[..., half:, :].astype(jnp.uint8)) & 0x0F
+    return (lo | (hi << 4)).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "g"))
+def _quantize_core(w, bits: int, g: int):
+    """Symmetric per-group quantization on device. w: [..., in, out]."""
+    in_dim, out_dim = w.shape[-2], w.shape[-1]
+    qmax = 127.0 if bits == 8 else 7.0
+    lead = w.shape[:-2]
+    wg = w.astype(jnp.float32).reshape(*lead, in_dim // g, g, out_dim)
+    absmax = jnp.abs(wg).max(axis=-2)  # [..., in/g, out]
+    scales = jnp.where(absmax == 0, 1e-8, absmax / qmax)
+    q = jnp.clip(
+        jnp.round(wg / scales[..., None, :]), -qmax - 1, qmax
+    ).astype(jnp.int8).reshape(*lead, in_dim, out_dim)
+    data = _pack_int4_jnp(q) if bits == 4 else q
+    return data, scales
+
+
 def quantize_weight(
-    w: np.ndarray,  # [in, out] float
+    w,  # [in, out] float (numpy or jax)
     bits: int = 8,
     group_size: Optional[int] = None,
-    scale_dtype=np.float32,
+    scale_dtype=jnp.float32,
 ) -> QuantizedTensor:
-    """Symmetric per-group (or per-channel when group_size=None) quant."""
+    """Symmetric per-group (or per-channel when group_size=None) quant.
+    Runs on device — host-side numpy converts GB-scale weights at
+    single-core speed."""
     assert bits in (8, 4)
-    w = np.asarray(w, dtype=np.float32)
-    in_dim, out_dim = w.shape
+    in_dim, out_dim = w.shape[-2], w.shape[-1]
     g = group_size or in_dim
     if bits == 4:
         # the packed kernel needs whole groups inside each nibble plane
         g = min(g, in_dim // 2)
     if in_dim % g:
         raise ValueError(f"in_dim {in_dim} not divisible by group {g}")
-    qmax = 127.0 if bits == 8 else 7.0
-    wg = w.reshape(in_dim // g, g, out_dim)
-    absmax = np.abs(wg).max(axis=1)  # [in/g, out]
-    scales = (absmax / qmax).astype(np.float64)
-    scales = np.where(scales == 0, 1e-8, scales)
-    q = np.clip(
-        np.rint(wg / scales[:, None, :]), -qmax - 1, qmax
-    ).astype(np.int8).reshape(in_dim, out_dim)
-    if bits == 4:
-        data = pack_int4(q)
-    else:
-        data = q
+    data, scales = _quantize_core(jnp.asarray(w), bits, g)
     return QuantizedTensor(
-        jnp.asarray(data), jnp.asarray(scales.astype(scale_dtype)),
+        data, scales.astype(scale_dtype),
         bits=bits, group_size=g, in_dim=in_dim,
     )
 
@@ -179,18 +194,11 @@ _QUANT_KEYS = {"qkv_w", "o_w", "gate_up_w", "down_w", "fc_w", "proj_w"}
 
 
 def _quantize_stacked(w, bits: int, group_size: Optional[int]) -> QuantizedTensor:
-    """Quantize a stacked [L, in, out] weight layer-by-layer and restack,
-    so lax.scan slices out one QuantizedTensor per layer."""
-    import numpy as np
-
-    w = np.asarray(w, dtype=np.float32)
-    per_layer = [quantize_weight(w[l], bits=bits, group_size=group_size)
-                 for l in range(w.shape[0])]
-    data = jnp.stack([q.data for q in per_layer])
-    scales = jnp.stack([q.scales for q in per_layer])
-    q0 = per_layer[0]
-    return QuantizedTensor(data, scales, bits=q0.bits,
-                           group_size=q0.group_size, in_dim=q0.in_dim)
+    """Quantize a stacked [L, in, out] weight in one device program (the
+    group axis is per-layer, so the stacked form quantizes identically to
+    layer-by-layer), so lax.scan slices out one QuantizedTensor per
+    layer."""
+    return quantize_weight(jnp.asarray(w), bits=bits, group_size=group_size)
 
 
 def quantize_params(
@@ -200,7 +208,13 @@ def quantize_params(
     quantize_lm_head: bool = True,
 ) -> dict:
     """Convert a loaded param pytree to weight-only quantized form.
-    Norm weights, biases, embeddings and rope tables stay in float."""
+    Norm weights, biases, embeddings and rope tables stay in float.
+
+    With tied embeddings the lm_head matmul would read the full-precision
+    embed table every decode step (the single largest weight) — so a
+    quantized TRANSPOSED copy is materialized for the head while the
+    float table stays for the (traffic-free) embedding gather. Costs
+    bits/16 of the table in extra HBM, saves its bf16 read per step."""
     out = dict(params)
     layers = dict(params["layers"])
     for key, w in layers.items():
@@ -208,11 +222,13 @@ def quantize_params(
             layers[key] = _quantize_stacked(w, bits, group_size)
     out["layers"] = layers
     head = params.get("lm_head")
-    if quantize_lm_head and head is not None:
-        import numpy as np
-
-        out["lm_head"] = quantize_weight(
-            np.asarray(head, dtype=np.float32), bits=bits,
-            group_size=group_size,
-        )
+    if quantize_lm_head:
+        if head is not None:
+            out["lm_head"] = quantize_weight(head, bits=bits,
+                                             group_size=group_size)
+        elif "embed" in params:  # tied: quantize a transposed copy
+            out["lm_head"] = quantize_weight(
+                jnp.asarray(params["embed"]).T, bits=bits,
+                group_size=group_size,
+            )
     return out

@@ -55,20 +55,32 @@ def _pick_bk(total: int, group: int, target: int) -> int:
 def _int8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int, group: int):
     # s_ref: [1, rows, BO] — this k-block's scale rows, pre-blocked by the
     # wrapper (Mosaic cannot dynamically slice sub-8-row tiles in VMEM).
+    #
+    # Scales are applied to per-GROUP partial sums, not per weight:
+    #   out = sum_g scale[g] * (x_g @ w_g)
+    # which moves the scale multiply from IN*OUT VPU ops to rows*M*OUT —
+    # the dequant path's VPU cost is then just the int8→f32 convert that
+    # feeds the MXU.
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = w_ref[:].astype(jnp.float32)  # [BK, BO] int8 → f32
+    w = w_ref[:].astype(jnp.float32)  # [BK, BO] int8 → f32 (feeds MXU)
     bk, bo = w.shape
     rows = bk // group
+    x = x_ref[:].astype(jnp.float32)  # [BM, BK]
     s = s_ref[0].astype(jnp.float32)  # [rows, BO]
-    wf = (w.reshape(rows, group, bo) * s[:, None, :]).reshape(bk, bo)
-    acc_ref[:] += jnp.dot(
-        x_ref[:].astype(jnp.float32), wf, preferred_element_type=jnp.float32
-    )
+    acc = acc_ref[:]
+    for r in range(rows):
+        part = jnp.dot(
+            x[:, r * group : (r + 1) * group],
+            w[r * group : (r + 1) * group, :],
+            preferred_element_type=jnp.float32,
+        )  # [BM, BO]
+        acc = acc + s[r][None, :] * part
+    acc_ref[:] = acc
 
     @pl.when(k == n_k - 1)
     def _():
@@ -84,8 +96,8 @@ def matmul_dequant_int8(
     scales: jnp.ndarray,  # [IN/group, OUT]
     group: int,
     bm: int = 256,
-    bk: int = 512,
-    bo: int = 512,
+    bk: int = 1024,
+    bo: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     M, IN = x.shape
@@ -137,24 +149,28 @@ def _int4_kernel(x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref, o_ref,
     packed = w_ref[:].astype(jnp.int32)  # [BKP, BO] — packed rows
     bkp, bo = packed.shape
     rows = bkp // group
+    # unpack once per tile; scales post-multiply per-group partial sums
+    # (see _int8_kernel) so the per-weight VPU work is unpack + convert.
     lo = packed & 0x0F
-    lo = jnp.where(lo >= 8, lo - 16, lo).astype(jnp.float32)
-    hi = (packed >> 4) & 0x0F
-    hi = jnp.where(hi >= 8, hi - 16, hi).astype(jnp.float32)
+    lo = (lo - jnp.where(lo >= 8, 16, 0)).astype(jnp.float32)
+    hi = packed >> 4  # arithmetic shift needs masking for negatives
+    hi = hi & 0x0F
+    hi = (hi - jnp.where(hi >= 8, 16, 0)).astype(jnp.float32)
 
+    x_lo = x_lo_ref[:].astype(jnp.float32)
+    x_hi = x_hi_ref[:].astype(jnp.float32)
     s_lo = s_lo_ref[0].astype(jnp.float32)  # [rows, BO]
     s_hi = s_hi_ref[0].astype(jnp.float32)
-    w_lo = (lo.reshape(rows, group, bo) * s_lo[:, None, :]).reshape(bkp, bo)
-    w_hi = (hi.reshape(rows, group, bo) * s_hi[:, None, :]).reshape(bkp, bo)
-
-    acc_ref[:] += jnp.dot(
-        x_lo_ref[:].astype(jnp.float32), w_lo,
-        preferred_element_type=jnp.float32,
-    )
-    acc_ref[:] += jnp.dot(
-        x_hi_ref[:].astype(jnp.float32), w_hi,
-        preferred_element_type=jnp.float32,
-    )
+    acc = acc_ref[:]
+    for r in range(rows):
+        sl = slice(r * group, (r + 1) * group)
+        acc = acc + s_lo[r][None, :] * jnp.dot(
+            x_lo[:, sl], lo[sl, :], preferred_element_type=jnp.float32
+        )
+        acc = acc + s_hi[r][None, :] * jnp.dot(
+            x_hi[:, sl], hi[sl, :], preferred_element_type=jnp.float32
+        )
+    acc_ref[:] = acc
 
     @pl.when(k == n_k - 1)
     def _():
@@ -170,8 +186,8 @@ def matmul_dequant_int4(
     scales: jnp.ndarray,  # [IN/group, OUT]
     group: int,
     bm: int = 256,
-    bk: int = 512,       # tile of PACKED rows
-    bo: int = 512,
+    bk: int = 1024,      # tile of PACKED rows
+    bo: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     M, IN = x.shape
