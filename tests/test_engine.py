@@ -108,3 +108,45 @@ def test_chat_template_missing_raises(engine):
     # gpt2 has no chat template and no ChatML tokens
     with pytest.raises(ValueError):
         engine.apply_chat_template([{"role": "user", "content": "hi"}])
+
+
+@pytest.fixture(scope="module")
+def full_model_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("full_gpt2_spec")
+    build_full_model_dir(str(d), seed=7)
+    return str(d)
+
+
+def test_speculative_ngram_matches_greedy(full_model_dir):
+    """n-gram speculative decoding must be EXACT for greedy sampling —
+    identical token streams with and without it, on text repetitive
+    enough to exercise real acceptances."""
+    from tinygpt_tpu.engine.engine import GPTConfig, GPTEngine, ngram_draft
+
+    prompt = "the cat sat on the mat. the cat sat on the"
+    outs = {}
+    for spec in (None, "ngram"):
+        eng = GPTEngine(GPTConfig(
+            model_dir=full_model_dir, dtype="float32", max_tokens=24,
+            speculative=spec, spec_draft_len=4, spec_ngram=2,
+        ))
+        eng.prepare()
+        outs[spec] = eng.generate_sync([prompt])[0].token_ids
+    assert outs[None] == outs["ngram"]
+
+    # streaming path too
+    eng = GPTEngine(GPTConfig(
+        model_dir=full_model_dir, dtype="float32", max_tokens=16,
+        speculative="ngram",
+    ))
+    eng.prepare()
+    chunks = []
+    res = eng.generate_async(prompt, lambda c, fin: (chunks.append(c), True)[1])
+    assert res.token_ids == outs["ngram"][:16] or len(res.token_ids) <= 16
+
+    # drafting helper semantics
+    assert ngram_draft([1, 2, 3, 9, 1, 2, 3], 3, 2) == [9, 1]
+    assert ngram_draft([1, 2, 3], 3, 2) == []
+    # most-recent match wins (standard prompt-lookup), so the continuation
+    # can be shorter than k near the tail
+    assert ngram_draft([5, 5, 5, 5], 1, 3) == [5]

@@ -12,6 +12,35 @@ Compute path: jax.numpy + Pallas TPU kernels under jit, static shapes,
 functional state. Orchestration: Python engine + asyncio server.
 """
 
+import os as _os
+
 from tinygpt_tpu.version import __version__
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache (opt out: TINYGPT_NO_COMPILE_CACHE).
+
+    Decode/prefill programs compile in tens of seconds to minutes on TPU;
+    the cache makes every process after the first start instantly for
+    unchanged shapes. Safe to set before or after jax is first used."""
+    if _os.environ.get("TINYGPT_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = _os.environ.get(
+            "TINYGPT_COMPILE_CACHE",
+            _os.path.join(
+                _os.path.expanduser("~"), ".cache", "tinygpt_tpu", "xla"
+            ),
+        )
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:  # never break import over a cache
+        pass
+
+
+_enable_compile_cache()
 
 __all__ = ["__version__"]

@@ -73,6 +73,15 @@ class GPTConfig:
     # TPU backends where per-call dispatch is expensive. 1 = per-token
     # dispatch (used by streaming).
     decode_chunk: int = 32
+    # speculative decoding: None | "ngram" (prompt-lookup drafting — draft
+    # tokens come from earlier occurrences of the current n-gram in the
+    # context; one forward verifies draft_len+1 positions, which costs the
+    # same HBM traffic as a single decode step). Exact for greedy
+    # sampling; engaged only for batch=1 greedy requests, other requests
+    # fall back to the chunked loop.
+    speculative: Optional[str] = None
+    spec_draft_len: int = 4
+    spec_ngram: int = 3
 
 
 @dataclass
@@ -90,6 +99,22 @@ GenerateCallback = Callable[[str, bool], bool]
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def ngram_draft(context: Sequence[int], n: int, k: int) -> List[int]:
+    """Prompt-lookup drafting: find the most recent EARLIER occurrence of
+    the context's final n-gram and return up to k continuation tokens.
+    Pure host-side; the model never sees a draft it doesn't verify."""
+    L = len(context)
+    if L < n + 1 or k <= 0:
+        return []
+    tail = list(context[-n:])
+    for start in range(L - n - 1, -1, -1):
+        if list(context[start : start + n]) == tail:
+            cont = list(context[start + n : start + n + k])
+            if cont:
+                return cont
+    return []
 
 
 class GPTEngine:
@@ -233,6 +258,12 @@ class GPTEngine:
         device-ahead-of-host overlap the reference built its
         AsyncTokenPipeline for."""
         assert self.ctx is not None, "call prepare() first"
+        if (
+            self.config.speculative == "ngram"
+            and len(texts) == 1
+            and self.config.sampler.is_greedy
+        ):
+            return self._spec_prefill_and_loop(texts, max_tokens, on_token)
         cfg = self.ctx.model_config
         sampler_cfg = self.config.sampler
         chunk = decode_chunk or self.config.decode_chunk
@@ -305,6 +336,94 @@ class GPTEngine:
             if ahead is None or step >= max_tokens:
                 return encoded
             nxt = ahead
+
+    def _spec_prefill_and_loop(self, texts, max_tokens, on_token):
+        """Greedy batch-1 decode with n-gram speculative verification.
+
+        Each iteration verifies [current, d_1..d_γ] in ONE forward
+        (S = γ+1); the accepted prefix plus one bonus token advance the
+        stream, the cache is truncated back past rejected slots. A verify
+        step reads the same weight bytes as a single decode step, so
+        throughput multiplies by (1 + mean accepted)."""
+        assert self.ctx is not None
+        cfg = self.ctx.model_config
+        gamma = max(1, self.config.spec_draft_len)
+        n = max(1, self.config.spec_ngram)
+        ids, positions, valid, lens, encoded = self._encode_batch(texts)
+        B, S = ids.shape
+        cache = create_kv_cache(
+            cfg, B, _round_up(S + max_tokens + gamma + 1, 128),
+            dtype=self._kv_dtype(),
+        )
+        params = self.ctx.params
+        logits, cache = self._forward_jit(
+            params, cfg, jnp.asarray(ids), cache,
+            jnp.asarray(positions), jnp.asarray(valid), last_only=True,
+            attn_impl=self._attn_impl,
+        )
+        cur = int(np.asarray(jnp.argmax(logits[0, -1])))
+        L = int(lens[0])
+        context = list(encoded[0])
+        forward = self.ctx.model.forward
+        attn_impl = self._attn_impl
+        ones = jnp.ones((1, gamma + 1), jnp.bool_)
+        T = cache.max_len
+
+        @functools.partial(jax.jit, donate_argnames=("cache",))
+        def verify_fn(params, toks, cache, pos0):
+            pos = pos0 + jnp.arange(gamma + 1, dtype=jnp.int32)[None, :]
+            logits, cache = forward(
+                params, cfg, toks, cache, pos, ones,
+                last_only=False, attn_impl=attn_impl,
+            )
+            preds = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
+            return preds, cache
+
+        @functools.partial(jax.jit, donate_argnames=("cache",))
+        def truncate_fn(cache, new_len):
+            mask = jnp.arange(T, dtype=jnp.int32)[None, :] < new_len
+            return cache._replace(
+                valid=cache.valid & mask, length=new_len
+            )
+
+        c = 0  # generated tokens materialized in the cache
+        emitted = 0
+        while True:
+            # `cur` is generated token t_c (not yet in the cache)
+            if emitted >= max_tokens:
+                break
+            if not on_token(emitted, np.asarray([cur], np.int32)):
+                break
+            emitted += 1
+            if emitted >= max_tokens:
+                break
+            draft = ngram_draft(context + [cur], n, gamma)
+            draft = (draft + [cur] * gamma)[:gamma]
+            toks = jnp.asarray([[cur] + draft], jnp.int32)
+            preds_dev, cache = verify_fn(
+                params, toks, cache, jnp.int32(L + c)
+            )
+            preds = np.asarray(preds_dev)
+            m = 0
+            while m < gamma and int(preds[m]) == draft[m]:
+                m += 1
+            cache = truncate_fn(cache, jnp.int32(S + c + m + 1))
+            context.append(cur)
+            stop = False
+            for i in range(m):
+                if emitted >= max_tokens:
+                    stop = True
+                    break
+                if not on_token(emitted, np.asarray([draft[i]], np.int32)):
+                    stop = True
+                    break
+                emitted += 1
+                context.append(draft[i])
+            if stop:
+                break
+            c += m + 1
+            cur = int(preds[m])
+        return encoded
 
     def generate_sync(self, texts: Sequence[str]) -> List[GPTOutput]:
         """Batch generation (reference: GPTEngine.cpp:154-174 — which
