@@ -235,8 +235,11 @@ def test_scheduler_stop_token(llama):
 
 
 def test_scheduler_quantum_invariance(llama):
-    """Token streams must be identical for decode_quantum 1 vs 4 (greedy):
-    the quantum only changes dispatch granularity, not results."""
+    """decode_quantum only changes dispatch granularity: the q=1 and q=4
+    token streams must agree except where a greedy near-tie legitimately
+    flips between the two differently-compiled programs (CPU reduction
+    order) — at the first mismatch both tokens must be within float noise
+    of the dense argmax, after which divergence is expected."""
     cfg, model, params = llama
     rng = np.random.default_rng(11)
     prompts = [list(int(x) for x in rng.integers(2, cfg.vocab_size, n))
@@ -263,4 +266,113 @@ def test_scheduler_quantum_invariance(llama):
             steps += 1
         return got
 
-    assert run(1) == run(4)
+    r1, r4 = run(1), run(4)
+    for rid in r1:
+        a, b = r1[rid], r4[rid]
+        if a == b:
+            continue
+        i = next(j for j in range(min(len(a), len(b))) if a[j] != b[j])
+        context = prompts[rid] + a[:i]
+        logits = _dense_logits(cfg, model, params, context)
+        top = float(logits.max())
+        assert top - logits[a[i]] < 1e-3 and top - logits[b[i]] < 1e-3, (
+            f"request {rid} diverges at {i} without a near-tie: "
+            f"{a[i]} vs {b[i]}"
+        )
+
+
+def _drain(batcher, got=None):
+    steps = 0
+    while batcher.has_work and steps < 200:
+        for ev in batcher.step():
+            if got is not None and ev.token_id is not None:
+                got.setdefault(ev.request_id, []).append(ev.token_id)
+        steps += 1
+
+
+def test_prefix_cache_reuse_and_correctness(llama):
+    """Requests sharing a long system prefix must (a) produce the same
+    tokens as with caching disabled and (b) actually reuse blocks."""
+    cfg, model, params = llama
+    params = dict(params)
+    params["final_ln"] = params["final_ln"] * 4.0
+    rng = np.random.default_rng(13)
+    system = [int(x) for x in rng.integers(2, cfg.vocab_size, 40)]
+    prompts = [system + [int(x) for x in rng.integers(2, cfg.vocab_size, n)]
+               for n in (5, 9)]
+
+    def run(enable):
+        batcher = ContinuousBatcher(
+            model, cfg, params, eos_ids=set(),
+            config=SchedulerConfig(
+                batch_capacity=2, block_size=16, n_blocks=64,
+                max_blocks_per_seq=8, prefill_bucket=16, dtype="float32",
+                enable_prefix_cache=enable,
+            ),
+        )
+        for i, p in enumerate(prompts):
+            batcher.add_request(Request(request_id=i, prompt_ids=p,
+                                        max_new_tokens=5))
+        got = {}
+        _drain(batcher, got)
+        return got, batcher
+
+    got_off, _ = run(False)
+    got_on, b = run(True)
+    assert got_on == got_off
+    # 40-token system prefix = 2 whole blocks of 16 shared by request 1
+    assert len(b._prefix_cache) > 0
+    # idle-cached blocks survive release and the pool accounting balances
+    assert len(b.allocator.cached_idle) > 0
+    assert b.allocator.n_free == 63  # everything free or reclaimable
+
+
+def test_prefix_cache_persists_across_requests(llama):
+    """A prefix stays reusable after its original request finished."""
+    cfg, model, params = llama
+    rng = np.random.default_rng(17)
+    system = [int(x) for x in rng.integers(2, cfg.vocab_size, 32)]
+    batcher = ContinuousBatcher(
+        model, cfg, params, eos_ids=set(),
+        config=SchedulerConfig(
+            batch_capacity=1, block_size=16, n_blocks=32,
+            max_blocks_per_seq=8, prefill_bucket=16, dtype="float32",
+        ),
+    )
+    batcher.add_request(Request(request_id=0, prompt_ids=system + [7, 8],
+                                max_new_tokens=3))
+    _drain(batcher)
+    cached = dict(batcher.allocator.cached_idle)
+    assert cached, "prefix blocks should be idle-cached after release"
+
+    batcher.add_request(Request(request_id=1, prompt_ids=system + [9],
+                                max_new_tokens=3))
+    got = {}
+    _drain(batcher, got)
+    assert len(got[1]) == 3
+    # the revived blocks were reused (still registered, back to idle)
+    assert set(cached) <= set(batcher.allocator.cached_idle)
+
+
+def test_prefix_cache_eviction_under_pressure(llama):
+    """Idle cached blocks are reclaimed when the pool runs dry instead of
+    failing admission."""
+    cfg, model, params = llama
+    rng = np.random.default_rng(19)
+    batcher = ContinuousBatcher(
+        model, cfg, params, eos_ids=set(),
+        config=SchedulerConfig(
+            batch_capacity=1, block_size=16, n_blocks=8,  # tiny pool
+            max_blocks_per_seq=6, prefill_bucket=16, dtype="float32",
+        ),
+    )
+    for i in range(3):  # distinct long prompts fill + recycle the pool
+        p = [int(x) for x in rng.integers(2, cfg.vocab_size, 40)]
+        batcher.add_request(Request(request_id=i, prompt_ids=p,
+                                    max_new_tokens=2))
+        got = {}
+        _drain(batcher, got)
+        assert len(got[i]) == 2, f"request {i} starved"
+    # hash map never refers to freed blocks
+    for h, blk in batcher._prefix_cache.items():
+        assert batcher._block_hash.get(blk) == h

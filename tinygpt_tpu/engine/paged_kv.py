@@ -68,28 +68,85 @@ def create_paged_state(
 
 @dataclass
 class BlockAllocator:
-    """Host-side free list over the pool. Block 0 is the reserved null
-    block (the paged kernel clamps out-of-range table entries to it)."""
+    """Host-side allocator over the pool with reference counting and an
+    idle-cached tier (prefix caching). Block 0 is the reserved null block
+    (the paged kernel clamps out-of-range table entries to it).
+
+    A block is in exactly one state: free (on the free list), live
+    (refcount > 0), or idle-cached (refcount 0 but its contents are a
+    registered prompt prefix — reclaimable under pressure, LRU order).
+    """
 
     n_blocks: int
     free: List[int] = field(default_factory=list)
+    refcount: dict = field(default_factory=dict)      # block -> rc > 0
+    cached_idle: dict = field(default_factory=dict)   # block -> lru tick
+    _tick: int = 0
+    # eviction callback set by the prefix cache so hash entries die with
+    # their blocks
+    on_evict = None
 
     def __post_init__(self):
         self.free = list(range(self.n_blocks - 1, 0, -1))  # 0 reserved
 
     @property
     def n_free(self) -> int:
-        return len(self.free)
+        return len(self.free) + len(self.cached_idle)
+
+    def _reclaim(self, n: int) -> bool:
+        """Evict idle-cached blocks (oldest first) until free >= n."""
+        if len(self.free) >= n:
+            return True
+        need = n - len(self.free)
+        victims = sorted(self.cached_idle.items(), key=lambda kv: kv[1])
+        if len(victims) < need:
+            return False
+        for b, _ in victims[:need]:
+            del self.cached_idle[b]
+            if self.on_evict is not None:
+                self.on_evict(b)
+            self.free.append(b)
+        return True
 
     def alloc(self, n: int) -> Optional[List[int]]:
-        if n > len(self.free):
+        if not self._reclaim(n):
             return None
-        out = [self.free.pop() for _ in range(n)]
+        out = []
+        for _ in range(n):
+            b = self.free.pop()
+            self.refcount[b] = 1
+            out.append(b)
         return out
 
-    def release(self, blocks: List[int]) -> None:
+    def share(self, blocks: List[int]) -> None:
+        """Take an extra reference on live or idle-cached blocks."""
         for b in blocks:
-            if b != 0:
+            if b == 0:
+                continue
+            if b in self.cached_idle:  # revive
+                del self.cached_idle[b]
+                self.refcount[b] = 1
+            else:
+                self.refcount[b] = self.refcount.get(b, 0) + 1
+
+    def release(self, blocks: List[int], keep_cached=()) -> None:
+        """Drop one reference per block; rc==0 blocks go to the free list,
+        or to the idle-cached tier when listed in keep_cached."""
+        keep = set(keep_cached)
+        for b in blocks:
+            if b == 0:
+                continue
+            rc = self.refcount.get(b, 1) - 1
+            if rc > 0:
+                self.refcount[b] = rc
+                continue
+            self.refcount.pop(b, None)
+            if b in keep:
+                self._tick += 1
+                self.cached_idle[b] = self._tick
+            else:
+                if self.on_evict is not None:
+                    self.on_evict(b)
                 self.free.append(b)
 
 

@@ -61,6 +61,11 @@ class SchedulerConfig:
     # that finish mid-quantum run out the quantum in their own blocks and
     # the host discards the surplus tokens.
     decode_quantum: int = 4
+    # prefix caching: completed whole blocks of a prompt are content-
+    # addressed (hash chain over block-size token chunks); admissions
+    # reuse matching blocks read-only (refcounted) and prefill only the
+    # suffix. Idle cached blocks are reclaimed LRU under pool pressure.
+    enable_prefix_cache: bool = True
 
 
 @dataclass
@@ -115,6 +120,17 @@ class ContinuousBatcher:
             sc.max_blocks_per_seq, dtype=self.kv_dtype,
         )
         self.allocator = BlockAllocator(sc.n_blocks)
+        # prefix cache: chain-hash -> block id, and the inverse for
+        # eviction (the allocator reclaims idle cached blocks LRU)
+        self._prefix_cache: Dict[int, int] = {}
+        self._block_hash: Dict[int, int] = {}
+
+        def _on_evict(b: int) -> None:
+            h = self._block_hash.pop(b, None)
+            if h is not None:
+                self._prefix_cache.pop(h, None)
+
+        self.allocator.on_evict = _on_evict
         self.waiting: List[Request] = []
         self.running: Dict[int, Request] = {}  # row -> Request
         self.free_rows = list(range(sc.batch_capacity - 1, -1, -1))
@@ -131,15 +147,16 @@ class ContinuousBatcher:
         self._topps = np.ones(sc.batch_capacity, np.float32)
         self._minps = np.zeros(sc.batch_capacity, np.float32)
 
-        self._decode_fn = jax.jit(
-            functools.partial(self._decode_step_impl),
-            donate_argnums=(1,),
-            static_argnames=("n_steps",),
+        # module-level jitted programs shared across batcher instances:
+        # one compile per (model, shape) for the whole process — a fresh
+        # batcher must not recompile (wasteful, and XLA CPU's compile-time
+        # parallel-reduction splits vary with load, which would make
+        # numerics differ between otherwise identical batchers)
+        self._decode_fn = functools.partial(
+            _decode_quantum, forward_paged=self.model.forward_paged,
+            cfg=self.cfg, attn_impl=self.sc.attn_impl,
         )
-        self._prefill_fn = jax.jit(
-            self.model.forward,
-            static_argnames=("cfg", "last_only", "attn_impl"),
-        )
+        self._prefill_fn = _jitted_forward(self.model.forward)
 
     # -- public API -------------------------------------------------------
 
@@ -176,7 +193,10 @@ class ContinuousBatcher:
 
     def release(self, req: Request) -> None:
         if req.row >= 0:
-            self.allocator.release(req.blocks)
+            # blocks registered in the prefix cache survive as idle-cached
+            # (reclaimed LRU when the pool runs dry)
+            keep = [b for b in req.blocks if b in self._block_hash]
+            self.allocator.release(req.blocks, keep_cached=keep)
             req.blocks = []
             self._active[req.row] = False
             self.running.pop(req.row, None)
@@ -194,50 +214,106 @@ class ContinuousBatcher:
 
     # -- admission / prefill ----------------------------------------------
 
+    def _block_hashes(self, prompt_ids: List[int]) -> List[int]:
+        """Chain hashes for each COMPLETE block of the prompt: h_j commits
+        to every token in blocks 0..j (content addressing)."""
+        bs = self.sc.block_size
+        out = []
+        h = 0
+        for j in range(len(prompt_ids) // bs):
+            h = hash((h, tuple(prompt_ids[j * bs : (j + 1) * bs])))
+            out.append(h)
+        return out
+
     def _try_admit(self, req: Request) -> bool:
+        """Admit one request: reuse any cached prefix blocks (read-only,
+        refcounted), prefill ONLY the suffix into a trailing-padded dense
+        cache seeded with the prefix K/V, scatter the new whole blocks
+        into the pool, and register them in the prefix cache.
+
+        Prompts are trailing-padded (slot == logical position for every
+        row), which is what makes block contents pad-independent and
+        therefore shareable across prompts of different lengths."""
         import math
 
         sc = self.sc
+        bs = sc.block_size
         S = len(req.prompt_ids)
-        # pad unit must satisfy both the prefill bucket (bounds compiles)
-        # and the block size (prefill scatter fills whole blocks)
-        unit = math.lcm(sc.prefill_bucket, sc.block_size)
-        S_pad = max(unit, -(-S // unit) * unit)
-        total_slots = S_pad + req.max_new_tokens
-        n_blk = blocks_needed(total_slots, sc.block_size)
-        if n_blk > sc.max_blocks_per_seq:
+        if blocks_needed(S + req.max_new_tokens, bs) > sc.max_blocks_per_seq:
             req.finished = True
             req.finish_reason = "length"
             return False
-        blocks = self.allocator.alloc(blocks_needed(S_pad, sc.block_size))
-        if blocks is None:
+
+        # longest cached block prefix, leaving >= 1 token to prefill
+        hashes = self._block_hashes(req.prompt_ids)
+        n_shareable = min(len(hashes), (S - 1) // bs)
+        shared: List[int] = []
+        if sc.enable_prefix_cache:
+            for j in range(n_shareable):
+                b = self._prefix_cache.get(hashes[j])
+                if b is None:
+                    break
+                shared.append(b)
+        p_blk = len(shared)
+        p_len = p_blk * bs
+        suffix = req.prompt_ids[p_len:]
+        S_suf = len(suffix)
+
+        n_private = blocks_needed(S_suf, bs)
+        private = self.allocator.alloc(n_private)
+        if private is None:
             return False  # no memory yet — stay queued
+        self.allocator.share(shared)
         row = self.free_rows.pop()
         req.row = row
-        req.blocks = blocks
+        req.blocks = shared + private
         self.running[row] = req
 
-        pad = S_pad - S
-        ids = np.zeros((1, S_pad), np.int32)
-        ids[0, pad:] = req.prompt_ids
-        valid = np.zeros((1, S_pad), bool)
-        valid[0, pad:] = True
-        positions = np.zeros((1, S_pad), np.int32)
-        positions[0, pad:] = np.arange(S)
+        # dense cache: [0, p_len) gathered prefix, suffix prefilled at
+        # [p_len, S), trailing pads beyond. Sizes rounded so compiles stay
+        # bounded and scatter ranges stay block-aligned.
+        unit = math.lcm(sc.prefill_bucket, bs)
+        S_in = max(unit, -(-S_suf // unit) * unit)  # padded suffix input
+        T_dense = p_len + S_in
+        cache = create_kv_cache(self.cfg, 1, T_dense, dtype=self.kv_dtype)
+        if p_blk:
+            cache = _seed_dense_from_pool(
+                cache, self.state,
+                jnp.asarray(np.asarray(shared, np.int32)), bs,
+            )
+        ids = np.zeros((1, S_in), np.int32)
+        ids[0, :S_suf] = suffix
+        valid = np.zeros((1, S_in), bool)
+        valid[0, :S_suf] = True
+        positions = np.zeros((1, S_in), np.int32)
+        positions[0, :S_suf] = p_len + np.arange(S_suf)
 
-        # dense bucketed prefill (cache length = S_pad exactly); the dense
-        # cache already stores in the paged pool's dtype (e.g. fp8)
-        cache = create_kv_cache(self.cfg, 1, S_pad, dtype=self.kv_dtype)
         logits, cache = self._prefill_fn(
             self.params, self.cfg, jnp.asarray(ids), cache,
             jnp.asarray(positions), jnp.asarray(valid), last_only=True,
             attn_impl=self.sc.attn_impl,
+            last_pos=jnp.asarray([S_suf - 1], jnp.int32),
         )
-        # scatter prefill K/V into this row's blocks
+        # scatter the suffix K/V into this row's private blocks (the
+        # dense range [p_len, p_len + n_private*bs) is block-aligned)
         self.state = _scatter_prefill(
-            self.state, cache.k[:, 0], cache.v[:, 0],
-            jnp.asarray(np.asarray(blocks, np.int32)), self.sc.block_size,
+            self.state,
+            jax.lax.dynamic_slice_in_dim(
+                cache.k[:, 0], p_len, n_private * bs, axis=2
+            ),
+            jax.lax.dynamic_slice_in_dim(
+                cache.v[:, 0], p_len, n_private * bs, axis=2
+            ),
+            jnp.asarray(np.asarray(private, np.int32)), bs,
         )
+        # register newly completed whole blocks for future reuse
+        if sc.enable_prefix_cache:
+            for j in range(p_blk, len(hashes)):
+                blk = req.blocks[j]
+                if hashes[j] not in self._prefix_cache:
+                    self._prefix_cache[hashes[j]] = blk
+                    self._block_hash[blk] = hashes[j]
+
         # sample the first token with this request's knobs
         self._key, k = jax.random.split(self._key)
         tok = int(np.asarray(sample_batched(
@@ -251,11 +327,11 @@ class ContinuousBatcher:
             k,
         ))[0])
 
-        # host bookkeeping
+        # host bookkeeping: trailing padding ⇒ starts = 0, length = S
         self._tables[row] = 0
-        self._tables[row, : len(blocks)] = blocks
-        self._lengths[row] = S_pad
-        self._starts[row] = pad
+        self._tables[row, : len(req.blocks)] = req.blocks
+        self._lengths[row] = S
+        self._starts[row] = 0
         self._active[row] = True
         self._tokens[row] = tok
         s = req.sampler
@@ -268,24 +344,6 @@ class ContinuousBatcher:
         return True
 
     # -- decode ------------------------------------------------------------
-
-    def _decode_step_impl(self, params, state, tokens, temps, topks,
-                          topps, minps, key, n_steps):
-        """n_steps whole decode steps as one scanned program; returns
-        tokens [n_steps, B] and the advanced state."""
-
-        def body(carry, key_step):
-            state, toks = carry
-            logits, state = self.model.forward_paged(
-                params, self.cfg, toks, state, attn_impl=self.sc.attn_impl
-            )
-            nxt = sample_batched(logits, temps, topks, topps, minps,
-                                 key_step)
-            return (state, nxt), nxt
-
-        keys = jax.random.split(key, n_steps)
-        (state, _), toks_seq = jax.lax.scan(body, (state, tokens), keys)
-        return toks_seq, state
 
     def _ensure_blocks(self, n_steps: int) -> Dict[int, int]:
         """Reserve blocks covering the next n_steps slots per active row.
@@ -329,11 +387,13 @@ class ContinuousBatcher:
             return events
         self._sync_state_meta()
         self._key, k = jax.random.split(self._key)
+        # .copy(): these mirrors are mutated below while the dispatch may
+        # still be in flight (see _sync_state_meta)
         toks_seq, self.state = self._decode_fn(
-            self.params, self.state, jnp.asarray(self._tokens),
-            jnp.asarray(self._temps), jnp.asarray(self._topks),
-            jnp.asarray(self._topps), jnp.asarray(self._minps), k,
-            n_steps=n_steps,
+            self.params, self.state, jnp.asarray(self._tokens.copy()),
+            jnp.asarray(self._temps.copy()), jnp.asarray(self._topks.copy()),
+            jnp.asarray(self._topps.copy()), jnp.asarray(self._minps.copy()),
+            k, n_steps=n_steps,
         )
         was_active = self._active.copy()
         self._lengths[was_active] += n_steps
@@ -375,13 +435,81 @@ class ContinuousBatcher:
         return [TokenEvent(req.request_id, tok, False)]
 
     def _sync_state_meta(self) -> None:
-        """Upload the small host-side metadata arrays."""
+        """Upload the small host-side metadata arrays.
+
+        The .copy() calls are load-bearing: jnp.asarray of a numpy array
+        can ALIAS the host buffer on the CPU backend, and these mirrors
+        are mutated right after the (async) dispatch — an aliased upload
+        lets the in-flight program read post-mutation values (observed as
+        K/V writes landing one slot too far, rarely and timing-dependent)."""
         self.state = self.state._replace(
-            block_tables=jnp.asarray(self._tables),
-            lengths=jnp.asarray(self._lengths),
-            starts=jnp.asarray(self._starts),
-            active=jnp.asarray(self._active),
+            block_tables=jnp.asarray(self._tables.copy()),
+            lengths=jnp.asarray(self._lengths.copy()),
+            starts=jnp.asarray(self._starts.copy()),
+            active=jnp.asarray(self._active.copy()),
         )
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_forward(forward_fn):
+    """One jit wrapper per model-forward function for the whole process
+    (jax.jit caches by wrapper identity, not by wrapped function)."""
+    return jax.jit(
+        forward_fn, static_argnames=("cfg", "last_only", "attn_impl")
+    )
+
+
+@functools.partial(
+    jax.jit,
+    donate_argnums=(1,),
+    static_argnames=("forward_paged", "cfg", "attn_impl", "n_steps"),
+)
+def _decode_quantum(params, state, tokens, temps, topks, topps, minps,
+                    key, *, forward_paged, cfg, attn_impl, n_steps):
+    """n_steps whole decode steps as one scanned program; returns tokens
+    [n_steps, B] and the advanced state."""
+
+    def body(carry, key_step):
+        state, toks = carry
+        logits, state = forward_paged(params, cfg, toks, state,
+                                      attn_impl=attn_impl)
+        nxt = sample_batched(logits, temps, topks, topps, minps, key_step)
+        return (state, nxt), nxt
+
+    keys = jax.random.split(key, n_steps)
+    (state, _), toks_seq = jax.lax.scan(body, (state, tokens), keys)
+    return toks_seq, state
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+def _seed_dense_from_pool(cache, state: PagedKVState, blocks,
+                          block_size: int):
+    """Gather shared prefix blocks from the pool into the head of a dense
+    cache (the inverse of _scatter_prefill): slots [0, n_blk*block_size)
+    get the prefix K/V; kv_pos/valid reflect slot==position."""
+    n_blk = blocks.shape[0]
+    p_len = n_blk * block_size
+    # pool [L, n_blocks, Nk, bs, D] -> [L, Nk, p_len, D]
+    def from_blocks(pool):
+        x = pool[:, blocks]  # [L, n_blk, Nk, bs, D]
+        return x.transpose(0, 2, 1, 3, 4).reshape(
+            x.shape[0], x.shape[2], p_len, x.shape[4]
+        )
+
+    k = cache.k.at[:, 0, :, :p_len, :].set(
+        from_blocks(state.k_pool).astype(cache.k.dtype)
+    )
+    v = cache.v.at[:, 0, :, :p_len, :].set(
+        from_blocks(state.v_pool).astype(cache.v.dtype)
+    )
+    T = cache.kv_pos.shape[1]
+    idx = jnp.arange(T, dtype=jnp.int32)[None, :]
+    kv_pos = jnp.where(idx < p_len, idx, cache.kv_pos)
+    valid = cache.valid | (idx < p_len)
+    return cache._replace(
+        k=k, v=v, kv_pos=kv_pos, valid=valid,
+        length=jnp.asarray(p_len, jnp.int32),
+    )
 
 
 @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(4,))

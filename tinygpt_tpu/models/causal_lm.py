@@ -267,9 +267,11 @@ def forward(
     input_ids: jnp.ndarray,    # [B, S]
     cache: KVCache,
     positions: jnp.ndarray,    # [B, S] logical positions (RoPE/causality)
-    token_valid: jnp.ndarray,  # [B, S] bool — real token vs left-pad
+    token_valid: jnp.ndarray,  # [B, S] bool — real token vs pad
     last_only: bool = False,
     attn_impl: str = "xla",    # "xla" | "pallas" (static under jit)
+    last_pos=None,             # [B] int32 — row of the last REAL token; for
+                               # trailing-padded prompts (default: S-1)
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One forward step (prefill S>1 or decode S=1).
 
@@ -301,7 +303,10 @@ def forward(
     )
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
     if last_only:
-        x = x[:, -1:, :]
+        if last_pos is not None:
+            x = x[jnp.arange(B), last_pos][:, None, :]
+        else:
+            x = x[:, -1:, :]
     head = params["lm_head"]
     if head is None:
         logits = x @ params["embed"].T

@@ -114,6 +114,7 @@ def forward(
     token_valid: jnp.ndarray,  # [B, S]
     last_only: bool = False,
     attn_impl: str = "xla",
+    last_pos=None,  # [B] int32 — index of the last REAL token per row
 ) -> Tuple[jnp.ndarray, KVCache]:
     B, S = input_ids.shape
     N = cfg.num_attention_heads
@@ -159,7 +160,10 @@ def forward(
     )
     x = layer_norm(x, params["lnf_w"], params["lnf_b"], cfg.layer_norm_epsilon)
     if last_only:
-        x = x[:, -1:, :]
+        if last_pos is not None:
+            x = x[jnp.arange(B), last_pos][:, None, :]
+        else:
+            x = x[:, -1:, :]
     logits = x @ params["wte"].T  # tied lm_head
     new_cache = KVCache(k=new_k, v=new_v, kv_pos=kv_pos, valid=valid,
                         length=slot + S)
