@@ -65,38 +65,37 @@ class QuantizedTensor:
 
 
 def pack_int4(q: np.ndarray) -> np.ndarray:
-    """Pack int4 values in [-8, 7] along axis 0 with the HALF-SPLIT
-    scheme: packed row p holds original row p in the low nibble and row
-    p + in/2 in the high nibble. This keeps each nibble plane a contiguous
-    row range, so the Pallas kernel reads one packed tile and pairs it
-    with two contiguous x tiles — no sublane interleaving on TPU."""
+    """Pack int4 values in [-8, 7] along axis 0 with the HALF-SPLIT,
+    BIASED scheme: values are stored as u = q + 8 in [0, 15]; packed row
+    p holds original row p in the low nibble and row p + in/2 in the high
+    nibble. Half-split keeps each nibble plane a contiguous row range (the
+    Pallas kernel pairs one packed tile with two contiguous x tiles); the
+    +8 bias makes unpacking pure mask/shift — the dequant kernel folds
+    the bias into a per-group rank-1 correction instead of a per-weight
+    sign-extend."""
     assert q.shape[0] % 2 == 0
     half = q.shape[0] // 2
-    lo = (q[:half] & 0x0F).astype(np.uint8)
-    hi = (q[half:] & 0x0F).astype(np.uint8)
-    return (lo | (hi << 4)).astype(np.int8)
-
-
-def _sign_extend_4bit(v: jnp.ndarray) -> jnp.ndarray:
-    return jnp.where(v >= 8, v.astype(jnp.int32) - 16, v).astype(jnp.int8)
+    u = (q.astype(np.int16) + 8).astype(np.uint8)
+    return ((u[:half] & 0x0F) | (u[half:] << 4)).astype(np.int8)
 
 
 def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
     """Inverse of pack_int4 (jit-friendly): [in/2, out] int8 → [in, out]
     int8 in [-8, 7] (original row order)."""
     u = packed.astype(jnp.uint8)
-    lo = _sign_extend_4bit(u & 0x0F)
-    hi = _sign_extend_4bit((u >> 4) & 0x0F)
+    lo = (u & 0x0F).astype(jnp.int8) - 8
+    hi = ((u >> 4) & 0x0F).astype(jnp.int8) - 8
     return jnp.concatenate([lo, hi], axis=0)
 
 
 def _pack_int4_jnp(q: jnp.ndarray) -> jnp.ndarray:
-    """pack_int4 on device (same half-split scheme), leading-dim agnostic:
-    packs along axis -2."""
+    """pack_int4 on device (same half-split biased scheme), leading-dim
+    agnostic: packs along axis -2."""
     half = q.shape[-2] // 2
-    lo = (q[..., :half, :].astype(jnp.uint8)) & 0x0F
-    hi = (q[..., half:, :].astype(jnp.uint8)) & 0x0F
-    return (lo | (hi << 4)).astype(jnp.int8)
+    u = (q.astype(jnp.int32) + 8).astype(jnp.uint8)
+    lo = u[..., :half, :] & 0x0F
+    hi = u[..., half:, :] << 4
+    return (lo | hi).astype(jnp.int8)
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "g"))

@@ -149,13 +149,12 @@ def _int4_kernel(x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref, o_ref,
     packed = w_ref[:].astype(jnp.int32)  # [BKP, BO] — packed rows
     bkp, bo = packed.shape
     rows = bkp // group
-    # unpack once per tile; scales post-multiply per-group partial sums
-    # (see _int8_kernel) so the per-weight VPU work is unpack + convert.
-    lo = packed & 0x0F
-    lo = (lo - jnp.where(lo >= 8, 16, 0)).astype(jnp.float32)
-    hi = packed >> 4  # arithmetic shift needs masking for negatives
-    hi = hi & 0x0F
-    hi = (hi - jnp.where(hi >= 8, 16, 0)).astype(jnp.float32)
+    # BIASED nibbles (u = q + 8): unpack is pure mask/shift + convert; the
+    # -8 bias is folded into a per-group rank-1 correction below, and
+    # scales post-multiply per-group partial sums (see _int8_kernel) — so
+    # the per-weight VPU work is minimal.
+    lo = (packed & 0x0F).astype(jnp.float32)          # u_lo in [0, 15]
+    hi = ((packed >> 4) & 0x0F).astype(jnp.float32)   # u_hi in [0, 15]
 
     x_lo = x_lo_ref[:].astype(jnp.float32)
     x_hi = x_hi_ref[:].astype(jnp.float32)
@@ -164,11 +163,16 @@ def _int4_kernel(x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref, o_ref,
     acc = acc_ref[:]
     for r in range(rows):
         sl = slice(r * group, (r + 1) * group)
-        acc = acc + s_lo[r][None, :] * jnp.dot(
-            x_lo[:, sl], lo[sl, :], preferred_element_type=jnp.float32
+        # x @ (s*(u-8)) = s ⊙ (x @ u) - 8s ⊙ sum(x)
+        xs_lo = jnp.sum(x_lo[:, sl], axis=1, keepdims=True)  # [BM, 1]
+        xs_hi = jnp.sum(x_hi[:, sl], axis=1, keepdims=True)
+        acc = acc + s_lo[r][None, :] * (
+            jnp.dot(x_lo[:, sl], lo[sl, :],
+                    preferred_element_type=jnp.float32) - 8.0 * xs_lo
         )
-        acc = acc + s_hi[r][None, :] * jnp.dot(
-            x_hi[:, sl], hi[sl, :], preferred_element_type=jnp.float32
+        acc = acc + s_hi[r][None, :] * (
+            jnp.dot(x_hi[:, sl], hi[sl, :],
+                    preferred_element_type=jnp.float32) - 8.0 * xs_hi
         )
     acc_ref[:] = acc
 
