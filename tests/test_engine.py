@@ -150,3 +150,33 @@ def test_speculative_ngram_matches_greedy(full_model_dir):
     # most-recent match wins (standard prompt-lookup), so the continuation
     # can be shorter than k near the tail
     assert ngram_draft([5, 5, 5, 5], 1, 3) == [5]
+
+
+def test_engine_sharded_matches_single(full_model_dir):
+    """GPTEngine with a (dp, sp, tp) mesh must produce the same greedy
+    tokens as single-device execution (GSPMD sharding is a layout, not a
+    numerics change — modulo reduction-order noise, which the tiny
+    fixture tolerates poorly, hence token-level check on short output)."""
+    prompts = ["Hello world", "The quick brown fox"]
+    outs = {}
+    for mesh_shape in (None, (2, 1, 4), (1, 2, 4), (1, 1, 8)):
+        eng = GPTEngine(GPTConfig(
+            model_dir=full_model_dir, dtype="float32", max_tokens=6,
+            mesh_shape=mesh_shape,
+        ))
+        eng.prepare()
+        outs[mesh_shape] = [o.token_ids for o in eng.generate_sync(prompts)]
+    for shape, toks in outs.items():
+        assert toks == outs[None], f"mesh {shape} diverged: {toks}"
+
+
+def test_engine_sharded_quantized(full_model_dir):
+    """Mesh + weight-only quantization compose (QuantizedTensor leaves
+    shard data+scales with the weight's spec)."""
+    eng = GPTEngine(GPTConfig(
+        model_dir=full_model_dir, dtype="float32", max_tokens=4,
+        mesh_shape=(1, 1, 4), quantization="int8", quant_group_size=8,
+    ))
+    eng.prepare()
+    outs = eng.generate_sync(["Hello world"])
+    assert len(outs[0].token_ids) > 0

@@ -43,7 +43,13 @@ def main(argv=None) -> int:
                     choices=["int8", "int4"],
                     help="weight-only quantization")
     ap.add_argument("--quant-group-size", type=int, default=128)
+    ap.add_argument("--mesh", default=None, metavar="DP,SP,TP",
+                    help="shard over a device mesh, e.g. 1,1,8")
+    ap.add_argument("--speculative", default=None, choices=["ngram"],
+                    help="speculative decoding (greedy batch-1)")
     args = ap.parse_args(argv)
+    mesh_shape = (tuple(int(x) for x in args.mesh.split(","))
+                  if args.mesh else None)
 
     engine = GPTEngine(GPTConfig(
         model_dir=args.model,
@@ -55,6 +61,8 @@ def main(argv=None) -> int:
         ),
         quantization=args.quantization,
         quant_group_size=args.quant_group_size,
+        mesh_shape=mesh_shape,
+        speculative=args.speculative,
     ))
     t0 = time.perf_counter()
     engine.prepare()

@@ -82,6 +82,12 @@ class GPTConfig:
     speculative: Optional[str] = None
     spec_draft_len: int = 4
     spec_ngram: int = 3
+    # multi-device execution: (dp, sp, tp) mesh shape, or None for single
+    # device. Weights get Megatron-style tp shardings, the KV cache
+    # shards kv-heads on tp and batch on dp, prefill inputs shard batch
+    # on dp (and sequence on sp); GSPMD inserts the collectives. Requires
+    # dp*sp*tp visible devices and batch % dp == 0.
+    mesh_shape: Optional[tuple] = None
 
 
 @dataclass
@@ -148,6 +154,38 @@ class GPTEngine:
         self._attn_impl = (
             "pallas" if jax.devices()[0].platform == "tpu" else "xla"
         )
+        self._mesh = None
+        self._cache_sharding = None
+        self._data_sharding = None
+        if cfg.mesh_shape is not None:
+            from jax.sharding import NamedSharding
+            from tinygpt_tpu.parallel.sharding import (
+                cache_pspecs,
+                data_pspecs,
+                make_mesh,
+                param_pspecs,
+                shard_params,
+            )
+
+            dp, sp, tp = cfg.mesh_shape
+            self._mesh = make_mesh(n_devices=dp * sp * tp, dp=dp, sp=sp,
+                                   tp=tp)
+            self.ctx.params = shard_params(
+                self.ctx.params, self._mesh,
+                param_pspecs(mc, self.ctx.params),
+            )
+            self._cache_sharding = jax.tree.map(
+                lambda s: NamedSharding(self._mesh, s),
+                cache_pspecs(mc, tp),
+            )
+            self._data_sharding = NamedSharding(
+                self._mesh, data_pspecs(sp=sp > 1)
+            )
+            # GSPMD handles sharded attention; the Pallas kernels are
+            # single-device programs
+            self._attn_impl = "xla"
+            log.info("engine sharded over mesh dp=%d sp=%d tp=%d",
+                     dp, sp, tp)
         self._forward_jit = jax.jit(
             self.ctx.model.forward,
             static_argnames=("cfg", "last_only", "attn_impl"),
@@ -202,6 +240,23 @@ class GPTEngine:
         if kd in ("fp8", "float8_e4m3", "e4m3"):
             return jnp.float8_e4m3fn
         return resolve_dtype(kd)
+
+    def _place(self, cache, ids, positions, valid):
+        """Apply mesh shardings to a fresh cache and prefill inputs (no-op
+        single-device)."""
+        ids, positions, valid = (
+            jnp.asarray(ids), jnp.asarray(positions), jnp.asarray(valid)
+        )
+        if self._mesh is None:
+            return cache, ids, positions, valid
+        dp = self._mesh.shape["dp"]
+        if ids.shape[0] % dp:
+            raise ValueError(
+                f"batch {ids.shape[0]} not divisible by dp={dp}"
+            )
+        cache = jax.tree.map(jax.device_put, cache, self._cache_sharding)
+        put = lambda x: jax.device_put(x, self._data_sharding)
+        return cache, put(ids), put(positions), put(valid)
 
     def apply_chat_template(self, messages, add_generation_prompt=True) -> str:
         assert self.ctx is not None
@@ -277,10 +332,12 @@ class GPTEngine:
             dtype=self._kv_dtype(),
         )
         params = self.ctx.params
+        cache, ids_d, pos_d, valid_d = self._place(
+            cache, ids, positions, valid
+        )
 
         logits, cache = self._forward_jit(
-            params, cfg, jnp.asarray(ids), cache,
-            jnp.asarray(positions), jnp.asarray(valid), last_only=True,
+            params, cfg, ids_d, cache, pos_d, valid_d, last_only=True,
             attn_impl=self._attn_impl,
         )
         self._key, k = jax.random.split(self._key)
@@ -356,9 +413,11 @@ class GPTEngine:
             dtype=self._kv_dtype(),
         )
         params = self.ctx.params
+        cache, ids_d, pos_d, valid_d = self._place(
+            cache, ids, positions, valid
+        )
         logits, cache = self._forward_jit(
-            params, cfg, jnp.asarray(ids), cache,
-            jnp.asarray(positions), jnp.asarray(valid), last_only=True,
+            params, cfg, ids_d, cache, pos_d, valid_d, last_only=True,
             attn_impl=self._attn_impl,
         )
         cur = int(np.asarray(jnp.argmax(logits[0, -1])))

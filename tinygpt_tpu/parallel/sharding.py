@@ -118,14 +118,37 @@ def cache_pspecs(cfg: ModelConfig, tp_size: int):
 
 
 def shard_params(params: Dict, mesh: Mesh, specs: Dict) -> Dict:
-    """device_put the param pytree with NamedShardings."""
+    """device_put the param pytree with NamedShardings.
+
+    QuantizedTensor leaves get their weight spec applied to both the
+    packed data and the scales: both are laid out [.., in(-ish), out], so
+    the same dim-wise PartitionSpec describes them (int4 packs rows and
+    scales group rows — divisibility permitting, else replicated)."""
+    from tinygpt_tpu.ops.quant import QuantizedTensor
+
+    def is_leaf(x):
+        return x is None or isinstance(x, QuantizedTensor)
+
+    def put_arr(x, spec):
+        spec = spec or P()
+        # drop axis shardings the (packed/grouped) dim no longer divides
+        fixed = []
+        for d, ax in enumerate(spec):
+            if ax is None:
+                fixed.append(None)
+                continue
+            size = mesh.shape[ax] if not isinstance(ax, tuple) else 0
+            fixed.append(ax if size and x.shape[d] % size == 0 else None)
+        return jax.device_put(x, NamedSharding(mesh, P(*fixed)))
 
     def put(x, spec):
         if x is None:
             return None
-        return jax.device_put(x, NamedSharding(mesh, spec or P()))
+        if isinstance(x, QuantizedTensor):
+            return QuantizedTensor(
+                put_arr(x.data, spec), put_arr(x.scales, spec),
+                bits=x.bits, group_size=x.group_size, in_dim=x.in_dim,
+            )
+        return put_arr(x, spec)
 
-    return jax.tree.map(
-        put, params, specs,
-        is_leaf=lambda x: x is None,
-    )
+    return jax.tree.map(put, params, specs, is_leaf=is_leaf)

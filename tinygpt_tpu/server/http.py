@@ -47,6 +47,7 @@ class ServerConfig:
     web_dir: Optional[str] = None
     quantization: Optional[str] = None  # None | "int8" | "int4"
     quant_group_size: int = 128
+    mesh_shape: Optional[tuple] = None  # (dp, sp, tp) device mesh
     # "continuous" = paged continuous batching; "sequential" = the
     # reference's one-request-at-a-time worker
     scheduler: str = "continuous"
@@ -76,6 +77,7 @@ class TinyGPTServer:
             max_tokens=cfg.max_tokens, sampler=sampler,
             quantization=cfg.quantization,
             quant_group_size=cfg.quant_group_size,
+            mesh_shape=cfg.mesh_shape,
         ))
         self.engine.prepare()
         self._setup_chat_template()
@@ -331,6 +333,8 @@ def main(argv=None) -> None:
     ap.add_argument("--quantization", default=None,
                     choices=["int8", "int4"])
     ap.add_argument("--quant-group-size", type=int, default=128)
+    ap.add_argument("--mesh", default=None, metavar="DP,SP,TP",
+                    help="shard the engine over a device mesh, e.g. 1,1,8")
     ap.add_argument("--scheduler", default="continuous",
                     choices=["continuous", "sequential"])
     ap.add_argument("--batch-capacity", type=int, default=8)
@@ -347,6 +351,8 @@ def main(argv=None) -> None:
         web_dir=args.web_dir,
         quantization=args.quantization,
         quant_group_size=args.quant_group_size,
+        mesh_shape=(tuple(int(x) for x in args.mesh.split(","))
+                    if args.mesh else None),
         scheduler=args.scheduler,
         batch_capacity=args.batch_capacity,
         kv_block_size=args.kv_block_size,
