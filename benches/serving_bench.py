@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--vocab", type=int, default=128256)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--kv-dtype", default="auto")
+    ap.add_argument("--shared-prefix", type=int, default=0,
+                    help="tokens of system prompt shared by all requests "
+                         "(exercises prefix caching)")
+    ap.add_argument("--no-prefix-cache", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -71,27 +75,32 @@ def main():
             max_blocks_per_seq=32, prefill_bucket=64,
             dtype=args.dtype, kv_cache_dtype=args.kv_dtype,
             attn_impl=attn, decode_quantum=args.quantum,
+            enable_prefix_cache=not args.no_prefix_cache,
         ),
     )
 
     rng = np.random.default_rng(0)
+    shared = [int(x) for x in
+              rng.integers(2, cfg.vocab_size, args.shared_prefix)]
     submit_t = {}
     first_tok_t = {}
     done_t = {}
     tokens_out = {i: 0 for i in range(args.requests)}
 
-    # warmup: compile prefill + quantum with one request
-    batcher.add_request(Request(request_id=-1,
-                                prompt_ids=[1] * args.prompt_len,
-                                max_new_tokens=args.quantum + 1))
-    while batcher.has_work:
-        batcher.step()
+    # warmup: compile prefill + quantum for both the cold and the
+    # prefix-cached admission shapes
+    warm = [1] * (args.shared_prefix + args.prompt_len)
+    for rid in (-1, -2):
+        batcher.add_request(Request(request_id=rid, prompt_ids=list(warm),
+                                    max_new_tokens=args.quantum + 1))
+        while batcher.has_work:
+            batcher.step()
 
     t_start = time.perf_counter()
     for i in range(args.requests):
         batcher.add_request(Request(
             request_id=i,
-            prompt_ids=[int(x) for x in
+            prompt_ids=shared + [int(x) for x in
                         rng.integers(2, cfg.vocab_size, args.prompt_len)],
             max_new_tokens=args.max_new,
         ))
@@ -116,6 +125,8 @@ def main():
     result = {
         "metric": "serving_continuous_batching",
         "requests": args.requests,
+        "shared_prefix": args.shared_prefix,
+        "prefix_cache": not args.no_prefix_cache,
         "prompt_len": args.prompt_len,
         "max_new": args.max_new,
         "capacity": args.capacity,

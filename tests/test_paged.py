@@ -320,10 +320,9 @@ def test_prefix_cache_reuse_and_correctness(llama):
     got_off, _ = run(False)
     got_on, b = run(True)
     assert got_on == got_off
-    # 40-token system prefix = 2 whole blocks of 16 shared by request 1
-    assert len(b._prefix_cache) > 0
+    # 40-token system prefix = 2 whole blocks of 16 shared by request 1;
     # idle-cached blocks survive release and the pool accounting balances
-    assert len(b.allocator.cached_idle) > 0
+    assert b.allocator.n_idle_cached > 0
     assert b.allocator.n_free == 63  # everything free or reclaimable
 
 
@@ -342,8 +341,8 @@ def test_prefix_cache_persists_across_requests(llama):
     batcher.add_request(Request(request_id=0, prompt_ids=system + [7, 8],
                                 max_new_tokens=3))
     _drain(batcher)
-    cached = dict(batcher.allocator.cached_idle)
-    assert cached, "prefix blocks should be idle-cached after release"
+    n_cached = batcher.allocator.n_idle_cached
+    assert n_cached > 0, "prefix blocks should be idle-cached after release"
 
     batcher.add_request(Request(request_id=1, prompt_ids=system + [9],
                                 max_new_tokens=3))
@@ -351,7 +350,7 @@ def test_prefix_cache_persists_across_requests(llama):
     _drain(batcher, got)
     assert len(got[1]) == 3
     # the revived blocks were reused (still registered, back to idle)
-    assert set(cached) <= set(batcher.allocator.cached_idle)
+    assert batcher.allocator.n_idle_cached >= n_cached
 
 
 def test_prefix_cache_eviction_under_pressure(llama):
@@ -373,6 +372,56 @@ def test_prefix_cache_eviction_under_pressure(llama):
         got = {}
         _drain(batcher, got)
         assert len(got[i]) == 2, f"request {i} starved"
-    # hash map never refers to freed blocks
-    for h, blk in batcher._prefix_cache.items():
-        assert batcher._block_hash.get(blk) == h
+    # pool accounting balances after heavy recycling
+    assert batcher.allocator.n_free == 7
+
+
+def test_pool_index_native_python_parity():
+    """The C++ pool (csrc/kvpool.cpp) must match the Python reference
+    block-for-block across a randomized alloc/share/release/prefix
+    workload (same LIFO/LRU orders)."""
+    from tinygpt_tpu.engine import native_pool
+
+    lib = native_pool._load()
+    if lib is None:
+        pytest.skip("native pool unavailable")
+    na = native_pool.NativePoolIndex(32, lib)
+    py = native_pool.PythonPoolIndex(32)
+
+    rng = np.random.default_rng(0)
+    live = []  # (blocks, registered_hashes)
+    for step in range(300):
+        op = rng.integers(0, 4)
+        if op == 0:  # alloc 1-4
+            n = int(rng.integers(1, 5))
+            a, b = na.alloc(n), py.alloc(n)
+            assert a == b, f"step {step}: alloc {a} != {b}"
+            if a is not None:
+                live.append(list(a))
+        elif op == 1 and live:  # register prefixes on a live alloc
+            blocks = live[int(rng.integers(0, len(live)))]
+            for blk in blocks[: int(rng.integers(1, len(blocks) + 1))]:
+                h = int(rng.integers(0, 2**63))
+                na.register_prefix(h, blk)
+                py.register_prefix(h, blk)
+                assert na.lookup_prefix(h) == py.lookup_prefix(h)
+        elif op == 2 and live:  # share a live alloc
+            blocks = live[int(rng.integers(0, len(live)))]
+            na.share(blocks)
+            py.share(blocks)
+            live.append(list(blocks))
+        elif op == 3 and live:  # release one reference
+            blocks = live.pop(int(rng.integers(0, len(live))))
+            keep = [b for b in blocks if py.is_registered(b)]
+            assert keep == [b for b in blocks if na.is_registered(b)]
+            na.release(blocks, keep_cached=keep)
+            py.release(blocks, keep_cached=keep)
+        assert na.n_free == py.n_free, f"step {step}"
+        assert na.n_idle_cached == py.n_idle_cached, f"step {step}"
+    # drain everything and verify full recovery
+    while live:
+        blocks = live.pop()
+        keep = [b for b in blocks if py.is_registered(b)]
+        na.release(blocks, keep_cached=keep)
+        py.release(blocks, keep_cached=keep)
+    assert na.n_free == py.n_free == 31

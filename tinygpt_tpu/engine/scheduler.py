@@ -119,18 +119,12 @@ class ContinuousBatcher:
             model_config, sc.n_blocks, sc.block_size, sc.batch_capacity,
             sc.max_blocks_per_seq, dtype=self.kv_dtype,
         )
-        self.allocator = BlockAllocator(sc.n_blocks)
-        # prefix cache: chain-hash -> block id, and the inverse for
-        # eviction (the allocator reclaims idle cached blocks LRU)
-        self._prefix_cache: Dict[int, int] = {}
-        self._block_hash: Dict[int, int] = {}
+        # block bookkeeping + prefix index: native (csrc/kvpool.cpp) when
+        # available, pure-Python otherwise — identical semantics and
+        # allocation order
+        from tinygpt_tpu.engine.native_pool import create_pool_index
 
-        def _on_evict(b: int) -> None:
-            h = self._block_hash.pop(b, None)
-            if h is not None:
-                self._prefix_cache.pop(h, None)
-
-        self.allocator.on_evict = _on_evict
+        self.allocator = create_pool_index(sc.n_blocks)
         self.waiting: List[Request] = []
         self.running: Dict[int, Request] = {}  # row -> Request
         self.free_rows = list(range(sc.batch_capacity - 1, -1, -1))
@@ -195,7 +189,8 @@ class ContinuousBatcher:
         if req.row >= 0:
             # blocks registered in the prefix cache survive as idle-cached
             # (reclaimed LRU when the pool runs dry)
-            keep = [b for b in req.blocks if b in self._block_hash]
+            keep = [b for b in req.blocks
+                    if self.allocator.is_registered(b)]
             self.allocator.release(req.blocks, keep_cached=keep)
             req.blocks = []
             self._active[req.row] = False
@@ -250,7 +245,7 @@ class ContinuousBatcher:
         shared: List[int] = []
         if sc.enable_prefix_cache:
             for j in range(n_shareable):
-                b = self._prefix_cache.get(hashes[j])
+                b = self.allocator.lookup_prefix(hashes[j])
                 if b is None:
                     break
                 shared.append(b)
@@ -269,18 +264,11 @@ class ContinuousBatcher:
         req.blocks = shared + private
         self.running[row] = req
 
-        # dense cache: [0, p_len) gathered prefix, suffix prefilled at
-        # [p_len, S), trailing pads beyond. Sizes rounded so compiles stay
-        # bounded and scatter ranges stay block-aligned.
+        # one jitted admission program: gather shared prefix -> suffix
+        # prefill -> scatter into private blocks -> sample first token
+        # (a single device dispatch; compiled per (p_blk, S_in) shape)
         unit = math.lcm(sc.prefill_bucket, bs)
         S_in = max(unit, -(-S_suf // unit) * unit)  # padded suffix input
-        T_dense = p_len + S_in
-        cache = create_kv_cache(self.cfg, 1, T_dense, dtype=self.kv_dtype)
-        if p_blk:
-            cache = _seed_dense_from_pool(
-                cache, self.state,
-                jnp.asarray(np.asarray(shared, np.int32)), bs,
-            )
         ids = np.zeros((1, S_in), np.int32)
         ids[0, :S_suf] = suffix
         valid = np.zeros((1, S_in), bool)
@@ -288,44 +276,29 @@ class ContinuousBatcher:
         positions = np.zeros((1, S_in), np.int32)
         positions[0, :S_suf] = p_len + np.arange(S_suf)
 
-        logits, cache = self._prefill_fn(
-            self.params, self.cfg, jnp.asarray(ids), cache,
-            jnp.asarray(positions), jnp.asarray(valid), last_only=True,
-            attn_impl=self.sc.attn_impl,
-            last_pos=jnp.asarray([S_suf - 1], jnp.int32),
-        )
-        # scatter the suffix K/V into this row's private blocks (the
-        # dense range [p_len, p_len + n_private*bs) is block-aligned)
-        self.state = _scatter_prefill(
-            self.state,
-            jax.lax.dynamic_slice_in_dim(
-                cache.k[:, 0], p_len, n_private * bs, axis=2
-            ),
-            jax.lax.dynamic_slice_in_dim(
-                cache.v[:, 0], p_len, n_private * bs, axis=2
-            ),
-            jnp.asarray(np.asarray(private, np.int32)), bs,
+        self._key, k = jax.random.split(self._key)
+        s = req.sampler
+        tok_dev, self.state = _admit_program(
+            self.params, self.state,
+            jnp.asarray(np.asarray(shared, np.int32)),
+            jnp.asarray(np.asarray(private, np.int32)),
+            jnp.asarray(ids), jnp.asarray(positions), jnp.asarray(valid),
+            jnp.asarray([S_suf - 1], jnp.int32),
+            jnp.asarray([s.temperature or 0.0], jnp.float32),
+            jnp.asarray([s.top_k or 0], jnp.int32),
+            jnp.asarray([s.top_p if s.top_p is not None else 1.0],
+                        jnp.float32),
+            jnp.asarray([s.min_p or 0.0], jnp.float32),
+            k,
+            forward=self.model.forward, cfg=self.cfg,
+            attn_impl=sc.attn_impl, block_size=bs,
+            kv_dtype=jnp.dtype(self.kv_dtype).name,
         )
         # register newly completed whole blocks for future reuse
         if sc.enable_prefix_cache:
             for j in range(p_blk, len(hashes)):
-                blk = req.blocks[j]
-                if hashes[j] not in self._prefix_cache:
-                    self._prefix_cache[hashes[j]] = blk
-                    self._block_hash[blk] = hashes[j]
-
-        # sample the first token with this request's knobs
-        self._key, k = jax.random.split(self._key)
-        tok = int(np.asarray(sample_batched(
-            logits[:, -1, :],
-            jnp.asarray([req.sampler.temperature or 0.0], jnp.float32),
-            jnp.asarray([req.sampler.top_k or 0], jnp.int32),
-            jnp.asarray([req.sampler.top_p
-                         if req.sampler.top_p is not None else 1.0],
-                        jnp.float32),
-            jnp.asarray([req.sampler.min_p or 0.0], jnp.float32),
-            k,
-        ))[0])
+                self.allocator.register_prefix(hashes[j], req.blocks[j])
+        tok = int(np.asarray(tok_dev)[0])
 
         # host bookkeeping: trailing padding ⇒ starts = 0, length = S
         self._tables[row] = 0
@@ -448,6 +421,47 @@ class ContinuousBatcher:
             starts=jnp.asarray(self._starts.copy()),
             active=jnp.asarray(self._active.copy()),
         )
+
+
+@functools.partial(
+    jax.jit,
+    donate_argnums=(1,),
+    static_argnames=("forward", "cfg", "attn_impl", "block_size",
+                     "kv_dtype"),
+)
+def _admit_program(params, state, shared, private, ids, positions, valid,
+                   last_pos, temp, topk, topp, minp, key, *,
+                   forward, cfg, attn_impl, block_size, kv_dtype):
+    """The whole admission as ONE device program: gather the shared
+    prefix blocks into a fresh dense cache, prefill the suffix, scatter
+    its K/V into the private blocks, sample the first token. A single
+    dispatch regardless of prefix reuse (compiled per (n_shared, S_in))."""
+    bs = block_size
+    p_blk = shared.shape[0]
+    p_len = p_blk * bs
+    n_private = private.shape[0]
+    S_in = ids.shape[1]
+    T_dense = p_len + S_in
+
+    cache = create_kv_cache(cfg, 1, T_dense, dtype=jnp.dtype(kv_dtype))
+    if p_blk:
+        cache = _seed_dense_from_pool.__wrapped__(cache, state, shared, bs)
+    logits, cache = forward(
+        params, cfg, ids, cache, positions, valid, last_only=True,
+        attn_impl=attn_impl, last_pos=last_pos,
+    )
+    state = _scatter_prefill.__wrapped__(
+        state,
+        jax.lax.dynamic_slice_in_dim(
+            cache.k[:, 0], p_len, n_private * bs, axis=2
+        ),
+        jax.lax.dynamic_slice_in_dim(
+            cache.v[:, 0], p_len, n_private * bs, axis=2
+        ),
+        private, bs,
+    )
+    tok = sample_batched(logits[:, -1, :], temp, topk, topp, minp, key)
+    return tok, state
 
 
 @functools.lru_cache(maxsize=None)

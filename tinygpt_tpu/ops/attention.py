@@ -100,6 +100,9 @@ def attention_with_cache(
     T = k_cache.shape[2]
     if scale is None:
         scale = D ** -0.5
+    # q stays in a >=16-bit dtype: casting it to an fp8 KV-cache dtype
+    # would throw away query precision for no bandwidth win (q is tiny)
+    q_dt = q.dtype if jnp.dtype(q.dtype).itemsize >= 2 else jnp.bfloat16
     if S == 1:
         # decode: mask = validity (+ sliding window in slot space)
         mask = kv_valid
@@ -107,12 +110,12 @@ def attention_with_cache(
             t_idx = jnp.arange(T, dtype=jnp.int32)[None, :]
             mask = mask & (t_idx > slot - sliding_window)
         out = flash_decode(
-            q[:, 0].astype(k_cache.dtype), k_cache, v_cache, mask,
+            q[:, 0].astype(q_dt), k_cache, v_cache, mask,
             scale=scale,
         )
         return out[:, None].astype(q.dtype)
     out = flash_prefill(
-        q.transpose(0, 2, 1, 3).astype(k_cache.dtype), k_cache, v_cache,
+        q.transpose(0, 2, 1, 3).astype(q_dt), k_cache, v_cache,
         kv_valid, scale=scale, sliding_window=sliding_window,
         q_slot=slot,
     )

@@ -36,21 +36,18 @@ def _cdiv(a: int, b: int) -> int:
 
 
 def _pick_bt(T: int, target: int) -> int:
-    """Largest multiple of 8 dividing T, at most `target`. KV tiles MUST
-    tile T exactly: an out-of-bounds tail tile reads unspecified K/V
-    values, and even fully-masked columns poison the output through
-    0 * NaN in the p @ v contraction. The engine sizes caches to
-    multiples of 128 so this always finds a healthy tile."""
+    """KV-tile length: the largest multiple of 128 that divides T, at
+    most `target`, else T itself (one full tile). Two constraints meet
+    here: KV tiles MUST tile T exactly (an out-of-bounds tail tile reads
+    unspecified K/V, and even fully-masked columns poison the output
+    through 0 * NaN in the p @ v contraction), and the 1-D validity
+    vector's block (1, 1, bt) needs bt % 128 == 0 or bt == T (Mosaic's
+    lane-dim rule)."""
     best = 0
-    for bt in range(8, min(T, target) + 1, 8):
+    for bt in range(128, min(T, target) + 1, 128):
         if T % bt == 0:
             best = bt
-    if best == 0:
-        raise ValueError(
-            f"KV length {T} has no multiple-of-8 divisor <= {target}; "
-            "round the cache length up (engine uses multiples of 128)"
-        )
-    return best
+    return best if best else T
 
 
 # -- prefill ------------------------------------------------------------------
