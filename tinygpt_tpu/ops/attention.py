@@ -104,16 +104,15 @@ def attention_with_cache(
     # would throw away query precision for no bandwidth win (q is tiny)
     q_dt = q.dtype if jnp.dtype(q.dtype).itemsize >= 2 else jnp.bfloat16
     if S == 1:
-        # decode: mask = validity (+ sliding window in slot space)
-        mask = kv_valid
-        if sliding_window is not None:
-            t_idx = jnp.arange(T, dtype=jnp.int32)[None, :]
-            mask = mask & (t_idx > slot - sliding_window)
-        out = flash_decode(
-            q[:, 0].astype(q_dt), k_cache, v_cache, mask,
-            scale=scale,
+        # Single-token decode goes through XLA: measured on v5e it matches
+        # or beats the Pallas decode kernel (318 vs 359 us at T=2048 —
+        # decode attention is a sliver of the weight-bound step either
+        # way), and XLA handles fp8 caches and odd head dims uniformly.
+        # flash_decode remains available for explicit use.
+        return sdpa_with_cache(
+            q, k_cache, v_cache, q_pos=q_pos, kv_pos=kv_pos,
+            kv_valid=kv_valid, scale=scale, sliding_window=sliding_window,
         )
-        return out[:, None].astype(q.dtype)
     out = flash_prefill(
         q.transpose(0, 2, 1, 3).astype(q_dt), k_cache, v_cache,
         kv_valid, scale=scale, sliding_window=sliding_window,
