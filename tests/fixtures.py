@@ -84,9 +84,10 @@ def build_full_model_dir(
     seed: int = 0,
     n_layer: int = 2,
     n_embd: int = 32,
+    model_type: str = "gpt2",
     tokenizer_asset: str = "/root/reference/assets/tokenizer/gpt2",
 ) -> str:
-    """A complete generate-able model dir: tiny random GPT-2 with the REAL
+    """A complete generate-able model dir: tiny random model with the REAL
     gpt2 tokenizer vocab (tokenizer files are read from the reference's
     read-only assets at test time, never committed)."""
     import shutil
@@ -95,10 +96,21 @@ def build_full_model_dir(
     import transformers
 
     torch.manual_seed(seed)
-    cfg = transformers.GPT2Config(
-        vocab_size=50257, n_positions=256, n_embd=n_embd,
-        n_layer=n_layer, n_head=4, bos_token_id=50256, eos_token_id=50256,
-    )
+    if model_type == "llama":
+        cfg = transformers.LlamaConfig(
+            vocab_size=50257, hidden_size=n_embd,
+            intermediate_size=n_embd * 2, num_hidden_layers=n_layer,
+            num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=256, rope_theta=10000.0,
+            rms_norm_eps=1e-5, tie_word_embeddings=True,
+            bos_token_id=50256, eos_token_id=50256,
+        )
+    else:
+        cfg = transformers.GPT2Config(
+            vocab_size=50257, n_positions=256, n_embd=n_embd,
+            n_layer=n_layer, n_head=4, bos_token_id=50256,
+            eos_token_id=50256,
+        )
     model = transformers.AutoModelForCausalLM.from_config(cfg).eval()
     os.makedirs(out_dir, exist_ok=True)
     model.save_pretrained(out_dir, safe_serialization=True)

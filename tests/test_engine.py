@@ -180,3 +180,36 @@ def test_engine_sharded_quantized(full_model_dir):
     eng.prepare()
     outs = eng.generate_sync(["Hello world"])
     assert len(outs[0].token_ids) > 0
+
+
+@pytest.fixture(scope="module")
+def llama_model_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("full_llama_pp")
+    build_full_model_dir(str(d), seed=9, n_layer=4, model_type="llama")
+    return str(d)
+
+
+def test_engine_pipeline_parallel_matches_single(llama_model_dir):
+    """mesh_shape=(dp, sp, pp, tp) runs the engine through the
+    microbatched pipeline stages; greedy tokens must match single-device
+    execution."""
+    prompts = ["Hello world", "The quick brown fox"]
+    outs = {}
+    for mesh_shape in (None, (1, 1, 2, 4), (2, 1, 2, 2)):
+        eng = GPTEngine(GPTConfig(
+            model_dir=llama_model_dir, dtype="float32", max_tokens=6,
+            mesh_shape=mesh_shape,
+        ))
+        eng.prepare()
+        outs[mesh_shape] = [o.token_ids for o in eng.generate_sync(prompts)]
+    for shape, toks in outs.items():
+        assert toks == outs[None], f"mesh {shape} diverged: {toks}"
+
+
+def test_engine_pipeline_rejects_unsupported(llama_model_dir):
+    eng = GPTEngine(GPTConfig(
+        model_dir=llama_model_dir, dtype="float32",
+        mesh_shape=(1, 1, 2, 4), quantization="int8",
+    ))
+    with pytest.raises(ValueError):
+        eng.prepare()

@@ -82,12 +82,15 @@ class GPTConfig:
     speculative: Optional[str] = None
     spec_draft_len: int = 4
     spec_ngram: int = 3
-    # multi-device execution: (dp, sp, tp) mesh shape, or None for single
-    # device. Weights get Megatron-style tp shardings, the KV cache
-    # shards kv-heads on tp and batch on dp, prefill inputs shard batch
-    # on dp (and sequence on sp); GSPMD inserts the collectives. Requires
-    # dp*sp*tp visible devices and batch % dp == 0.
+    # multi-device execution: (dp, sp, tp) or (dp, sp, pp, tp) mesh shape,
+    # or None for single device. Weights get Megatron-style tp shardings,
+    # the KV cache shards kv-heads on tp and batch on dp, prefill inputs
+    # shard batch on dp (and sequence on sp); GSPMD inserts the
+    # collectives. pp > 1 runs microbatched pipeline stages (shard_map +
+    # ppermute, parallel/pipeline.py); pp currently excludes sp,
+    # quantization, speculative decoding, and gpt2.
     mesh_shape: Optional[tuple] = None
+    pp_microbatches: int = 4  # upper bound; actual = largest divisor of B
 
 
 @dataclass
@@ -157,37 +160,25 @@ class GPTEngine:
         self._mesh = None
         self._cache_sharding = None
         self._data_sharding = None
+        self._pp = 1
+        self._stage_cache = lambda c: c
+        self._forward_fn = self.ctx.model.forward
         if cfg.mesh_shape is not None:
-            from jax.sharding import NamedSharding
-            from tinygpt_tpu.parallel.sharding import (
-                cache_pspecs,
-                data_pspecs,
-                make_mesh,
-                param_pspecs,
-                shard_params,
-            )
-
-            dp, sp, tp = cfg.mesh_shape
-            self._mesh = make_mesh(n_devices=dp * sp * tp, dp=dp, sp=sp,
-                                   tp=tp)
-            self.ctx.params = shard_params(
-                self.ctx.params, self._mesh,
-                param_pspecs(mc, self.ctx.params),
-            )
-            self._cache_sharding = jax.tree.map(
-                lambda s: NamedSharding(self._mesh, s),
-                cache_pspecs(mc, tp),
-            )
-            self._data_sharding = NamedSharding(
-                self._mesh, data_pspecs(sp=sp > 1)
-            )
-            # GSPMD handles sharded attention; the Pallas kernels are
-            # single-device programs
+            shape = tuple(cfg.mesh_shape)
+            if len(shape) == 3:
+                dp, sp, tp = shape
+                pp = 1
+            else:
+                dp, sp, pp, tp = shape
+            if pp > 1:
+                self._prepare_pipeline(mc, dp, sp, pp, tp)
+            else:
+                self._prepare_gspmd(mc, dp, sp, tp)
+            # GSPMD/shard_map handle sharded attention; the Pallas
+            # kernels are single-device programs
             self._attn_impl = "xla"
-            log.info("engine sharded over mesh dp=%d sp=%d tp=%d",
-                     dp, sp, tp)
         self._forward_jit = jax.jit(
-            self.ctx.model.forward,
+            self._forward_fn,
             static_argnames=("cfg", "last_only", "attn_impl"),
             donate_argnames=("cache",),
         )
@@ -196,6 +187,90 @@ class GPTEngine:
             mc.model_type, mc.num_hidden_layers, self._max_context,
             sorted(self._eos_ids),
         )
+
+    def _prepare_gspmd(self, mc, dp: int, sp: int, tp: int) -> None:
+        """dp/sp/tp sharding via NamedSharding + GSPMD."""
+        from jax.sharding import NamedSharding
+        from tinygpt_tpu.parallel.sharding import (
+            cache_pspecs,
+            data_pspecs,
+            make_mesh,
+            param_pspecs,
+            shard_params,
+        )
+
+        self._mesh = make_mesh(n_devices=dp * sp * tp, dp=dp, sp=sp, tp=tp)
+        self.ctx.params = shard_params(
+            self.ctx.params, self._mesh, param_pspecs(mc, self.ctx.params)
+        )
+        self._cache_sharding = jax.tree.map(
+            lambda s: NamedSharding(self._mesh, s), cache_pspecs(mc, tp)
+        )
+        self._data_sharding = NamedSharding(
+            self._mesh, data_pspecs(sp=sp > 1)
+        )
+        log.info("engine sharded over mesh dp=%d sp=%d tp=%d", dp, sp, tp)
+
+    def _prepare_pipeline(self, mc, dp: int, sp: int, pp: int,
+                          tp: int) -> None:
+        """dp/pp/tp: microbatched pipeline stages (parallel/pipeline.py)
+        with tp/dp left to GSPMD inside each stage."""
+        import functools as ft
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from tinygpt_tpu.parallel import pipeline as pl
+
+        cfg = self.config
+        if sp > 1:
+            raise ValueError("pp and sp are mutually exclusive (for now)")
+        if cfg.quantization:
+            raise ValueError("pp + quantization not supported yet")
+        if cfg.speculative:
+            raise ValueError("pp + speculative decoding not supported")
+        if mc.model_type == "gpt2":
+            raise ValueError("pipeline stages cover the llama family only")
+        self._pp = pp
+        self._mesh = pl.make_pipeline_mesh(dp=dp, pp=pp, tp=tp)
+        staged = dict(self.ctx.params)
+        staged["layers"] = pl.stage_layers(staged["layers"], pp)
+        p_specs = pl.staged_param_specs(mc, staged, tp)
+        put = lambda x, s: None if x is None else jax.device_put(
+            x, NamedSharding(self._mesh, s or P())
+        )
+        self.ctx.params = jax.tree.map(
+            put, staged, p_specs, is_leaf=lambda x: x is None
+        )
+        c_specs = pl.staged_cache_specs(mc, tp)
+        self._cache_sharding = jax.tree.map(
+            lambda s: NamedSharding(self._mesh, s), c_specs
+        )
+        self._data_sharding = NamedSharding(self._mesh, P("dp", None))
+        self._stage_cache = lambda c: pl.stage_cache(c, pp)
+
+        @ft.lru_cache(maxsize=None)
+        def fwd_for(n_micro: int):
+            return pl.make_pipelined_forward(
+                self._mesh, mc, n_micro=n_micro, attn_impl="xla"
+            )
+
+        max_micro = max(1, cfg.pp_microbatches)
+
+        def pp_forward(params, cfg, ids, cache, positions, valid,
+                       last_only=True, attn_impl="xla", last_pos=None):
+            assert last_only and last_pos is None, (
+                "pipelined forward produces last-position logits only"
+            )
+            B = ids.shape[0]
+            n_micro = max(d for d in range(1, min(B, max_micro) + 1)
+                          if B % d == 0)
+            logits, cache = fwd_for(n_micro)(
+                params, ids, cache, positions, valid
+            )
+            return logits[:, None, :], cache
+
+        self._forward_fn = pp_forward
+        log.info("engine pipelined over mesh dp=%d pp=%d tp=%d",
+                 dp, pp, tp)
 
     def _collect_eos_ids(self) -> None:
         """EOS priority: generation_config list, else model config, else
@@ -254,6 +329,7 @@ class GPTEngine:
             raise ValueError(
                 f"batch {ids.shape[0]} not divisible by dp={dp}"
             )
+        cache = self._stage_cache(cache)  # [L,...] -> [PP, L/PP, ...]
         cache = jax.tree.map(jax.device_put, cache, self._cache_sharding)
         put = lambda x: jax.device_put(x, self._data_sharding)
         return cache, put(ids), put(positions), put(valid)
@@ -345,7 +421,7 @@ class GPTEngine:
 
         lens_dev = jnp.asarray(lens)
         ones = jnp.ones((B, 1), jnp.bool_)
-        forward = self.ctx.model.forward
+        forward = self._forward_fn
         attn_impl = self._attn_impl
 
         @functools.partial(
