@@ -425,3 +425,79 @@ def test_pool_index_native_python_parity():
         na.release(blocks, keep_cached=keep)
         py.release(blocks, keep_cached=keep)
     assert na.n_free == py.n_free == 31
+
+
+def test_chunked_prefill_matches_whole(llama):
+    """Chunked admission must produce the same tokens as whole-prompt
+    admission, and decode must interleave between chunks (a running
+    request keeps generating while a long prompt admits)."""
+    cfg, model, params = llama
+    rng = np.random.default_rng(23)
+    long_prompt = [int(x) for x in rng.integers(2, cfg.vocab_size, 70)]
+    short_prompt = [int(x) for x in rng.integers(2, cfg.vocab_size, 5)]
+
+    def run(chunk_tokens):
+        batcher = ContinuousBatcher(
+            model, cfg, params, eos_ids=set(),
+            config=SchedulerConfig(
+                batch_capacity=2, block_size=16, n_blocks=64,
+                max_blocks_per_seq=8, prefill_bucket=16, dtype="float32",
+                decode_quantum=1, prefill_chunk_tokens=chunk_tokens,
+                enable_prefix_cache=False,
+            ),
+        )
+        batcher.add_request(Request(request_id=0, prompt_ids=short_prompt,
+                                    max_new_tokens=8))
+        batcher.add_request(Request(request_id=1, prompt_ids=long_prompt,
+                                    max_new_tokens=4))
+        got = {0: [], 1: []}
+        order = []
+        steps = 0
+        while batcher.has_work and steps < 100:
+            for ev in batcher.step():
+                if ev.token_id is not None:
+                    got[ev.request_id].append(ev.token_id)
+                    order.append(ev.request_id)
+            steps += 1
+        return got, order
+
+    whole, _ = run(0)
+    chunked, order = run(16)
+    assert chunked == whole
+    # interleaving: request 0 produced tokens before request 1's first
+    # token (its 70-token prompt takes several 16-token chunks)
+    first_1 = order.index(1)
+    assert 0 in order[:first_1], (
+        "short request starved during the long prompt's chunked admission"
+    )
+
+
+def test_chunked_prefill_with_prefix_cache(llama):
+    """Chunked admission + prefix caching compose: the second request's
+    shared prefix is reused and outputs match the uncached run."""
+    cfg, model, params = llama
+    rng = np.random.default_rng(29)
+    system = [int(x) for x in rng.integers(2, cfg.vocab_size, 48)]
+    prompts = [system + [int(x) for x in rng.integers(2, cfg.vocab_size, n)]
+               for n in (4, 7)]
+
+    def run(enable):
+        batcher = ContinuousBatcher(
+            model, cfg, params, eos_ids=set(),
+            config=SchedulerConfig(
+                batch_capacity=2, block_size=16, n_blocks=64,
+                max_blocks_per_seq=8, prefill_bucket=16, dtype="float32",
+                prefill_chunk_tokens=16, enable_prefix_cache=enable,
+            ),
+        )
+        for i, p in enumerate(prompts):
+            batcher.add_request(Request(request_id=i, prompt_ids=p,
+                                        max_new_tokens=4))
+        got = {}
+        _drain(batcher, got)
+        return got, batcher
+
+    got_off, _ = run(False)
+    got_on, b = run(True)
+    assert got_on == got_off
+    assert b.allocator.n_idle_cached > 0

@@ -45,6 +45,10 @@ from tinygpt_tpu.utils.logging import get_logger
 log = get_logger("engine.scheduler")
 
 
+def _round_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
 @dataclass
 class SchedulerConfig:
     batch_capacity: int = 8
@@ -66,6 +70,12 @@ class SchedulerConfig:
     # reuse matching blocks read-only (refcounted) and prefill only the
     # suffix. Idle cached blocks are reclaimed LRU under pool pressure.
     enable_prefix_cache: bool = True
+    # chunked prefill: 0 admits a whole prompt in one step (decode stalls
+    # for its duration); > 0 prefills at most this many tokens per
+    # scheduler step, running a decode quantum for live rows BETWEEN
+    # chunks — long prompts no longer freeze running streams. Rounded up
+    # to lcm(prefill_bucket, block_size).
+    prefill_chunk_tokens: int = 0
 
 
 @dataclass
@@ -83,6 +93,9 @@ class Request:
     finish_reason: str = ""
     # device-side pending first token from prefill
     _pending_token: Optional[int] = None
+    # chunked-admission progress (tokens already in the pool) + hashes
+    _chunk_pos: int = 0
+    _hashes: List[int] = field(default_factory=list)
 
 
 @dataclass
@@ -126,6 +139,7 @@ class ContinuousBatcher:
 
         self.allocator = create_pool_index(sc.n_blocks)
         self.waiting: List[Request] = []
+        self._admitting: Optional[Request] = None  # chunked prefill
         self.running: Dict[int, Request] = {}  # row -> Request
         self.free_rows = list(range(sc.batch_capacity - 1, -1, -1))
         self._key = jax.random.PRNGKey(sc.seed)
@@ -159,17 +173,35 @@ class ContinuousBatcher:
 
     @property
     def has_work(self) -> bool:
-        return bool(self.waiting or self.running)
+        return bool(self.waiting or self.running
+                    or self._admitting is not None)
 
     @property
     def n_running(self) -> int:
         return len(self.running)
 
     def step(self) -> List[TokenEvent]:
-        """Admit (prefill) if possible, else decode one step."""
+        """Admit (prefill — whole or one chunk) if possible, then decode."""
         events: List[TokenEvent] = []
+        if self._admitting is not None:
+            events.extend(self._continue_admission())
+            if self.running:
+                events.extend(self._decode())
+            return events
         if self.waiting and self.free_rows:
             req = self.waiting[0]
+            if self.sc.prefill_chunk_tokens > 0:
+                if self._start_admission(req):
+                    self.waiting.pop(0)
+                    events.extend(self._continue_admission())
+                elif req.finished:
+                    self.waiting.pop(0)
+                    events.append(TokenEvent(
+                        req.request_id, None, True, req.finish_reason
+                    ))
+                if self.running:
+                    events.extend(self._decode())
+                return events
             if self._try_admit(req):
                 self.waiting.pop(0)
                 events.extend(self._emit(req, req._pending_token))
@@ -201,6 +233,16 @@ class ContinuousBatcher:
     def cancel(self, request_id: int) -> None:
         self.waiting = [r for r in self.waiting
                         if r.request_id != request_id]
+        if (self._admitting is not None
+                and self._admitting.request_id == request_id):
+            req = self._admitting
+            self._admitting = None
+            req.finished = True
+            req.finish_reason = "abort"
+            keep = [b for b in req.blocks
+                    if self.allocator.is_registered(b)]
+            self.allocator.release(req.blocks, keep_cached=keep)
+            req.blocks = []
         for row, req in list(self.running.items()):
             if req.request_id == request_id:
                 req.finished = True
@@ -315,6 +357,114 @@ class ContinuousBatcher:
         self._sync_state_meta()
         req._pending_token = tok
         return True
+
+    # -- chunked admission --------------------------------------------------
+
+    def _start_admission(self, req: Request) -> bool:
+        """Begin chunked admission: upfront feasibility + prefix lookup.
+        Returns True when `req` became the in-flight admission."""
+        sc = self.sc
+        bs = sc.block_size
+        S = len(req.prompt_ids)
+        need = blocks_needed(S + req.max_new_tokens, bs)
+        if need > sc.max_blocks_per_seq or need > sc.n_blocks - 1:
+            req.finished = True
+            req.finish_reason = "length"
+            return False
+        hashes = self._block_hashes(req.prompt_ids)
+        n_shareable = min(len(hashes), (S - 1) // bs)
+        shared: List[int] = []
+        if sc.enable_prefix_cache:
+            for j in range(n_shareable):
+                b = self.allocator.lookup_prefix(hashes[j])
+                if b is None:
+                    break
+                shared.append(b)
+        self.allocator.share(shared)
+        req.blocks = list(shared)
+        req._chunk_pos = len(shared) * bs  # tokens already in the pool
+        req._hashes = hashes
+        self._admitting = req
+        return True
+
+    def _continue_admission(self) -> List[TokenEvent]:
+        """Prefill ONE chunk of the in-flight admission; finalize on the
+        last chunk. Chunks start block-aligned (sizes are lcm multiples);
+        the chunk program gathers the request's blocks so far into a
+        fixed-size dense workspace (one compile per chunk shape)."""
+        import math
+
+        req = self._admitting
+        sc = self.sc
+        bs = sc.block_size
+        S = len(req.prompt_ids)
+        unit = math.lcm(sc.prefill_bucket, bs)
+        chunk_cap = max(unit, _round_to(sc.prefill_chunk_tokens, unit))
+        pos0 = req._chunk_pos
+        n_tok = min(chunk_cap, S - pos0)
+        final = pos0 + n_tok >= S
+
+        n_private = blocks_needed(n_tok, bs)
+        private = self.allocator.alloc(n_private)
+        if private is None:
+            return []  # pool pressure: stay admitting, decode continues
+        req.blocks.extend(private)
+
+        S_in = max(unit, -(-n_tok // unit) * unit)
+        chunk = req.prompt_ids[pos0 : pos0 + n_tok]
+        ids = np.zeros((1, S_in), np.int32)
+        ids[0, :n_tok] = chunk
+        valid = np.zeros((1, S_in), bool)
+        valid[0, :n_tok] = True
+        positions = np.zeros((1, S_in), np.int32)
+        positions[0, :n_tok] = pos0 + np.arange(n_tok)
+        table = np.zeros(sc.max_blocks_per_seq, np.int32)
+        table[: len(req.blocks)] = req.blocks
+
+        self._key, k = jax.random.split(self._key)
+        s = req.sampler
+        tok_dev, self.state = _admit_chunk_program(
+            self.params, self.state,
+            jnp.asarray(table), jnp.asarray(pos0, jnp.int32),
+            jnp.asarray(np.asarray(private, np.int32)),
+            jnp.asarray(ids), jnp.asarray(positions), jnp.asarray(valid),
+            jnp.asarray([n_tok - 1], jnp.int32),
+            jnp.asarray([s.temperature or 0.0], jnp.float32),
+            jnp.asarray([s.top_k or 0], jnp.int32),
+            jnp.asarray([s.top_p if s.top_p is not None else 1.0],
+                        jnp.float32),
+            jnp.asarray([s.min_p or 0.0], jnp.float32),
+            k,
+            forward=self.model.forward, cfg=self.cfg,
+            attn_impl=sc.attn_impl, block_size=bs,
+            kv_dtype=jnp.dtype(self.kv_dtype).name,
+        )
+        req._chunk_pos = pos0 + n_tok
+        if not final:
+            return []
+
+        # finalize: row bookkeeping, registration, first-token event
+        self._admitting = None
+        if sc.enable_prefix_cache:
+            for j in range(len(req._hashes)):
+                self.allocator.register_prefix(req._hashes[j],
+                                               req.blocks[j])
+        tok = int(np.asarray(tok_dev)[0])
+        row = self.free_rows.pop()
+        req.row = row
+        self.running[row] = req
+        self._tables[row] = 0
+        self._tables[row, : len(req.blocks)] = req.blocks
+        self._lengths[row] = S
+        self._starts[row] = 0
+        self._active[row] = True
+        self._tokens[row] = tok
+        self._temps[row] = s.temperature or 0.0
+        self._topks[row] = s.top_k or 0
+        self._topps[row] = s.top_p if s.top_p is not None else 1.0
+        self._minps[row] = s.min_p or 0.0
+        self._sync_state_meta()
+        return self._emit(req, tok)
 
     # -- decode ------------------------------------------------------------
 
@@ -462,6 +612,66 @@ def _admit_program(params, state, shared, private, ids, positions, valid,
     )
     tok = sample_batched(logits[:, -1, :], temp, topk, topp, minp, key)
     return tok, state
+
+
+@functools.partial(
+    jax.jit,
+    donate_argnums=(1,),
+    static_argnames=("forward", "cfg", "attn_impl", "block_size",
+                     "kv_dtype"),
+)
+def _admit_chunk_program(params, state, table, p_len, private, ids,
+                         positions, valid, last_pos, temp, topk, topp,
+                         minp, key, *, forward, cfg, attn_impl, block_size,
+                         kv_dtype):
+    """One CHUNK of an admission as a single device program. Unlike
+    _admit_program (exact shapes per prefix length), the workspace here is
+    fixed-size: the request's full (padded) block table is gathered into a
+    dense cache of max_blocks*bs + S_in slots and masked by the traced
+    token count p_len — so every chunk of every admission reuses one
+    compile per chunk shape."""
+    bs = block_size
+    MB = table.shape[0]
+    n_private = private.shape[0]
+    S_in = ids.shape[1]
+    T_dense = MB * bs + S_in
+
+    cache = create_kv_cache(cfg, 1, T_dense, dtype=jnp.dtype(kv_dtype))
+    k_g, v_g = _gather_table(state, table)  # [L, Nk, MB*bs, D]
+    idx = jnp.arange(T_dense, dtype=jnp.int32)
+    cache = cache._replace(
+        k=cache.k.at[:, 0, :, : MB * bs, :].set(k_g.astype(cache.k.dtype)),
+        v=cache.v.at[:, 0, :, : MB * bs, :].set(v_g.astype(cache.v.dtype)),
+        kv_pos=jnp.broadcast_to(idx[None, :], (1, T_dense)),
+        valid=(idx[None, :] < p_len),
+        length=p_len.astype(jnp.int32),
+    )
+    logits, cache = forward(
+        params, cfg, ids, cache, positions, valid, last_only=True,
+        attn_impl=attn_impl, last_pos=last_pos,
+    )
+    state = _scatter_prefill.__wrapped__(
+        state,
+        jax.lax.dynamic_slice_in_dim(
+            cache.k[:, 0], p_len, n_private * bs, axis=2
+        ),
+        jax.lax.dynamic_slice_in_dim(
+            cache.v[:, 0], p_len, n_private * bs, axis=2
+        ),
+        private, bs,
+    )
+    tok = sample_batched(logits[:, -1, :], temp, topk, topp, minp, key)
+    return tok, state
+
+
+def _gather_table(state, table):
+    """Pool blocks by (padded) table -> dense [L, Nk, n*bs, D] K and V."""
+    def g(pool):
+        x = pool[:, table]  # [L, n, Nk, bs, D]
+        L, n, Nk, bs, D = x.shape
+        return x.transpose(0, 2, 1, 3, 4).reshape(L, Nk, n * bs, D)
+
+    return g(state.k_pool), g(state.v_pool)
 
 
 @functools.lru_cache(maxsize=None)

@@ -54,6 +54,7 @@ class ServerConfig:
     batch_capacity: int = 8
     kv_block_size: int = 64
     kv_n_blocks: int = 1024
+    prefill_chunk_tokens: int = 0  # >0: chunked prefill (tokens/step)
 
 
 class TinyGPTServer:
@@ -95,6 +96,7 @@ class TinyGPTServer:
                     max_blocks_per_seq=max_blocks,
                     dtype=cfg.dtype,
                     attn_impl=self.engine._attn_impl,
+                    prefill_chunk_tokens=cfg.prefill_chunk_tokens,
                 ),
             )
         else:
@@ -340,6 +342,8 @@ def main(argv=None) -> None:
     ap.add_argument("--batch-capacity", type=int, default=8)
     ap.add_argument("--kv-block-size", type=int, default=64)
     ap.add_argument("--kv-n-blocks", type=int, default=1024)
+    ap.add_argument("--prefill-chunk", type=int, default=0,
+                    help="chunked prefill: max prompt tokens per step")
     args = ap.parse_args(argv)
 
     server = TinyGPTServer(ServerConfig(
@@ -357,6 +361,7 @@ def main(argv=None) -> None:
         batch_capacity=args.batch_capacity,
         kv_block_size=args.kv_block_size,
         kv_n_blocks=args.kv_n_blocks,
+        prefill_chunk_tokens=args.prefill_chunk,
     ))
     server.prepare()
 
