@@ -42,6 +42,8 @@ def main():
                     help="tokens of system prompt shared by all requests "
                          "(exercises prefix caching)")
     ap.add_argument("--no-prefix-cache", action="store_true")
+    ap.add_argument("--prefill-chunk", type=int, default=0,
+                    help="chunked prefill: max prompt tokens per step")
     args = ap.parse_args()
 
     import jax
@@ -76,6 +78,7 @@ def main():
             dtype=args.dtype, kv_cache_dtype=args.kv_dtype,
             attn_impl=attn, decode_quantum=args.quantum,
             enable_prefix_cache=not args.no_prefix_cache,
+            prefill_chunk_tokens=args.prefill_chunk,
         ),
     )
 
@@ -127,6 +130,7 @@ def main():
         "requests": args.requests,
         "shared_prefix": args.shared_prefix,
         "prefix_cache": not args.no_prefix_cache,
+        "prefill_chunk": args.prefill_chunk,
         "prompt_len": args.prompt_len,
         "max_new": args.max_new,
         "capacity": args.capacity,

@@ -213,3 +213,34 @@ def test_engine_pipeline_rejects_unsupported(llama_model_dir):
     ))
     with pytest.raises(ValueError):
         eng.prepare()
+
+
+def test_generation_config_sampling_defaults(tmp_path):
+    """generation_config.json do_sample defaults are adopted when the
+    caller set no sampler knobs (and ignored otherwise)."""
+    import json
+    import os
+
+    d = str(tmp_path / "m")
+    build_full_model_dir(d, seed=7)
+    with open(os.path.join(d, "generation_config.json"), "w") as f:
+        json.dump({"eos_token_id": 50256, "do_sample": True,
+                   "temperature": 0.7, "top_p": 0.9}, f)
+    eng = GPTEngine(GPTConfig(model_dir=d, dtype="float32", max_tokens=2))
+    eng.prepare()
+    assert eng.config.sampler.temperature == 0.7
+    assert eng.config.sampler.top_p == 0.9
+
+    eng2 = GPTEngine(GPTConfig(
+        model_dir=d, dtype="float32", max_tokens=2,
+        sampler=SamplerConfig(temperature=0.1),
+    ))
+    eng2.prepare()
+    assert eng2.config.sampler.temperature == 0.1  # explicit wins
+
+    eng3 = GPTEngine(GPTConfig(
+        model_dir=d, dtype="float32", max_tokens=2,
+        use_generation_defaults=False,
+    ))
+    eng3.prepare()
+    assert eng3.config.sampler == SamplerConfig()

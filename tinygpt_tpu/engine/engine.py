@@ -91,6 +91,9 @@ class GPTConfig:
     # quantization, speculative decoding, and gpt2.
     mesh_shape: Optional[tuple] = None
     pp_microbatches: int = 4  # upper bound; actual = largest divisor of B
+    # adopt generation_config.json sampling defaults (do_sample +
+    # temperature/top_k/top_p/min_p) when no sampler knob was set here
+    use_generation_defaults: bool = True
 
 
 @dataclass
@@ -151,6 +154,19 @@ class GPTEngine:
             log.info("quantized weights to %s (group %d)",
                      cfg.quantization, cfg.quant_group_size)
         self._collect_eos_ids()
+        gen = self.ctx.generation_config
+        if (
+            cfg.use_generation_defaults
+            and gen is not None
+            and gen.do_sample
+            and cfg.sampler == SamplerConfig()
+        ):
+            cfg.sampler = SamplerConfig(
+                temperature=gen.temperature, top_k=gen.top_k,
+                top_p=gen.top_p, min_p=gen.min_p,
+            )
+            log.info("sampler defaults from generation_config: %s",
+                     cfg.sampler)
         mc = self.ctx.model_config
         self._max_context = cfg.max_context or mc.context_size
         # Pallas attention kernels on TPU; XLA reference path elsewhere
