@@ -1,0 +1,137 @@
+"""Flagship benchmark: Mistral-7B-shaped INT4 decode throughput per chip.
+
+BASELINE.json's north-star config (tokens/sec/chip, Mistral-7B INT4).
+Weights are random but layout/shape-exact (Mistral-7B-v0.3: 32 layers,
+hidden 4096, kv-heads 8, intermediate 14336, vocab 32768); each stacked
+weight is generated on device in bf16, quantized to int4, and the float
+copy freed before the next — peak HBM stays under one spare bf16 key.
+
+Prints one JSON line. ~16 GB HBM required.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import gc
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--decode-steps", type=int, default=32)
+    ap.add_argument("--bits", type=int, default=4, choices=[4, 8])
+    ap.add_argument("--group", type=int, default=128)
+    ap.add_argument("--context", type=int, default=1024)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tinygpt_tpu.engine.kv_cache import create_kv_cache
+    from tinygpt_tpu.hf.config import parse_model_config
+    from tinygpt_tpu.models import causal_lm
+    from tinygpt_tpu.ops.quant import quantize_weight
+    from tinygpt_tpu.ops.rope import compute_rope_freqs
+
+    cfg = parse_model_config({
+        "model_type": "mistral", "vocab_size": 32768, "hidden_size": 4096,
+        "num_hidden_layers": 32, "num_attention_heads": 32,
+        "num_key_value_heads": 8, "intermediate_size": 14336,
+        "max_position_embeddings": 32768, "rope_theta": 1000000.0,
+        "rms_norm_eps": 1e-5, "tie_word_embeddings": False,
+    })
+    L, H, D = cfg.num_hidden_layers, cfg.hidden_size, cfg.head_dim
+    Nq, Nk, I = cfg.num_attention_heads, cfg.num_kv_heads, \
+        cfg.intermediate_size
+    V = cfg.vocab_size
+    key = jax.random.PRNGKey(0)
+
+    def qkey(shape, k, bits=args.bits):
+        """Generate bf16 on device, quantize, free the float copy."""
+        w = jax.random.normal(k, shape, jnp.bfloat16) * 0.02
+        q = quantize_weight(w, bits=bits, group_size=args.group)
+        jax.block_until_ready(q.data)
+        del w
+        gc.collect()
+        return q
+
+    ks = list(jax.random.split(key, 8))
+    t0 = time.perf_counter()
+    layers = {
+        "input_ln": jnp.ones((L, H), jnp.bfloat16),
+        "post_ln": jnp.ones((L, H), jnp.bfloat16),
+        "qkv_w": qkey((L, H, (Nq + 2 * Nk) * D), ks[0]),
+        "o_w": qkey((L, Nq * D, H), ks[1]),
+        "gate_up_w": qkey((L, H, 2 * I), ks[2]),
+        "down_w": qkey((L, I, H), ks[3]),
+    }
+    cos, sin = compute_rope_freqs(D, 4096, cfg.rope_theta, None)
+    params = {
+        "embed": jax.random.normal(ks[4], (V, H), jnp.bfloat16) * 0.02,
+        "layers": layers,
+        "final_ln": jnp.ones((H,), jnp.bfloat16),
+        "lm_head": qkey((H, V), ks[5]),
+        "rope_cos": jnp.asarray(cos),
+        "rope_sin": jnp.asarray(sin),
+    }
+    nbytes = sum(
+        x.size * x.dtype.itemsize for x in jax.tree.leaves(params)
+    )
+    print(f"params built in {time.perf_counter()-t0:.0f}s, "
+          f"{nbytes/1e9:.2f} GB resident", file=sys.stderr)
+
+    B, N = args.batch, args.decode_steps
+    cache = create_kv_cache(cfg, B, args.context, dtype=jnp.bfloat16)
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def decode_n(p, tok, c, pos0):
+        def body(carry, _):
+            tok, c, pos = carry
+            logits, c = causal_lm.forward(
+                p, cfg, tok[:, None], c, pos,
+                jnp.ones((B, 1), jnp.bool_), last_only=True,
+                attn_impl="pallas" if jax.devices()[0].platform == "tpu"
+                else "xla",
+            )
+            nxt = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)
+            return (nxt, c, pos + 1), nxt
+
+        (tok, c, _), toks = jax.lax.scan(body, (tok, c, pos0), None,
+                                         length=N)
+        return toks, c
+
+    tok = jnp.zeros((B,), jnp.int32)
+    pos0 = jnp.full((B, 1), 64, jnp.int32)
+    t0 = time.perf_counter()
+    toks, cache = decode_n(params, tok, cache, pos0)
+    np.asarray(toks)
+    print(f"compile+first: {time.perf_counter()-t0:.0f}s", file=sys.stderr)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        toks, cache = decode_n(params, tok, cache, pos0)
+        np.asarray(toks)  # timing fence (see bench.py)
+        best = min(best, time.perf_counter() - t0)
+
+    hot = nbytes - params["embed"].size * 2  # embed gather is traffic-free
+    print(json.dumps({
+        "metric": f"decode_tokens_per_sec_mistral7b_int{args.bits}_b{B}",
+        "value": round(B * N / best, 1),
+        "unit": "tokens/s",
+        "ms_per_step": round(best / N * 1e3, 2),
+        "hot_gb_per_step": round(hot / 1e9, 2),
+        "eff_gb_s": round(hot / 1e9 / (best / N), 0),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -100,18 +100,26 @@ def _pack_int4_jnp(q: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("bits", "g"))
 def _quantize_core(w, bits: int, g: int):
-    """Symmetric per-group quantization on device. w: [..., in, out]."""
+    """Symmetric per-group quantization on device. w: [in, out] or
+    [L, in, out]. Stacked weights quantize layer-by-layer via lax.map so
+    the f32 working set stays one layer large (a 7B gate_up stack would
+    otherwise materialize ~15 GB of f32)."""
     in_dim, out_dim = w.shape[-2], w.shape[-1]
     qmax = 127.0 if bits == 8 else 7.0
-    lead = w.shape[:-2]
-    wg = w.astype(jnp.float32).reshape(*lead, in_dim // g, g, out_dim)
-    absmax = jnp.abs(wg).max(axis=-2)  # [..., in/g, out]
-    scales = jnp.where(absmax == 0, 1e-8, absmax / qmax)
-    q = jnp.clip(
-        jnp.round(wg / scales[..., None, :]), -qmax - 1, qmax
-    ).astype(jnp.int8).reshape(*lead, in_dim, out_dim)
-    data = _pack_int4_jnp(q) if bits == 4 else q
-    return data, scales
+
+    def one(w2):  # [in, out]
+        wg = w2.astype(jnp.float32).reshape(in_dim // g, g, out_dim)
+        absmax = jnp.abs(wg).max(axis=-2)  # [in/g, out]
+        scales = jnp.where(absmax == 0, 1e-8, absmax / qmax)
+        q = jnp.clip(
+            jnp.round(wg / scales[:, None, :]), -qmax - 1, qmax
+        ).astype(jnp.int8).reshape(in_dim, out_dim)
+        data = _pack_int4_jnp(q) if bits == 4 else q
+        return data, scales
+
+    if w.ndim == 2:
+        return one(w)
+    return jax.lax.map(one, w)
 
 
 def quantize_weight(
