@@ -244,3 +244,43 @@ def test_generation_config_sampling_defaults(tmp_path):
     ))
     eng3.prepare()
     assert eng3.config.sampler == SamplerConfig()
+
+
+def test_fp8_kv_cache_generates(full_model_dir):
+    """fp8 KV storage runs end-to-end (quality is gated separately in
+    test_evaluate; here: the engine path executes and emits tokens)."""
+    eng = GPTEngine(GPTConfig(
+        model_dir=full_model_dir, dtype="float32", max_tokens=4,
+        kv_cache_dtype="fp8",
+    ))
+    eng.prepare()
+    out = eng.generate_sync(["Hello world"])[0]
+    assert len(out.token_ids) == 4
+
+
+def test_speculative_falls_back_for_sampling(full_model_dir):
+    """Stochastic sampling must bypass the (greedy-only) speculative path
+    rather than fail."""
+    eng = GPTEngine(GPTConfig(
+        model_dir=full_model_dir, dtype="float32", max_tokens=4,
+        speculative="ngram",
+        sampler=SamplerConfig(temperature=0.8, top_p=0.9), seed=5,
+    ))
+    eng.prepare()
+    out = eng.generate_sync(["Hello world"])[0]
+    assert len(out.token_ids) == 4
+
+
+def test_speculative_batch_falls_back(full_model_dir):
+    """Batch > 1 bypasses speculation (per-row cache truncation differs);
+    outputs must match the non-speculative batch exactly."""
+    prompts = ["One fish", "Two fish"]
+    outs = {}
+    for spec in (None, "ngram"):
+        eng = GPTEngine(GPTConfig(
+            model_dir=full_model_dir, dtype="float32", max_tokens=5,
+            speculative=spec,
+        ))
+        eng.prepare()
+        outs[spec] = [o.token_ids for o in eng.generate_sync(prompts)]
+    assert outs[None] == outs["ngram"]
