@@ -487,21 +487,25 @@ class GPTEngine:
             nxt = ahead
 
     def _spec_prefill_and_loop(self, texts, max_tokens, on_token):
-        """Greedy batch-1 decode with n-gram speculative verification.
-
-        Each iteration verifies [current, d_1..d_γ] in ONE forward
-        (S = γ+1); the accepted prefix plus one bonus token advance the
-        stream, the cache is truncated back past rejected slots. A verify
-        step reads the same weight bytes as a single decode step, so
-        throughput multiplies by (1 + mean accepted)."""
+        """Greedy batch-1 decode with n-gram speculative verification,
+        fully device-resident: the prompt-lookup draft (match the context
+        tail against all earlier windows), the γ+1-token verify forward,
+        the prefix-acceptance, and the cache/context advance all run
+        inside ONE jit program that scans R rounds per dispatch — no
+        per-round host round trips. A verify step reads the same weight
+        bytes as a single decode step, so throughput multiplies by
+        (1 + mean accepted)."""
         assert self.ctx is not None
         cfg = self.ctx.model_config
         gamma = max(1, self.config.spec_draft_len)
         n = max(1, self.config.spec_ngram)
+        R = max(1, self.config.decode_chunk // (gamma + 1))
         ids, positions, valid, lens, encoded = self._encode_batch(texts)
         B, S = ids.shape
+        # every round may write up to gamma+1 slots
         cache = create_kv_cache(
-            cfg, B, _round_up(S + max_tokens + gamma + 1, 128),
+            cfg, B, _round_up(S + (max_tokens + R) * 1 +
+                              (gamma + 1) * (R + 1), 128),
             dtype=self._kv_dtype(),
         )
         params = self.ctx.params
@@ -512,68 +516,114 @@ class GPTEngine:
             params, cfg, ids_d, cache, pos_d, valid_d, last_only=True,
             attn_impl=self._attn_impl,
         )
-        cur = int(np.asarray(jnp.argmax(logits[0, -1])))
+        t0 = jnp.argmax(logits[0, -1]).astype(jnp.int32)
         L = int(lens[0])
-        context = list(encoded[0])
         forward = self.ctx.model.forward
         attn_impl = self._attn_impl
-        ones = jnp.ones((1, gamma + 1), jnp.bool_)
         T = cache.max_len
+        Tctx = _round_up(S + max_tokens + (gamma + 2) * (R + 1), 128)
 
-        @functools.partial(jax.jit, donate_argnames=("cache",))
-        def verify_fn(params, toks, cache, pos0):
-            pos = pos0 + jnp.arange(gamma + 1, dtype=jnp.int32)[None, :]
-            logits, cache = forward(
-                params, cfg, toks, cache, pos, ones,
-                last_only=False, attn_impl=attn_impl,
+        # context buffer: real prompt tokens then generated (incl. the
+        # pending `cur` as the last entry)
+        ctx0 = np.zeros(Tctx, np.int32)
+        ctx0[:L] = encoded[0]
+        ctx_buf = jnp.asarray(ctx0).at[L].set(t0)
+        prefill_valid = cache.valid[0]  # [T] — pads stay invalid forever
+
+        @functools.partial(
+            jax.jit, static_argnames=("n_rounds",),
+            donate_argnames=("k", "v", "kv_pos"),
+        )
+        def spec_rounds(params, k, v, kv_pos, prefill_valid, slots, cur,
+                        ctx_buf, ctx_len, gen_pos, n_rounds):
+            iota_T = jnp.arange(T, dtype=jnp.int32)
+            iota_ctx = jnp.arange(Tctx - n + 1, dtype=jnp.int32)
+            ones = jnp.ones((1, gamma + 1), jnp.bool_)
+
+            def round_fn(carry, _):
+                k, v, kv_pos, slots, cur, ctx_buf, ctx_len, gen_pos = carry
+                # device prompt-lookup: most recent EARLIER window == tail
+                tail = jax.lax.dynamic_slice(ctx_buf, (ctx_len - n,), (n,))
+                match = jnp.ones(Tctx - n + 1, jnp.bool_)
+                for j in range(n):
+                    match &= ctx_buf[j : Tctx - n + 1 + j] == tail[j]
+                match &= iota_ctx <= ctx_len - n - 1
+                i_star = jnp.max(jnp.where(match, iota_ctx, -1))
+                found = i_star >= 0
+                p = i_star + n + jnp.arange(gamma, dtype=jnp.int32)
+                avail = found & (p < ctx_len)
+                draft = jnp.where(
+                    avail, ctx_buf[jnp.clip(p, 0, Tctx - 1)], cur
+                )
+                toks = jnp.concatenate([cur[None], draft])[None, :]
+
+                # verify forward over a cache view with derived validity
+                valid_buf = jnp.where(iota_T < S, prefill_valid,
+                                      iota_T < slots)
+                cache = KVCache(k=k, v=v, kv_pos=kv_pos,
+                                valid=valid_buf[None, :], length=slots)
+                pos = (gen_pos
+                       + jnp.arange(gamma + 1, dtype=jnp.int32))[None, :]
+                logits, cache = forward(
+                    params, cfg, toks, cache, pos, ones,
+                    last_only=False, attn_impl=attn_impl,
+                )
+                preds = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
+                m = jnp.sum(
+                    jnp.cumprod((preds[:gamma] == draft).astype(jnp.int32))
+                )
+                nxt = preds[jnp.clip(m, 0, gamma)]
+                # append accepted tokens (draft[:m] + nxt) to the context
+                upd = jnp.where(
+                    jnp.arange(gamma + 1) == m,
+                    nxt,
+                    jnp.concatenate([draft, draft[-1:]]),
+                )
+                ctx_buf = jax.lax.dynamic_update_slice(
+                    ctx_buf, upd, (ctx_len,)
+                )
+                out = jnp.concatenate([cur[None], draft])  # emitted prefix
+                carry = (cache.k, cache.v, cache.kv_pos,
+                         slots + m + 1, nxt, ctx_buf, ctx_len + m + 1,
+                         gen_pos + m + 1)
+                return carry, (out, m + 1)
+
+            carry = (k, v, kv_pos, slots, cur, ctx_buf, ctx_len, gen_pos)
+            carry, (toks_out, counts) = jax.lax.scan(
+                round_fn, carry, None, length=n_rounds
             )
-            preds = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
-            return preds, cache
+            return carry, toks_out, counts
 
-        @functools.partial(jax.jit, donate_argnames=("cache",))
-        def truncate_fn(cache, new_len):
-            mask = jnp.arange(T, dtype=jnp.int32)[None, :] < new_len
-            return cache._replace(
-                valid=cache.valid & mask, length=new_len
-            )
-
-        c = 0  # generated tokens materialized in the cache
+        slots = jnp.asarray(S, jnp.int32)
+        cur = t0
+        ctx_len = jnp.asarray(L + 1, jnp.int32)
+        gen_pos = jnp.asarray(L, jnp.int32)
+        k_buf, v_buf, kv_pos = cache.k, cache.v, cache.kv_pos
         emitted = 0
-        while True:
-            # `cur` is generated token t_c (not yet in the cache)
-            if emitted >= max_tokens:
-                break
-            if not on_token(emitted, np.asarray([cur], np.int32)):
-                break
-            emitted += 1
-            if emitted >= max_tokens:
-                break
-            draft = ngram_draft(context + [cur], n, gamma)
-            draft = (draft + [cur] * gamma)[:gamma]
-            toks = jnp.asarray([[cur] + draft], jnp.int32)
-            preds_dev, cache = verify_fn(
-                params, toks, cache, jnp.int32(L + c)
+        while emitted < max_tokens:
+            (k_buf, v_buf, kv_pos, slots, cur, ctx_buf, ctx_len,
+             gen_pos), toks_out, counts = spec_rounds(
+                params, k_buf, v_buf, kv_pos, prefill_valid, slots, cur,
+                ctx_buf, ctx_len, gen_pos, n_rounds=R,
             )
-            preds = np.asarray(preds_dev)
-            m = 0
-            while m < gamma and int(preds[m]) == draft[m]:
-                m += 1
-            cache = truncate_fn(cache, jnp.int32(S + c + m + 1))
-            context.append(cur)
+            toks_h = np.asarray(toks_out)   # [R, gamma+1]
+            counts_h = np.asarray(counts)   # [R]
             stop = False
-            for i in range(m):
-                if emitted >= max_tokens:
-                    stop = True
+            for r in range(R):
+                for i in range(int(counts_h[r])):
+                    if emitted >= max_tokens:
+                        stop = True
+                        break
+                    if not on_token(
+                        emitted, np.asarray([toks_h[r, i]], np.int32)
+                    ):
+                        stop = True
+                        break
+                    emitted += 1
+                if stop:
                     break
-                if not on_token(emitted, np.asarray([draft[i]], np.int32)):
-                    stop = True
-                    break
-                emitted += 1
-                context.append(draft[i])
             if stop:
                 break
-            c += m + 1
-            cur = int(preds[m])
         return encoded
 
     def generate_sync(self, texts: Sequence[str]) -> List[GPTOutput]:

@@ -32,7 +32,6 @@ import numpy as np
 
 from tinygpt_tpu.engine.kv_cache import create_kv_cache
 from tinygpt_tpu.engine.paged_kv import (
-    BlockAllocator,
     PagedKVState,
     blocks_needed,
     create_paged_state,
