@@ -25,6 +25,11 @@ def _enable_compile_cache() -> None:
     unchanged shapes. Safe to set before or after jax is first used."""
     if _os.environ.get("TINYGPT_NO_COMPILE_CACHE"):
         return
+    # CPU-only sessions skip the cache: XLA:CPU persists AOT code keyed to
+    # the COMPILING machine's features, and loading it on a different CPU
+    # risks SIGILL (observed warnings); CPU compiles are cheap anyway.
+    if "cpu" in _os.environ.get("JAX_PLATFORMS", "").lower():
+        return
     try:
         import jax
 
