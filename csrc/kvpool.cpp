@@ -13,12 +13,27 @@
 // scheduler's prefix maps; the Python implementation stays as the
 // reference/fallback. Binding: ctypes (tinygpt_tpu/engine/native_pool.py).
 
+#include <cstddef>
 #include <cstdint>
 #include <map>
 #include <unordered_map>
 #include <vector>
 
 namespace {
+
+// 128-bit content-address key (SHA-256 chain digest truncated by the
+// Python side); 64-bit non-crypto keys are collidable -> K/V aliasing.
+struct Key128 {
+  uint64_t hi, lo;
+  bool operator==(const Key128& o) const { return hi == o.hi && lo == o.lo; }
+};
+
+struct Key128Hash {
+  size_t operator()(const Key128& k) const {
+    // digest bits are already uniform; fold.
+    return static_cast<size_t>(k.hi ^ (k.lo * 0x9E3779B97F4A7C15ull));
+  }
+};
 
 struct Pool {
   int32_t n_blocks;
@@ -29,8 +44,8 @@ struct Pool {
   std::unordered_map<int32_t, uint64_t> idle_tick;
   uint64_t tick = 0;
   // prefix index: chain hash -> block, block -> hash
-  std::unordered_map<uint64_t, int32_t> prefix;
-  std::unordered_map<int32_t, uint64_t> block_hash;
+  std::unordered_map<Key128, int32_t, Key128Hash> prefix;
+  std::unordered_map<int32_t, Key128> block_hash;
 
   explicit Pool(int32_t n) : n_blocks(n) {
     free_list.reserve(n);
@@ -133,17 +148,19 @@ void tg_pool_release(void* h, const int32_t* blocks, const uint8_t* keep,
 
 // Prefix index operations -----------------------------------------------
 
-void tg_pool_register_prefix(void* h, uint64_t hash, int32_t block) {
+void tg_pool_register_prefix(void* h, uint64_t hash_hi, uint64_t hash_lo,
+                             int32_t block) {
   auto* p = static_cast<Pool*>(h);
-  if (p->prefix.count(hash)) return;  // first writer wins
-  p->prefix[hash] = block;
-  p->block_hash[block] = hash;
+  Key128 k{hash_hi, hash_lo};
+  if (p->prefix.count(k)) return;  // first writer wins
+  p->prefix[k] = block;
+  p->block_hash[block] = k;
 }
 
 // Returns the block for `hash`, or -1 when absent.
-int32_t tg_pool_lookup_prefix(void* h, uint64_t hash) {
+int32_t tg_pool_lookup_prefix(void* h, uint64_t hash_hi, uint64_t hash_lo) {
   auto* p = static_cast<Pool*>(h);
-  auto it = p->prefix.find(hash);
+  auto it = p->prefix.find(Key128{hash_hi, hash_lo});
   return it == p->prefix.end() ? -1 : it->second;
 }
 
@@ -155,6 +172,6 @@ int32_t tg_pool_n_idle_cached(void* h) {
   return static_cast<int32_t>(static_cast<Pool*>(h)->idle_by_tick.size());
 }
 
-int tg_pool_abi_version() { return 1; }
+int tg_pool_abi_version() { return 2; }
 
 }  // extern "C"

@@ -376,6 +376,57 @@ def test_prefix_cache_eviction_under_pressure(llama):
     assert batcher.allocator.n_free == 7
 
 
+def test_prefix_reuse_under_pool_pressure_no_aliasing(llama):
+    """Regression: admission must PIN looked-up prefix blocks before
+    alloc(). alloc's LRU reclaim could otherwise evict the just-found
+    idle-cached prefix blocks and hand them back as the same request's
+    private suffix blocks — one physical block twice in the block table,
+    silently corrupting output."""
+    cfg, model, params = llama
+    rng = np.random.default_rng(23)
+    prefix_a = [int(x) for x in rng.integers(2, cfg.vocab_size, 32)]
+    prefix_b = [int(x) for x in rng.integers(2, cfg.vocab_size, 32)]
+    tail = [int(x) for x in rng.integers(2, cfg.vocab_size, 8)]
+    long_suffix = [int(x) for x in rng.integers(2, cfg.vocab_size, 62)]
+
+    def make(enable):
+        return ContinuousBatcher(
+            model, cfg, params, eos_ids=set(),
+            config=SchedulerConfig(
+                batch_capacity=1, block_size=16, n_blocks=8,
+                max_blocks_per_seq=8, prefill_bucket=16, dtype="float32",
+                enable_prefix_cache=enable,
+            ),
+        )
+
+    def run(batcher):
+        got = {}
+        # reqs 0/1 seed the idle-cached tier: A-blocks get OLDER LRU
+        # ticks than B-blocks, so reclaim under pressure targets A first
+        for i, p in enumerate([prefix_a + tail, prefix_b + tail]):
+            batcher.add_request(Request(request_id=i, prompt_ids=p,
+                                        max_new_tokens=2))
+            _drain(batcher, got)
+        # req 2 reuses prefix A while alloc needs an LRU reclaim
+        batcher.add_request(Request(request_id=2,
+                                    prompt_ids=prefix_a + long_suffix,
+                                    max_new_tokens=2))
+        for ev in batcher.step():  # admission step
+            if ev.token_id is not None:
+                got.setdefault(ev.request_id, []).append(ev.token_id)
+        if batcher.running:
+            (req2,) = batcher.running.values()
+            assert len(set(req2.blocks)) == len(req2.blocks), (
+                f"physical block aliased in block table: {req2.blocks}"
+            )
+        _drain(batcher, got)
+        return got
+
+    got_on = run(make(True))
+    got_off = run(make(False))
+    assert got_on == got_off
+
+
 def test_pool_index_native_python_parity():
     """The C++ pool (csrc/kvpool.cpp) must match the Python reference
     block-for-block across a randomized alloc/share/release/prefix

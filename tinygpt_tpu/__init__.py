@@ -17,22 +17,35 @@ import os as _os
 from tinygpt_tpu.version import __version__
 
 
-def _enable_compile_cache() -> None:
+_cache_decided = False
+
+
+def ensure_compile_cache() -> None:
     """Persistent XLA compilation cache (opt out: TINYGPT_NO_COMPILE_CACHE).
 
     Decode/prefill programs compile in tens of seconds to minutes on TPU;
     the cache makes every process after the first start instantly for
-    unchanged shapes. Safe to set before or after jax is first used."""
-    if _os.environ.get("TINYGPT_NO_COMPILE_CACHE"):
+    unchanged shapes.
+
+    Called lazily from the heavy-compile entry points (engine/scheduler
+    construction, bench, evaluate) — NOT at import: the decision keys on
+    the RESOLVED backend, because env-var sniffing misses sessions that
+    escape the tunneled TPU platform via
+    jax.config.update("jax_platforms", "cpu") after import. CPU sessions
+    must skip the cache: XLA:CPU persists AOT code keyed to the compiling
+    machine's CPU features, and loading it elsewhere risks SIGILL; CPU
+    compiles are cheap anyway."""
+    global _cache_decided
+    if _cache_decided:
         return
-    # CPU-only sessions skip the cache: XLA:CPU persists AOT code keyed to
-    # the COMPILING machine's features, and loading it on a different CPU
-    # risks SIGILL (observed warnings); CPU compiles are cheap anyway.
-    if "cpu" in _os.environ.get("JAX_PLATFORMS", "").lower():
+    _cache_decided = True
+    if _os.environ.get("TINYGPT_NO_COMPILE_CACHE"):
         return
     try:
         import jax
 
+        if jax.default_backend() == "cpu":
+            return
         cache_dir = _os.environ.get(
             "TINYGPT_COMPILE_CACHE",
             _os.path.join(
@@ -42,10 +55,8 @@ def _enable_compile_cache() -> None:
         _os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:  # never break import over a cache
+    except Exception:  # never break a session over a cache
         pass
 
 
-_enable_compile_cache()
-
-__all__ = ["__version__"]
+__all__ = ["__version__", "ensure_compile_cache"]

@@ -141,6 +141,9 @@ class GPTEngine:
 
     def prepare(self) -> None:
         """Load everything (reference: GPTEngine.cpp:41-65)."""
+        import tinygpt_tpu
+
+        tinygpt_tpu.ensure_compile_cache()
         cfg = self.config
         self.ctx = load_model_dir(cfg.model_dir, dtype=cfg.dtype)
         if cfg.quantization:

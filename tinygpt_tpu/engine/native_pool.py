@@ -90,10 +90,11 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
         ]
         lib.tg_pool_register_prefix.argtypes = [
-            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_int32,
         ]
         lib.tg_pool_lookup_prefix.argtypes = [
-            ctypes.c_void_p, ctypes.c_uint64,
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint64,
         ]
         lib.tg_pool_lookup_prefix.restype = ctypes.c_int32
         lib.tg_pool_block_is_registered.argtypes = [
@@ -102,7 +103,7 @@ def _load():
         lib.tg_pool_block_is_registered.restype = ctypes.c_int32
         lib.tg_pool_n_idle_cached.argtypes = [ctypes.c_void_p]
         lib.tg_pool_n_idle_cached.restype = ctypes.c_int32
-        if lib.tg_pool_abi_version() != 1:
+        if lib.tg_pool_abi_version() != 2:
             return None
         _LIB = lib
         return _LIB
@@ -165,13 +166,19 @@ class NativePoolIndex:
         )
 
     def register_prefix(self, h: int, block: int) -> None:
+        # h is a 128-bit chain digest (scheduler._block_hashes)
         self._lib.tg_pool_register_prefix(
-            self._h, ctypes.c_uint64(h & 0xFFFFFFFFFFFFFFFF), block
+            self._h,
+            ctypes.c_uint64((h >> 64) & 0xFFFFFFFFFFFFFFFF),
+            ctypes.c_uint64(h & 0xFFFFFFFFFFFFFFFF),
+            block,
         )
 
     def lookup_prefix(self, h: int) -> Optional[int]:
         b = self._lib.tg_pool_lookup_prefix(
-            self._h, ctypes.c_uint64(h & 0xFFFFFFFFFFFFFFFF)
+            self._h,
+            ctypes.c_uint64((h >> 64) & 0xFFFFFFFFFFFFFFFF),
+            ctypes.c_uint64(h & 0xFFFFFFFFFFFFFFFF),
         )
         return None if b < 0 else int(b)
 

@@ -114,6 +114,9 @@ class ContinuousBatcher:
         eos_ids: Set[int],
         config: Optional[SchedulerConfig] = None,
     ):
+        import tinygpt_tpu
+
+        tinygpt_tpu.ensure_compile_cache()
         self.model = model
         self.cfg = model_config
         self.params = params
@@ -252,13 +255,24 @@ class ContinuousBatcher:
 
     def _block_hashes(self, prompt_ids: List[int]) -> List[int]:
         """Chain hashes for each COMPLETE block of the prompt: h_j commits
-        to every token in blocks 0..j (content addressing)."""
+        to every token in blocks 0..j (content addressing).
+
+        SHA-256 truncated to 128 bits — NOT Python's builtin hash(),
+        which is trivially collidable: in a multi-tenant server a crafted
+        collision would alias another prompt's K/V block (output
+        corruption + cross-request prompt leakage, the vLLM builtin-hash
+        prefix-cache CVE class)."""
+        import hashlib
+
         bs = self.sc.block_size
-        out = []
-        h = 0
+        out: List[int] = []
+        h = b"\x00" * 16
         for j in range(len(prompt_ids) // bs):
-            h = hash((h, tuple(prompt_ids[j * bs : (j + 1) * bs])))
-            out.append(h)
+            chunk = np.asarray(
+                prompt_ids[j * bs : (j + 1) * bs], np.int64
+            ).tobytes()
+            h = hashlib.sha256(h + chunk).digest()[:16]
+            out.append(int.from_bytes(h, "little"))
         return out
 
     def _try_admit(self, req: Request) -> bool:
@@ -280,7 +294,11 @@ class ContinuousBatcher:
             req.finish_reason = "length"
             return False
 
-        # longest cached block prefix, leaving >= 1 token to prefill
+        # longest cached block prefix, leaving >= 1 token to prefill.
+        # share() PINS the looked-up blocks immediately: alloc()'s LRU
+        # reclaim may otherwise evict an idle-cached prefix block we just
+        # found and hand it back as this request's private suffix block
+        # (same physical block twice in the table -> silent corruption).
         hashes = self._block_hashes(req.prompt_ids)
         n_shareable = min(len(hashes), (S - 1) // bs)
         shared: List[int] = []
@@ -290,6 +308,7 @@ class ContinuousBatcher:
                 if b is None:
                     break
                 shared.append(b)
+        self.allocator.share(shared)
         p_blk = len(shared)
         p_len = p_blk * bs
         suffix = req.prompt_ids[p_len:]
@@ -298,8 +317,11 @@ class ContinuousBatcher:
         n_private = blocks_needed(S_suf, bs)
         private = self.allocator.alloc(n_private)
         if private is None:
-            return False  # no memory yet — stay queued
-        self.allocator.share(shared)
+            # no memory yet — stay queued; unpin the prefix back to the
+            # idle-cached tier so it stays reclaimable
+            keep = [b for b in shared if self.allocator.is_registered(b)]
+            self.allocator.release(shared, keep_cached=keep)
+            return False
         row = self.free_rows.pop()
         req.row = row
         req.blocks = shared + private

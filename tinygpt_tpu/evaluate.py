@@ -94,6 +94,9 @@ def perplexity(model, cfg, params, token_ids, window=512, stride=256,
 
 
 def main(argv: Optional[list] = None) -> int:
+    import tinygpt_tpu
+
+    tinygpt_tpu.ensure_compile_cache()
     ap = argparse.ArgumentParser(
         prog="tinygpt_tpu.evaluate",
         description="perplexity over a text file",
