@@ -94,20 +94,15 @@ def main():
 
     @functools.partial(jax.jit, donate_argnums=(2,))
     def decode_n(p, tok, c, pos0):
-        def body(carry, _):
-            tok, c, pos = carry
-            logits, c = causal_lm.forward(
-                p, cfg, tok[:, None], c, pos,
-                jnp.ones((B, 1), jnp.bool_), last_only=True,
-                attn_impl="pallas" if jax.devices()[0].platform == "tpu"
-                else "xla",
-            )
-            nxt = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)
-            return (nxt, c, pos + 1), nxt
-
-        (tok, c, _), toks = jax.lax.scan(body, (tok, c, pos0), None,
-                                         length=N)
-        return toks, c
+        # frozen-cache chunked decode (causal_lm.decode_steps): the big KV
+        # cache is a loop invariant — no per-step cache round-trip
+        keys = jax.random.split(jax.random.PRNGKey(0), N)
+        return causal_lm.decode_steps(
+            p, cfg, tok, c, pos0, keys,
+            lambda lg, k: jnp.argmax(lg, -1).astype(jnp.int32),
+            attn_impl="pallas" if jax.devices()[0].platform == "tpu"
+            else "xla",
+        )
 
     tok = jnp.zeros((B,), jnp.int32)
     pos0 = jnp.full((B, 1), 64, jnp.int32)

@@ -131,6 +131,52 @@ def test_decode_kernel_vs_oracle(G):
     )
 
 
+@pytest.mark.parametrize("window", [None, 12])
+@pytest.mark.parametrize("G", [1, 4])
+def test_decode_frozen_kernel_vs_oracle(G, window):
+    """flash_decode_frozen (stacked cache + in-flight merge, interpret
+    mode) vs the XLA sdpa_decode_frozen oracle, mid-chunk."""
+    from tinygpt_tpu.ops.attention import sdpa_decode_frozen
+    from tinygpt_tpu.ops.attention_kernels import flash_decode_frozen
+
+    Lyr, B, Nk, T, D, N = 3, 2, 2, 24, 64, 8
+    Nq = Nk * G
+    rng = np.random.default_rng(9)
+    P = 17   # frozen tokens per row
+    step = 3  # current in-flight slot (4 chunk tokens so far)
+    ks = rng.standard_normal((Lyr, B, Nk, T, D)).astype(np.float32) * 0.3
+    vs = rng.standard_normal((Lyr, B, Nk, T, D)).astype(np.float32) * 0.3
+    ki = rng.standard_normal((B, Nk, N, D)).astype(np.float32) * 0.3
+    vi = rng.standard_normal((B, Nk, N, D)).astype(np.float32) * 0.3
+    q = rng.standard_normal((B, 1, Nq, D)).astype(np.float32) * 0.3
+    valid = np.zeros((B, T), bool)
+    valid[:, :P] = True
+    kv_pos = np.zeros((B, T), np.int32)
+    kv_pos[:, :P] = np.arange(P)
+    q_pos = np.full((B, 1), P + step, np.int32)
+
+    for l in range(Lyr):
+        ref = sdpa_decode_frozen(
+            jnp.asarray(q), jnp.asarray(ks[l]), jnp.asarray(vs[l]),
+            jnp.asarray(kv_pos), jnp.asarray(valid), jnp.asarray(ki),
+            jnp.asarray(vi), jnp.asarray(step, jnp.int32),
+            jnp.asarray(q_pos), scale=D ** -0.5, sliding_window=window,
+        )
+        mask = (kv_pos <= q_pos) & valid
+        if window is not None:
+            mask &= kv_pos > q_pos - window
+        got = flash_decode_frozen(
+            jnp.asarray(q[:, 0]), jnp.asarray(ks), jnp.asarray(vs),
+            jnp.asarray(mask), jnp.asarray(ki), jnp.asarray(vi),
+            jnp.asarray(l, jnp.int32), jnp.asarray(step, jnp.int32),
+            scale=D ** -0.5, window=window, bt=8, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref)[:, 0], rtol=2e-5, atol=2e-5,
+            err_msg=f"layer {l}",
+        )
+
+
 def test_model_forward_pallas_interpret_matches_xla(tmp_path):
     """Whole-model check: forward with attn_impl pallas-interpret equals
     the XLA path (uses a tiny random llama)."""

@@ -91,6 +91,61 @@ def test_decode_matches_prefill(model_dirs, fam):
         )
 
 
+@pytest.mark.parametrize("fam", ["llama", "mistral", "qwen3"])
+def test_decode_steps_matches_stepwise_forward(model_dirs, fam):
+    """The frozen-cache chunked decode (decode_steps) must produce the
+    same greedy tokens AND the same final cache contents as step-by-step
+    forward() calls (mistral also exercises the sliding-window mask in
+    sdpa_decode_frozen)."""
+    from tinygpt_tpu.models import causal_lm
+
+    cfg, model, params = _load(model_dirs, fam)
+    rng = np.random.default_rng(4)
+    B, S, N = 2, 6, 5
+    ids = rng.integers(2, cfg.vocab_size, (B, S))
+    pos = jnp.broadcast_to(jnp.arange(S), (B, S))
+
+    def prefill():
+        cache = create_kv_cache(cfg, B, 32, dtype=jnp.float32)
+        logits, cache = model.forward(
+            params, cfg, jnp.asarray(ids), cache, pos,
+            jnp.ones((B, S), jnp.bool_), last_only=True,
+        )
+        tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+        return tok, cache
+
+    # reference: per-step forward
+    tok, cache_ref = prefill()
+    ref_toks = []
+    for t in range(N):
+        logits, cache_ref = model.forward(
+            params, cfg, tok[:, None], cache_ref,
+            jnp.full((B, 1), S + t, jnp.int32), jnp.ones((B, 1), jnp.bool_),
+            last_only=True,
+        )
+        tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+        ref_toks.append(np.asarray(tok))
+
+    # frozen-cache chunked decode
+    tok0, cache = prefill()
+    keys = jax.random.split(jax.random.PRNGKey(0), N)
+    toks, cache = causal_lm.decode_steps(
+        params, cfg, tok0, cache, jnp.full((B, 1), S, jnp.int32), keys,
+        lambda lg, k: jnp.argmax(lg, -1).astype(jnp.int32),
+    )
+    np.testing.assert_array_equal(np.asarray(toks), np.stack(ref_toks))
+    # cache contents identical where written
+    np.testing.assert_allclose(
+        np.asarray(cache.k[:, :, :, : S + N]),
+        np.asarray(cache_ref.k[:, :, :, : S + N]), rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(cache.kv_pos[:, : S + N]),
+        np.asarray(cache_ref.kv_pos[:, : S + N]),
+    )
+    assert int(cache.length) == S + N
+
+
 def test_left_padding_invariance(model_dirs):
     """A left-padded row must produce the same last-token logits as the
     unpadded sequence — the correctness the reference punts on

@@ -65,6 +65,42 @@ def test_fused_kernel_matches_reference(bits, group, M):
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("bits,group,M", [
+    (8, 64, 16), (4, 64, 16), (4, 32, 4),
+])
+def test_stacked_kernel_matches_reference(bits, group, M):
+    """Scalar-prefetch stacked-layer kernels (interpret mode) vs explicit
+    per-layer dequant matmul, for every layer index."""
+    from tinygpt_tpu.ops.quant_kernels import (
+        matmul_dequant_int4_stacked,
+        matmul_dequant_int8_stacked,
+    )
+
+    rng = np.random.default_rng(7)
+    L, IN, OUT = 3, 256, 384
+    w = rng.standard_normal((L, IN, OUT)).astype(np.float32) * 0.05
+    x = rng.standard_normal((M, IN)).astype(np.float32)
+    qt = quantize_weight(w, bits=bits, group_size=group)
+    for l in range(L):
+        qt_l = QuantizedTensor(qt.data[l], qt.scales[l], bits,
+                               qt.group_size, IN)
+        ref = np.asarray(x @ np.asarray(dequantize(qt_l, dtype=jnp.float32)))
+        if bits == 8:
+            got = matmul_dequant_int8_stacked(
+                jnp.asarray(x), qt.data, qt.scales,
+                jnp.asarray(l, jnp.int32), group=qt.group_size,
+                interpret=True,
+            )
+        else:
+            got = matmul_dequant_int4_stacked(
+                jnp.asarray(x), qt.data, qt.scales,
+                jnp.asarray(l, jnp.int32), group=qt.group_size,
+                interpret=True,
+            )
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3,
+                                   atol=2e-3, err_msg=f"layer {l}")
+
+
 def test_matmul_any_dispatch():
     rng = np.random.default_rng(3)
     w = rng.standard_normal((128, 64)).astype(np.float32) * 0.05

@@ -443,10 +443,26 @@ class GPTEngine:
         forward = self._forward_fn
         attn_impl = self._attn_impl
 
+        model = self.ctx.model
+        use_frozen = (
+            self.config.mesh_shape is None
+            and hasattr(model, "decode_steps")
+        )
+
         @functools.partial(
             jax.jit, static_argnames=("n_steps",), donate_argnames=("cache",)
         )
         def chunk_fn(params, tok, cache, pos0, key, n_steps):
+            keys = jax.random.split(key, n_steps)
+            if use_frozen:
+                # frozen-cache chunk: the big KV cache is a loop invariant
+                # (no per-step cache round-trip — see causal_lm.decode_steps)
+                return model.decode_steps(
+                    params, cfg, tok, cache, pos0, keys,
+                    lambda lg, k: sample(lg, sampler_cfg, k),
+                    attn_impl=attn_impl,
+                )
+
             def body(carry, key_step):
                 tok, cache, pos = carry
                 logits, cache = forward(
@@ -456,7 +472,6 @@ class GPTEngine:
                 nxt = sample(logits[:, -1, :], sampler_cfg, key_step)
                 return (nxt, cache, pos + 1), nxt
 
-            keys = jax.random.split(key, n_steps)
             (tok, cache, _), toks = jax.lax.scan(
                 body, (tok, cache, pos0), keys
             )

@@ -34,9 +34,16 @@ import numpy as np
 
 from tinygpt_tpu.engine.kv_cache import KVCache
 from tinygpt_tpu.hf.config import ModelConfig
-from tinygpt_tpu.ops.attention import attention_with_cache
+from tinygpt_tpu.ops.attention import (
+    attention_with_cache,
+    sdpa_decode_frozen,
+)
 from tinygpt_tpu.ops.norms import rms_norm
-from tinygpt_tpu.ops.quant import matmul_any
+from tinygpt_tpu.ops.quant import (
+    QuantizedTensor,
+    matmul_any,
+    matmul_dequant_stacked,
+)
 from tinygpt_tpu.ops.rope import apply_rope, compute_rope_freqs
 
 
@@ -216,17 +223,30 @@ def decoder_layer_step(
     cos: jnp.ndarray,
     sin: jnp.ndarray,
     attn_impl: str,
+    quant: Optional[Dict] = None,  # stacked QuantizedTensors (full [L,...])
+    l=None,                        # traced layer index for `quant`
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One pre-norm decoder layer (attention + SwiGLU MLP) over the dense
     cache. Shared by the single-program forward below and the pipeline-
-    parallel stage runner (parallel/pipeline.py)."""
+    parallel stage runner (parallel/pipeline.py).
+
+    Quantized matmul weights arrive via `quant` (the FULL stacked arrays)
+    plus the traced layer index `l` instead of per-layer slices in `lp`:
+    scan-xs slices of quantized weights would be copied across the Pallas
+    custom-call boundary every layer (2x weight traffic — see
+    ops/quant_kernels.py stacked variants)."""
     B, S = x.shape[0], x.shape[1]
     D = cfg.head_dim
     Nq, Nk = cfg.num_attention_heads, cfg.num_kv_heads
     q_dim = Nq * D
 
+    def mm(h, key):
+        if quant is not None and key in quant:
+            return matmul_dequant_stacked(h, quant[key], l)
+        return matmul_any(h, lp[key])
+
     h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
-    qkv = matmul_any(h, lp["qkv_w"])
+    qkv = mm(h, "qkv_w")
     if "qkv_b" in lp:
         qkv = qkv + lp["qkv_b"]
     q = qkv[..., :q_dim].reshape(B, S, Nq, D)
@@ -250,13 +270,13 @@ def decoder_layer_step(
         q_pos=positions, kv_pos=kv_pos, kv_valid=valid, slot=slot,
         sliding_window=cfg.sliding_window, kernel=attn_impl,
     )
-    x = x + matmul_any(attn.reshape(B, S, q_dim), lp["o_w"])
+    x = x + mm(attn.reshape(B, S, q_dim), "o_w")
     h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
-    gate_up = matmul_any(h, lp["gate_up_w"])
+    gate_up = mm(h, "gate_up_w")
     gate, up = jnp.split(gate_up, 2, axis=-1)
-    x = x + matmul_any(
+    x = x + mm(
         jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up,
-        lp["down_w"],
+        "down_w",
     )
     return x, k_cache, v_cache
 
@@ -289,17 +309,27 @@ def forward(
     )
     valid = jax.lax.dynamic_update_slice(cache.valid, token_valid, (0, slot))
 
+    # quantized stacked weights stay OUT of the scan xs (they reach the
+    # Pallas kernels whole, indexed by the traced layer counter) — a scan
+    # slice would be copied across the custom-call boundary every layer
+    quant = {k: v for k, v in params["layers"].items()
+             if isinstance(v, QuantizedTensor)}
+    rest = {k: v for k, v in params["layers"].items() if k not in quant}
+    n_layers = cfg.num_hidden_layers
+
     def layer_fn(x, scanned):
-        lp, k_cache, v_cache = scanned
+        lp, k_cache, v_cache, l = scanned
         x, k_cache, v_cache = decoder_layer_step(
             lp, x, k_cache, v_cache,
             cfg=cfg, positions=positions, kv_pos=kv_pos, valid=valid,
             slot=slot, cos=cos, sin=sin, attn_impl=attn_impl,
+            quant=quant or None, l=l,
         )
         return x, (k_cache, v_cache)
 
     x, (new_k, new_v) = jax.lax.scan(
-        layer_fn, x, (params["layers"], cache.k, cache.v)
+        layer_fn, x,
+        (rest, cache.k, cache.v, jnp.arange(n_layers, dtype=jnp.int32)),
     )
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
     if last_only:
@@ -317,6 +347,176 @@ def forward(
         length=slot + S,
     )
     return logits.astype(jnp.float32), new_cache
+
+
+def decode_steps(
+    params: Dict,
+    cfg: ModelConfig,
+    tok0: jnp.ndarray,       # [B] first input token of the chunk
+    cache: KVCache,
+    pos0: jnp.ndarray,       # [B, 1] logical position of tok0
+    keys: jnp.ndarray,       # [n_steps, ...] per-step sampler keys
+    sample_fn,               # (logits [B, V], key) -> tok [B] int32
+    attn_impl: str = "xla",
+) -> Tuple[jnp.ndarray, KVCache]:
+    """n_steps single-token decode steps as ONE scanned program with the
+    big KV cache FROZEN.
+
+    forward() in a scan carries the full [L, B, Nk, T, D] cache through
+    the loop, and XLA materializes its bytes twice per step (profiled:
+    2 x ~820 us copies at Mistral-7B/T=1024 — ~17% of the step). Here the
+    cache is a loop INVARIANT: each step's K/V land in a tiny in-flight
+    buffer ([L, B, Nk, n_steps, D]) merged by sdpa_decode_frozen, and the
+    chunk's tokens are written into the cache ONCE at the end.
+
+    Returns (toks [n_steps, B] — the tokens sampled AFTER each input —
+    and the advanced cache).
+    """
+    B = tok0.shape[0]
+    n_steps = keys.shape[0]
+    L = cfg.num_hidden_layers
+    D, Nq, Nk = cfg.head_dim, cfg.num_attention_heads, cfg.num_kv_heads
+    q_dim = Nq * D
+    slot0 = cache.length
+    cos, sin = params["rope_cos"], params["rope_sin"]
+
+    quant = {k: v for k, v in params["layers"].items()
+             if isinstance(v, QuantizedTensor)}
+    rest = {k: v for k, v in params["layers"].items() if k not in quant}
+    ls = jnp.arange(L, dtype=jnp.int32)
+
+    # in-flight K/V stay bf16 even for narrower cache dtypes until the
+    # final merge (free precision on the most recent tokens)
+    infl_dt = jnp.bfloat16 if jnp.dtype(cache.k.dtype).itemsize < 2 \
+        else cache.k.dtype
+    infl_k0 = jnp.zeros((L, B, Nk, n_steps, D), infl_dt)
+    infl_v0 = jnp.zeros((L, B, Nk, n_steps, D), infl_dt)
+
+    # Frozen-merge attention routing, measured on v5e at Mistral-7B
+    # b4/T=1024: the XLA merge path runs the step at 9.89 ms vs 10.47 ms
+    # for the Pallas flash_decode_frozen kernel (per-head flash blocks go
+    # compute-bound on sliver-shaped VPU ops), so "pallas" routes to XLA
+    # here. attn_impl="pallas_frozen" forces the kernel (benchable; it
+    # also needs lane/sublane-aligned tiles).
+    T = cache.k.shape[3]
+    use_kernel = (
+        attn_impl == "pallas_frozen"
+        and D % 128 == 0
+        and T % 128 == 0
+        and n_steps % 16 == 0
+    )
+    # one whole-chunk K transpose ([L,B,Nk,T,D] -> [...,D,T]): the scores
+    # dot consumes K in [D, T] layout, and feeding the natural layout
+    # makes XLA re-transpose (copy) every layer every step — ~50x this
+    # cost per chunk (see sdpa_decode_frozen)
+    kT = None if use_kernel else jnp.swapaxes(cache.k, 3, 4)
+
+    def one_step(tok, positions, infl_k, infl_v, step):
+        x = params["embed"][tok[:, None]]  # [B, 1, H]
+        if use_kernel:
+            # frozen-slot mask (causal & valid & window), shared by layers
+            t_pos = cache.kv_pos  # [B, T]
+            mask_f = (t_pos <= positions) & cache.valid
+            if cfg.sliding_window is not None:
+                mask_f &= t_pos > positions - cfg.sliding_window
+
+        def layer_fn(x, scanned):
+            lp, ik, iv, l = scanned
+            if not use_kernel:
+                # XLA path: frozen cache indexed INSIDE the body
+                # (invariant, not scan xs — an xs slice is materialized as
+                # a per-layer copy). The kernel path reads the stacked
+                # cache directly via its prefetched layer index.
+                kf = jax.lax.dynamic_index_in_dim(kT, l, 0, keepdims=False)
+                vf = jax.lax.dynamic_index_in_dim(cache.v, l, 0,
+                                                  keepdims=False)
+
+            def mm(h, key):
+                if key in quant:
+                    return matmul_dequant_stacked(h, quant[key], l)
+                return matmul_any(h, lp[key])
+
+            h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
+            qkv = mm(h, "qkv_w")
+            if "qkv_b" in lp:
+                qkv = qkv + lp["qkv_b"]
+            q = qkv[..., :q_dim].reshape(B, 1, Nq, D)
+            k = qkv[..., q_dim : q_dim + Nk * D].reshape(B, 1, Nk, D)
+            v = qkv[..., q_dim + Nk * D :].reshape(B, 1, Nk, D)
+            if cfg.qk_norm:
+                q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
+                k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
+            q, k = apply_rope(q, k, cos, sin, positions)
+            ik = jax.lax.dynamic_update_slice(
+                ik, k.transpose(0, 2, 1, 3).astype(ik.dtype),
+                (0, 0, step, 0),
+            )
+            iv = jax.lax.dynamic_update_slice(
+                iv, v.transpose(0, 2, 1, 3).astype(iv.dtype),
+                (0, 0, step, 0),
+            )
+            if use_kernel:
+                from tinygpt_tpu.ops.attention_kernels import (
+                    flash_decode_frozen,
+                )
+
+                attn = flash_decode_frozen(
+                    q[:, 0], cache.k, cache.v, mask_f, ik, iv, l, step,
+                    scale=D ** -0.5, window=cfg.sliding_window,
+                )[:, None]
+            else:
+                attn = sdpa_decode_frozen(
+                    q, kf, vf, cache.kv_pos, cache.valid, ik, iv, step,
+                    positions, sliding_window=cfg.sliding_window,
+                    k_transposed=True,
+                )
+            x = x + mm(attn.reshape(B, 1, q_dim), "o_w")
+            h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
+            gate_up = mm(h, "gate_up_w")
+            gate, up = jnp.split(gate_up, 2, axis=-1)
+            x = x + mm(
+                jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up,
+                "down_w",
+            )
+            return x, (ik, iv)
+
+        x, (infl_k, infl_v) = jax.lax.scan(
+            layer_fn, x, (rest, infl_k, infl_v, ls)
+        )
+        x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+        head = params["lm_head"]
+        if head is None:
+            logits = x @ params["embed"].T
+        else:
+            logits = matmul_any(x, head)
+        return logits.astype(jnp.float32), infl_k, infl_v
+
+    def body(carry, key_step):
+        tok, pos, infl_k, infl_v, step = carry
+        logits, infl_k, infl_v = one_step(tok, pos, infl_k, infl_v, step)
+        nxt = sample_fn(logits[:, -1, :], key_step).astype(jnp.int32)
+        return (nxt, pos + 1, infl_k, infl_v, step + 1), nxt
+
+    (tok, pos, infl_k, infl_v, _), toks = jax.lax.scan(
+        body, (tok0.astype(jnp.int32), pos0, infl_k0, infl_v0,
+               jnp.asarray(0, jnp.int32)), keys
+    )
+
+    # merge the chunk into the cache once (in-place under donation)
+    k = jax.lax.dynamic_update_slice(
+        cache.k, infl_k.astype(cache.k.dtype), (0, 0, 0, slot0, 0)
+    )
+    v = jax.lax.dynamic_update_slice(
+        cache.v, infl_v.astype(cache.v.dtype), (0, 0, 0, slot0, 0)
+    )
+    win_pos = pos0 + jnp.arange(n_steps, dtype=jnp.int32)[None, :]  # [B, N]
+    kv_pos = jax.lax.dynamic_update_slice(cache.kv_pos, win_pos, (0, slot0))
+    valid = jax.lax.dynamic_update_slice(
+        cache.valid, jnp.ones((B, n_steps), jnp.bool_), (0, slot0)
+    )
+    new_cache = KVCache(k=k, v=v, kv_pos=kv_pos, valid=valid,
+                        length=slot0 + n_steps)
+    return toks, new_cache
 
 
 def forward_paged(
@@ -353,10 +553,20 @@ def forward_paged(
     x = params["embed"][input_ids[:, None]]  # [B, 1, H]
     cos, sin = params["rope_cos"], params["rope_sin"]
 
+    quant = {k: v for k, v in params["layers"].items()
+             if isinstance(v, QuantizedTensor)}
+    rest = {k: v for k, v in params["layers"].items() if k not in quant}
+
     def layer_fn(x, scanned):
-        lp, k_pool, v_pool = scanned
+        lp, k_pool, v_pool, l = scanned
+
+        def mm(h, key):
+            if key in quant:
+                return matmul_dequant_stacked(h, quant[key], l)
+            return matmul_any(h, lp[key])
+
         h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
-        qkv = matmul_any(h, lp["qkv_w"])
+        qkv = mm(h, "qkv_w")
         if "qkv_b" in lp:
             qkv = qkv + lp["qkv_b"]
         q = qkv[..., :q_dim].reshape(B, 1, Nq, D)
@@ -378,18 +588,20 @@ def forward_paged(
             scale=D ** -0.5, sliding_window=cfg.sliding_window,
             kernel=attn_impl,
         )
-        x = x + matmul_any(attn.reshape(B, 1, q_dim), lp["o_w"])
+        x = x + mm(attn.reshape(B, 1, q_dim), "o_w")
         h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
-        gate_up = matmul_any(h, lp["gate_up_w"])
+        gate_up = mm(h, "gate_up_w")
         gate, up = jnp.split(gate_up, 2, axis=-1)
-        x = x + matmul_any(
+        x = x + mm(
             jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up,
-            lp["down_w"],
+            "down_w",
         )
         return x, (k_pool, v_pool)
 
     x, (new_k, new_v) = jax.lax.scan(
-        layer_fn, x, (params["layers"], state.k_pool, state.v_pool)
+        layer_fn, x,
+        (rest, state.k_pool, state.v_pool,
+         jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)),
     )
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
     head = params["lm_head"]

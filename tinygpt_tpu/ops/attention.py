@@ -70,6 +70,78 @@ def sdpa_with_cache(
     return out.reshape(B, S, Nq, D).astype(q.dtype)
 
 
+def sdpa_decode_frozen(
+    q: jnp.ndarray,        # [B, 1, Nq, D] (RoPE applied)
+    k_frozen: jnp.ndarray,  # [B, Nk, T, D] cache as of chunk start (FROZEN)
+    v_frozen: jnp.ndarray,  # [B, Nk, T, D]
+    kv_pos: jnp.ndarray,    # [B, T] logical position per frozen slot
+    kv_valid: jnp.ndarray,  # [B, T] frozen-slot validity (chunk start)
+    k_infl: jnp.ndarray,    # [B, Nk, N, D] in-flight K (this chunk's tokens)
+    v_infl: jnp.ndarray,    # [B, Nk, N, D]
+    step: jnp.ndarray,      # scalar int32: index of the CURRENT token in
+                            # the in-flight buffer (slots 0..step are real)
+    q_pos: jnp.ndarray,     # [B, 1]
+    scale: float | None = None,
+    sliding_window: int | None = None,
+    k_transposed: bool = False,
+) -> jnp.ndarray:
+    """Decode attention for a chunked scan that does NOT rewrite the big
+    cache every step: the chunk's new K/V accumulate in a tiny in-flight
+    buffer and the main cache stays a loop invariant.
+
+    Why: carrying the full [L,B,Nk,T,D] cache through the per-step scan
+    makes XLA round-trip its bytes (profiled: two ~820 us copies per
+    Mistral-7B step at T=1024 — ~17% of the step). Freezing it leaves only
+    the unavoidable attention reads.
+
+    In-flight slot j holds the token at logical position q_pos - (step-j);
+    all slots j <= step are causally visible (window permitting).
+
+    k_transposed=True reads k_frozen as [B, Nk, D, T] — the layout the
+    scores dot wants on the MXU. Feeding the natural [B, Nk, T, D] makes
+    XLA materialize a TRANSPOSED COPY of every layer's K inside the scan
+    (profiled ~71 us/layer at Mistral-7B/T=1024); callers that run many
+    steps should transpose K once per chunk instead (decode_steps does)."""
+    B, S, Nq, D = q.shape
+    if k_transposed:
+        Nk, T = k_frozen.shape[1], k_frozen.shape[3]
+    else:
+        Nk, T = k_frozen.shape[1], k_frozen.shape[2]
+    N = k_infl.shape[2]
+    G = Nq // Nk
+    if scale is None:
+        scale = D ** -0.5
+
+    qg = q.reshape(B, 1, Nk, G, D).astype(jnp.float32)
+    if k_transposed:
+        sf = jnp.einsum("bskgd,bkdt->bkgst", qg,
+                        k_frozen.astype(jnp.float32)) * scale
+    else:
+        sf = jnp.einsum("bskgd,bktd->bkgst", qg,
+                        k_frozen.astype(jnp.float32)) * scale
+    si = jnp.einsum("bskgd,bkjd->bkgsj", qg,
+                    k_infl.astype(jnp.float32)) * scale
+
+    p = q_pos[:, :, None]                      # [B, 1, 1]
+    t_pos = kv_pos[:, None, :]                 # [B, 1, T]
+    mask_f = (t_pos <= p) & kv_valid[:, None, :]
+    j = jnp.arange(N, dtype=jnp.int32)
+    mask_i = j <= step                         # [N]
+    if sliding_window is not None:
+        mask_f &= t_pos > p - sliding_window
+        mask_i &= (step - j) < sliding_window
+    sf = jnp.where(mask_f[:, None, None, :, :], sf, NEG_INF)
+    si = jnp.where(mask_i[None, None, None, None, :], si, NEG_INF)
+
+    s_all = jnp.concatenate([sf, si], axis=-1)
+    probs = jax.nn.softmax(s_all, axis=-1)
+    pf, pi = probs[..., :T], probs[..., T:]
+    out = jnp.einsum("bkgst,bktd->bskgd", pf, v_frozen.astype(jnp.float32))
+    out = out + jnp.einsum("bkgsj,bkjd->bskgd", pi,
+                           v_infl.astype(jnp.float32))
+    return out.reshape(B, 1, Nq, D).astype(q.dtype)
+
+
 def attention_with_cache(
     q: jnp.ndarray,         # [B, S, Nq, D]
     k_cache: jnp.ndarray,   # [B, Nk, T, D]

@@ -242,6 +242,172 @@ def _decode_kernel(
         o_ref[0, 0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
 
 
+def _decode_frozen_kernel(
+    s_ref,      # SMEM [2] int32: [layer, step]
+    q_ref,      # [1, Nk, G, D]
+    k_ref,      # [1, 1, Nk, BT, D] — layer slab of the STACKED frozen cache
+    v_ref,      # [1, 1, Nk, BT, D]
+    mask_ref,   # [1, 1, BT] int8 — frozen validity (incl. window), per step
+    ik_ref,     # [1, Nk, N, D] — this layer's in-flight K (chunk tokens)
+    iv_ref,     # [1, Nk, N, D]
+    o_ref,      # [1, Nk, G, D]
+    m_scr, l_scr, acc_scr,  # [Nk*G, 128] x2, [Nk*G, D]
+    *,
+    scale: float,
+    n_t: int,
+    n_kv: int,
+    window,     # Optional[int] — sliding window for the in-flight mask
+):
+    # Grid is (B, T/BT): one KV tile carries ALL Nk heads (≈1 MB DMAs —
+    # a per-(b, head) grid issues 8x smaller transfers and goes
+    # latency-bound). Only the MXU dots unroll over heads; every VPU op
+    # (mask, exp, max, sum, rescale) runs once on the stacked
+    # [Nk*G, BT] tile — a per-head loop over [G<=8, BT] slivers was
+    # measured compute-bound at ~97 us/layer vs the DMA's ~48.
+    jt = pl.program_id(1)
+    G = q_ref.shape[2]
+    R = n_kv * G
+
+    @pl.when(jt == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    def dots(x_rows, kv_ref, idx, contract):
+        """Per-head MXU dots, rows stacked to [Nk*G, cols]."""
+        outs = []
+        for h in range(n_kv):
+            outs.append(jax.lax.dot_general(
+                x_rows[h * G : (h + 1) * G],
+                kv_ref[idx + (h,)].astype(jnp.float32),
+                ((contract, ((), ()))),
+                preferred_element_type=jnp.float32,
+            ))
+        return jnp.concatenate(outs, axis=0)
+
+    q = q_ref[0].astype(jnp.float32).reshape(R, q_ref.shape[3])
+    s = dots(q, k_ref, (0, 0), ((1,), (1,))) * scale  # [R, BT]
+    s = jnp.where(mask_ref[0, 0][None, :] != 0, s, NEG_INF)
+
+    m_prev = m_scr[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc = acc_scr[:] * alpha + dots(p, v_ref, (0, 0), ((1,), (0,)))
+
+    @pl.when(jt < n_t - 1)
+    def _():
+        acc_scr[:] = acc
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(jt == n_t - 1)
+    def _():
+        # fold in the in-flight block (slots 0..step visible)
+        step = s_ref[1]
+        N = ik_ref.shape[2]
+        si = dots(q, ik_ref, (0,), ((1,), (1,))) * scale  # [R, N]
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+        mi = j <= step
+        if window is not None:
+            mi &= (step - j) < window
+        si = jnp.where(mi, si, NEG_INF)
+
+        m2 = jnp.maximum(m_new, jnp.max(si, axis=1, keepdims=True))
+        pi = jnp.exp(si - m2)
+        alpha2 = jnp.exp(m_new - m2)
+        l2 = l_new * alpha2 + jnp.sum(pi, axis=1, keepdims=True)
+        acc2 = acc * alpha2 + dots(pi, iv_ref, (0,), ((1,), (0,)))
+        safe_l = jnp.where(l2 == 0.0, 1.0, l2)
+        o_ref[0] = (acc2 / safe_l).reshape(o_ref.shape[1:]).astype(
+            o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "window", "bt", "interpret")
+)
+def flash_decode_frozen(
+    q: jnp.ndarray,        # [B, Nq, D] — single query position
+    k_stack: jnp.ndarray,  # [L, B, Nk, T, D] FROZEN stacked cache
+    v_stack: jnp.ndarray,  # [L, B, Nk, T, D]
+    mask: jnp.ndarray,     # [B, T] bool — frozen validity & window & causal
+    k_infl: jnp.ndarray,   # [B, Nk, N, D] — this layer's in-flight K
+    v_infl: jnp.ndarray,   # [B, Nk, N, D]
+    l: jnp.ndarray,        # scalar int32 layer index
+    step: jnp.ndarray,     # scalar int32 current in-flight slot
+    scale: float,
+    window=None,           # Optional[int] sliding window
+    bt: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Decode attention for the frozen-cache chunked scan, reading layer
+    `l` of the STACKED cache via a prefetched scalar index.
+
+    This exists for the same reason as the stacked dequant matmuls
+    (ops/quant_kernels.py): inside a lax.scan over layers XLA materializes
+    a copy of each layer's K/V before any custom call or einsum that
+    can't fuse the slice (profiled ~55 us/layer at Mistral-7B/T=1024 =
+    1.8 ms/step). The kernel's index_map reads the stacked buffer
+    directly. The chunk's in-flight K/V (see causal_lm.decode_steps) are
+    folded in with one extra online-softmax block."""
+    B, Nq, D = q.shape
+    L, _, Nk, T, _ = k_stack.shape
+    N = k_infl.shape[2]
+    G = Nq // Nk
+    bt = _pick_bt(T, bt)
+    n_t = T // bt
+    q4 = q.reshape(B, Nk, G, D)
+    mask8 = mask.astype(jnp.int8).reshape(B, 1, T)
+    scalars = jnp.stack([jnp.asarray(l, jnp.int32),
+                         jnp.asarray(step, jnp.int32)])
+
+    kernel = functools.partial(_decode_frozen_kernel, scale=scale, n_t=n_t,
+                               n_kv=Nk, window=window)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_t),
+        in_specs=[
+            pl.BlockSpec((1, Nk, G, D), lambda b, jt, s: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Nk, bt, D),
+                         lambda b, jt, s: (s[0], b, 0, jt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Nk, bt, D),
+                         lambda b, jt, s: (s[0], b, 0, jt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bt), lambda b, jt, s: (b, 0, jt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nk, N, D), lambda b, jt, s: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nk, N, D), lambda b, jt, s: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, Nk, G, D), lambda b, jt, s: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Nk * G, 128), jnp.float32),
+            pltpu.VMEM((Nk * G, 128), jnp.float32),
+            pltpu.VMEM((Nk * G, D), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Nk, G, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Nq * (T + N) * D,
+            bytes_accessed=2 * B * Nk * T * D * 2,
+            transcendentals=B * Nq * (T + N),
+        ),
+        interpret=interpret,
+    )(scalars, q4, k_stack, v_stack, mask8, k_infl, v_infl)
+    return out.reshape(B, Nq, D)
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "bt", "interpret")
 )

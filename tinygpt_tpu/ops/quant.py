@@ -133,7 +133,7 @@ def quantize_weight(
     single-core speed."""
     assert bits in (8, 4)
     in_dim, out_dim = w.shape[-2], w.shape[-1]
-    g = group_size or in_dim
+    g = min(group_size or in_dim, in_dim)  # clamp: small projections
     if bits == 4:
         # the packed kernel needs whole groups inside each nibble plane
         g = min(g, in_dim // 2)
@@ -191,6 +191,27 @@ def matmul_any(x: jnp.ndarray, w) -> jnp.ndarray:
     if isinstance(w, QuantizedTensor):
         return matmul_dequant(x, w)
     return x @ w
+
+
+def matmul_dequant_stacked(x: jnp.ndarray, qt: QuantizedTensor,
+                           l) -> jnp.ndarray:
+    """x [..., in] @ dequant(qt[l]) for a STACKED [L, in, out] quantized
+    weight and a traced layer index l. On TPU the layer index reaches the
+    Pallas kernel as a prefetched scalar, so the stacked bytes stream
+    straight from HBM (a lax.scan `xs` slice would force XLA to copy each
+    layer's weights across the custom-call boundary every iteration,
+    doubling weight traffic — profiled, see quant_kernels.py)."""
+    from tinygpt_tpu.ops.quant_kernels import matmul_dequant_stacked_tpu
+
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    if _use_pallas():
+        out = matmul_dequant_stacked_tpu(x2, qt, l)
+    else:
+        qt_l = QuantizedTensor(qt.data[l], qt.scales[l], qt.bits,
+                               qt.group_size, qt.in_dim)
+        out = _matmul_dequant_reference(x2, qt_l)
+    return out.reshape(*lead, qt.out_dim)
 
 
 # -- whole-model quantization --------------------------------------------------

@@ -49,6 +49,20 @@ def _pick_bk(total: int, group: int, target: int) -> int:
     return best
 
 
+def _pick_bo(out: int, n_k: int, target: int = 4096) -> int:
+    """Output-tile width. Two forces, measured on v5e (gate_up/down/o at
+    Mistral-7B shapes): each weight row's contiguous DMA run is `bo`
+    bytes, so bigger bo reads closer to the HBM streaming rate (1 KB
+    segments: ~605 GB/s; 4 KB: ~736); but the grid needs >= ~8 blocks
+    total for the DMA pipeline to overlap compute (whole-matrix blocks
+    measured ~350 GB/s). Pick the largest power-of-two tile <= target that
+    divides `out` and keeps n_o * n_k >= 8."""
+    for bo in (4096, 2048, 1024, 512, 256, 128):
+        if bo <= target and out % bo == 0 and (out // bo) * n_k >= 8:
+            return bo
+    return min(out, target)
+
+
 # -- int8 ---------------------------------------------------------------------
 
 
@@ -97,14 +111,14 @@ def matmul_dequant_int8(
     group: int,
     bm: int = 256,
     bk: int = 1024,
-    bo: int = 1024,
+    bo=None,  # None: auto (_pick_bo)
     interpret: bool = False,
 ) -> jnp.ndarray:
     M, IN = x.shape
     OUT = data.shape[1]
     bm = min(bm, _round_up(M, 8))
     bk = _pick_bk(IN, group, bk)
-    bo = min(bo, OUT)
+    bo = _pick_bo(OUT, IN // bk) if bo is None else min(bo, OUT)
     n_m, n_o, n_k = _cdiv(M, bm), _cdiv(OUT, bo), IN // bk
 
     rows = bk // group
@@ -191,7 +205,7 @@ def matmul_dequant_int4(
     group: int,
     bm: int = 256,
     bk: int = 1024,      # tile of PACKED rows
-    bo: int = 1024,
+    bo=None,  # None: auto (_pick_bo)
     interpret: bool = False,
 ) -> jnp.ndarray:
     M, IN = x.shape
@@ -204,7 +218,7 @@ def matmul_dequant_int4(
     # nibble planes and both scale planes tile cleanly.
     bm = min(bm, _round_up(M, 8))
     bk = _pick_bk(INP, group, bk)
-    bo = min(bo, OUT)
+    bo = _pick_bo(OUT, INP // bk) if bo is None else min(bo, OUT)
     n_m, n_o, n_k = _cdiv(M, bm), _cdiv(OUT, bo), INP // bk
     half_groups = half // group
 
@@ -251,4 +265,213 @@ def matmul_dequant_tpu(x: jnp.ndarray, qt: "QuantizedTensor",
         )
     return matmul_dequant_int4(
         x, qt.data, qt.scales, group=qt.group_size, interpret=interpret
+    )
+
+
+# -- stacked-layer variants (scalar-prefetch layer index) --------------------
+#
+# Inside a lax.scan over layers, slicing a stacked weight as a scan `xs`
+# feeds a dynamic-slice into the pallas custom call — XLA cannot pass a
+# view across a custom-call boundary, so it MATERIALIZES a copy of every
+# layer's weight bytes each iteration (profiled at ~78 us for a 59 MB
+# gate_up slice: the copy costs as much as the matmul itself, ~2x total
+# weight traffic). These variants instead take the FULL stacked [L, ...]
+# arrays plus the layer index as a prefetched scalar: the kernel's
+# index_map picks layer l's tiles and the DMA engine streams them
+# directly from the stacked buffer — zero copies, one compile for all
+# layers.
+
+
+def _int8_kernel_stacked(l_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, *,
+                         n_k: int, group: int):
+    del l_ref  # consumed by the index_maps
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = w_ref[0].astype(jnp.float32)  # [BK, BO]
+    bk, bo = w.shape
+    rows = bk // group
+    x = x_ref[:].astype(jnp.float32)
+    s = s_ref[0].astype(jnp.float32)  # [rows, BO]
+    acc = acc_ref[:]
+    for r in range(rows):
+        part = jnp.dot(
+            x[:, r * group : (r + 1) * group],
+            w[r * group : (r + 1) * group, :],
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc + s[r][None, :] * part
+    acc_ref[:] = acc
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group", "bm", "bk", "bo", "interpret")
+)
+def matmul_dequant_int8_stacked(
+    x: jnp.ndarray,       # [M, IN]
+    data: jnp.ndarray,    # [L, IN, OUT] int8
+    scales: jnp.ndarray,  # [L, IN/group, OUT]
+    l: jnp.ndarray,       # scalar int32 layer index (traced)
+    group: int,
+    bm: int = 256,
+    bk: int = 1024,
+    bo=None,  # None: auto (_pick_bo)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    M, IN = x.shape
+    L, _, OUT = data.shape
+    bm = min(bm, _round_up(M, 8))
+    bk = _pick_bk(IN, group, bk)
+    bo = _pick_bo(OUT, IN // bk) if bo is None else min(bo, OUT)
+    n_m, n_o, n_k = _cdiv(M, bm), _cdiv(OUT, bo), IN // bk
+    rows = bk // group
+    # scales are consumed in their NATIVE [L, IN/group, OUT] layout: block
+    # k covers scale rows [k*rows, (k+1)*rows) — no reshape/slice, which
+    # inside a lax.scan body would materialize a copy every layer.
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_m, n_o, n_k),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda m, o, k, l: (m, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, bo), lambda m, o, k, l: (l[0], k, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, bo), lambda m, o, k, l: (l[0], k, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bo), lambda m, o, k, l: (m, o),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bm, bo), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_int8_kernel_stacked, n_k=n_k, group=group),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, OUT), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * IN * OUT,
+            bytes_accessed=M * IN * 2 + IN * OUT + M * OUT * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(l, jnp.int32).reshape(1), x, data, scales)
+
+
+def _int4_kernel_stacked(l_ref, x_lo_ref, x_hi_ref, w_ref, s_lo_ref,
+                         s_hi_ref, o_ref, acc_ref, *, n_k: int, group: int):
+    del l_ref
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    packed = w_ref[0].astype(jnp.int32)  # [BKP, BO]
+    bkp, bo = packed.shape
+    rows = bkp // group
+    lo = (packed & 0x0F).astype(jnp.float32)
+    hi = ((packed >> 4) & 0x0F).astype(jnp.float32)
+
+    x_lo = x_lo_ref[:].astype(jnp.float32)
+    x_hi = x_hi_ref[:].astype(jnp.float32)
+    s_lo = s_lo_ref[0].astype(jnp.float32)
+    s_hi = s_hi_ref[0].astype(jnp.float32)
+    acc = acc_ref[:]
+    for r in range(rows):
+        sl = slice(r * group, (r + 1) * group)
+        xs_lo = jnp.sum(x_lo[:, sl], axis=1, keepdims=True)
+        xs_hi = jnp.sum(x_hi[:, sl], axis=1, keepdims=True)
+        acc = acc + s_lo[r][None, :] * (
+            jnp.dot(x_lo[:, sl], lo[sl, :],
+                    preferred_element_type=jnp.float32) - 8.0 * xs_lo
+        )
+        acc = acc + s_hi[r][None, :] * (
+            jnp.dot(x_hi[:, sl], hi[sl, :],
+                    preferred_element_type=jnp.float32) - 8.0 * xs_hi
+        )
+    acc_ref[:] = acc
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group", "bm", "bk", "bo", "interpret")
+)
+def matmul_dequant_int4_stacked(
+    x: jnp.ndarray,       # [M, IN]
+    data: jnp.ndarray,    # [L, IN/2, OUT] packed int8 (half-split nibbles)
+    scales: jnp.ndarray,  # [L, IN/group, OUT]
+    l: jnp.ndarray,       # scalar int32 layer index (traced)
+    group: int,
+    bm: int = 256,
+    bk: int = 1024,
+    bo=None,  # None: auto (_pick_bo)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    M, IN = x.shape
+    L, INP, OUT = data.shape
+    half = IN // 2
+    assert INP == half, "packed rows must be in/2"
+    bm = min(bm, _round_up(M, 8))
+    bk = _pick_bk(INP, group, bk)
+    bo = _pick_bo(OUT, INP // bk) if bo is None else min(bo, OUT)
+    n_m, n_o, n_k = _cdiv(M, bm), _cdiv(OUT, bo), INP // bk
+    rows = bk // group
+    # scales consumed in NATIVE [L, IN/group, OUT] layout: the lo plane's
+    # rows for block k start at block-row k, the hi plane's at k + n_k
+    # (half/group == n_k*rows exactly). No reshape/slice — those would
+    # materialize a copy every layer inside a lax.scan body.
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_m, n_o, n_k),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda m, o, k, l: (m, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bk), lambda m, o, k, l, _nk=n_k: (m, k + _nk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, bo), lambda m, o, k, l: (l[0], k, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, bo), lambda m, o, k, l: (l[0], k, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, bo), lambda m, o, k, l, _nk=n_k:
+                         (l[0], k + _nk, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bo), lambda m, o, k, l: (m, o),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bm, bo), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_int4_kernel_stacked, n_k=n_k, group=group),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, OUT), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * IN * OUT,
+            bytes_accessed=M * IN * 2 + IN * OUT // 2 + M * OUT * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(l, jnp.int32).reshape(1), x, x, data, scales, scales)
+
+
+def matmul_dequant_stacked_tpu(x: jnp.ndarray, qt: "QuantizedTensor",
+                               l: jnp.ndarray,
+                               interpret: bool = False) -> jnp.ndarray:
+    """Dispatch by bit width for stacked [L, in, out] quantized weights;
+    x is [M, IN] 2-D, l the traced layer index."""
+    if qt.bits == 8:
+        return matmul_dequant_int8_stacked(
+            x, qt.data, qt.scales, l, group=qt.group_size,
+            interpret=interpret,
+        )
+    return matmul_dequant_int4_stacked(
+        x, qt.data, qt.scales, l, group=qt.group_size, interpret=interpret
     )
