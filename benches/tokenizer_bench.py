@@ -96,7 +96,8 @@ def main():
     ours = tok.encode(sanity, add_special_tokens=False)
     assert ours == tok_py.encode(sanity, add_special_tokens=False)
     if hf is not None:
-        assert ours == hf.encode(sanity).ids, "sanity mismatch vs HF"
+        assert ours == hf.encode(sanity, add_special_tokens=False).ids, \
+            "sanity mismatch vs HF"
 
     results = {}
     print(f"corpus: {len(texts)} texts, {mb:.1f} MB "

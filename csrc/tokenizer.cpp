@@ -27,6 +27,7 @@
 #include <cstdint>
 #include <cstring>
 #include <queue>
+#include <cstdio>
 #include <string>
 #include <thread>
 #include <unordered_map>
@@ -316,9 +317,26 @@ struct Tok {
   std::unordered_map<std::string, uint32_t> vocab;
   std::unordered_map<uint64_t, MergeVal, PairHash> merges;
   int32_t byte_id[256];
-  int pretok_kind;       // 0 none, 1 gpt2, 2 llama3, 3 qwen2
+  int pretok_kind;       // 0 none, 1 gpt2, 2 llama3, 3 qwen2, 4 metaspace
   bool add_prefix_space;
   bool ignore_merges;
+  // kind 4 (metaspace / sentencepiece-style char BPE) extras:
+  bool byte_fallback = false;   // unknown char -> <0xXX> ids
+  int32_t byte_fb_id[256];      // id of "<0xXX>", -1 when absent
+  int32_t unk_id = -1;
+  bool fuse_unk = false;
+  bool ms_split = false;        // split pieces on the replacement char
+  // vocab-proven safe word split: when every vocab token carries the
+  // replacement only as a PREFIX run (true for sentencepiece-style
+  // vocabs: "▁the", "▁▁▁"), no merge can cross a [non-▁][▁] boundary —
+  // so even with split=false the text can be cut into ▁-run+word pieces
+  // and BPE'd per piece THROUGH THE PIECE CACHE, instead of one
+  // heap-regime merge loop over the whole text.
+  bool ms_word_split = false;
+  std::string replacement;      // usually "\xE2\x96\x81" (U+2581)
+  // single-CHARACTER vocab entries by codepoint (char-alphabet initial
+  // symbol lookup without per-char string allocation); -2 = not present
+  std::unordered_map<uint32_t, int32_t> char_id;
 
   size_t match_piece(const uint8_t* p, const uint8_t* end) const {
     switch (pretok_kind) {
@@ -335,39 +353,15 @@ struct Tok {
 };
 
 constexpr uint32_t kNoRank = 0xFFFFFFFFu;
+// Sentinel symbol id for characters absent from the vocab (kind 4):
+// never a real id (vocab capped at 4M) and never a merge side, so the
+// merge loop leaves these symbols alone until final emission.
+constexpr uint32_t kUnkSym = 0xFFFFFFFEu;
 
-// Encode one pre-tokenized piece (raw bytes) into ids.
-void bpe_piece(const Tok& T, const uint8_t* p, size_t len,
-               std::vector<uint32_t>& out) {
-  if (len == 0) return;
-  if (T.ignore_merges) {
-    auto it = T.vocab.find(std::string(reinterpret_cast<const char*>(p), len));
-    if (it != T.vocab.end()) {
-      out.push_back(it->second);
-      return;
-    }
-  }
-  if (len == 1) {
-    out.push_back(static_cast<uint32_t>(T.byte_id[p[0]]));
-    return;
-  }
-  // working arrays: ids + linked list
-  thread_local std::vector<uint32_t> ids;
-  thread_local std::vector<int32_t> nxt, prv;
-  ids.clear();
-  nxt.clear();
-  prv.clear();
-  ids.reserve(len);
-  for (size_t i = 0; i < len; i++) {
-    ids.push_back(static_cast<uint32_t>(T.byte_id[p[i]]));
-  }
-  int n = static_cast<int>(len);
-  nxt.resize(n);
-  prv.resize(n);
-  for (int i = 0; i < n; i++) {
-    nxt[i] = i + 1 < n ? i + 1 : -1;
-    prv[i] = i - 1;
-  }
+// Run the BPE merge loop over ids[0..n) linked by nxt/prv (in place).
+void run_merges(const Tok& T, std::vector<uint32_t>& ids,
+                std::vector<int32_t>& nxt, std::vector<int32_t>& prv,
+                int n) {
   auto rank_of = [&](int i, int j, MergeVal* mv) -> uint32_t {
     uint64_t key = (static_cast<uint64_t>(ids[i]) << 32) | ids[j];
     auto it = T.merges.find(key);
@@ -443,7 +437,121 @@ void bpe_piece(const Tok& T, const uint8_t* p, size_t len,
       }
     }
   }
+}
+
+// Encode one pre-tokenized piece (raw bytes, byte-level alphabet) into ids.
+void bpe_piece(const Tok& T, const uint8_t* p, size_t len,
+               std::vector<uint32_t>& out) {
+  if (len == 0) return;
+  if (T.ignore_merges) {
+    auto it = T.vocab.find(std::string(reinterpret_cast<const char*>(p), len));
+    if (it != T.vocab.end()) {
+      out.push_back(it->second);
+      return;
+    }
+  }
+  if (len == 1) {
+    out.push_back(static_cast<uint32_t>(T.byte_id[p[0]]));
+    return;
+  }
+  thread_local std::vector<uint32_t> ids;
+  thread_local std::vector<int32_t> nxt, prv;
+  ids.clear();
+  nxt.clear();
+  prv.clear();
+  ids.reserve(len);
+  for (size_t i = 0; i < len; i++) {
+    ids.push_back(static_cast<uint32_t>(T.byte_id[p[i]]));
+  }
+  int n = static_cast<int>(len);
+  nxt.resize(n);
+  prv.resize(n);
+  for (int i = 0; i < n; i++) {
+    nxt[i] = i + 1 < n ? i + 1 : -1;
+    prv[i] = i - 1;
+  }
+  run_merges(T, ids, nxt, prv, n);
   for (int i = 0; i != -1; i = nxt[i]) out.push_back(ids[i]);
+}
+
+// Encode one piece with a CHARACTER alphabet (kind 4, sentencepiece-style
+// BPE): each UTF-8 character is an initial symbol looked up in the vocab;
+// characters outside the vocab become kUnkSym, resolved after merging to
+// <0xXX> byte-fallback ids (BPE.byte_fallback) or the unk id (fused when
+// fuse_unk). Mirrors /root/reference/src/tokenizer/BPE.cpp:146-158.
+void bpe_piece_chars(const Tok& T, const uint8_t* p, size_t len,
+                     std::vector<uint32_t>& out) {
+  if (len == 0) return;
+  if (T.ignore_merges) {
+    auto it = T.vocab.find(std::string(reinterpret_cast<const char*>(p), len));
+    if (it != T.vocab.end()) {
+      out.push_back(it->second);
+      return;
+    }
+  }
+  thread_local std::vector<uint32_t> ids;
+  thread_local std::vector<int32_t> nxt, prv;
+  thread_local std::vector<uint32_t> cpos, clen;  // byte range per symbol
+  ids.clear();
+  nxt.clear();
+  prv.clear();
+  cpos.clear();
+  clen.clear();
+  const uint8_t* end = p + len;
+  const uint8_t* q = p;
+  while (q < end) {
+    int cl;
+    uint32_t cp = decode_utf8(q, end, &cl);
+    int32_t id;
+    if (cl == 1) {
+      id = T.byte_id[q[0]];
+    } else {
+      auto it = T.char_id.find(cp);
+      id = it == T.char_id.end() ? -1 : it->second;
+    }
+    ids.push_back(id < 0 ? kUnkSym : static_cast<uint32_t>(id));
+    cpos.push_back(static_cast<uint32_t>(q - p));
+    clen.push_back(static_cast<uint32_t>(cl));
+    q += cl;
+  }
+  int n = static_cast<int>(ids.size());
+  nxt.resize(n);
+  prv.resize(n);
+  for (int i = 0; i < n; i++) {
+    nxt[i] = i + 1 < n ? i + 1 : -1;
+    prv[i] = i - 1;
+  }
+  run_merges(T, ids, nxt, prv, n);
+  bool prev_unk = false;
+  for (int i = 0; i != -1; i = nxt[i]) {
+    if (ids[i] != kUnkSym) {
+      out.push_back(ids[i]);
+      prev_unk = false;
+      continue;
+    }
+    // unknown char: byte fallback, else unk (kUnkSym never merges, so
+    // its cpos/clen byte range is still the original character's)
+    if (T.byte_fallback) {
+      bool ok = true;
+      for (uint32_t b = 0; b < clen[i] && ok; b++) {
+        ok = T.byte_fb_id[p[cpos[i] + b]] >= 0;
+      }
+      if (ok) {
+        for (uint32_t b = 0; b < clen[i]; b++) {
+          out.push_back(
+              static_cast<uint32_t>(T.byte_fb_id[p[cpos[i] + b]]));
+        }
+        prev_unk = false;
+        continue;
+      }
+    }
+    if (T.unk_id >= 0) {
+      if (!(T.fuse_unk && prev_unk)) {
+        out.push_back(static_cast<uint32_t>(T.unk_id));
+      }
+      prev_unk = true;
+    }
+  }
 }
 
 // Per-thread piece cache: piece bytes -> ids. Cleared when oversized
@@ -456,12 +564,77 @@ struct PieceCache {
   static constexpr size_t kMaxPiece = 64;
 };
 
+// kind 4: the segment arrives ALREADY metaspace-transformed (the Python
+// binding applies ' '->replacement and the prepend scheme — both single
+// C-speed passes there); this side splits on the replacement when the
+// pre-tokenizer asks (each occurrence starts a new piece, MergedWithNext)
+// and runs char-alphabet BPE per piece.
+void encode_segment_metaspace(const Tok& T, const uint8_t* p, size_t len,
+                              std::vector<uint32_t>& out,
+                              PieceCache& cache) {
+  if (len == 0) return;
+  bool word_mode = !T.ms_split && T.ms_word_split;
+  if ((!T.ms_split && !word_mode) || T.replacement.empty()) {
+    bpe_piece_chars(T, p, len, out);
+    return;
+  }
+  const std::string& r = T.replacement;
+  const uint8_t* end = p + len;
+  const uint8_t* start = p;
+  const uint8_t* q = p;
+  auto flush = [&](const uint8_t* stop) {
+    if (stop <= start) return;
+    size_t plen = stop - start;
+    if (plen <= PieceCache::kMaxPiece) {
+      thread_local std::string key;
+      key.assign(reinterpret_cast<const char*>(start), plen);
+      auto it = cache.map.find(key);
+      if (it != cache.map.end()) {
+        out.insert(out.end(), it->second.begin(), it->second.end());
+        return;
+      }
+      size_t before = out.size();
+      bpe_piece_chars(T, start, plen, out);
+      if (cache.map.size() >= PieceCache::kCap) cache.map.clear();
+      cache.map.emplace(key, std::vector<uint32_t>(out.begin() + before,
+                                                   out.end()));
+    } else {
+      bpe_piece_chars(T, start, plen, out);
+    }
+  };
+  bool prev_repl = false;
+  while (q < end) {
+    bool is_repl = static_cast<size_t>(end - q) >= r.size() &&
+                   std::memcmp(q, r.data(), r.size()) == 0;
+    if (is_repl) {
+      // ms_split: every replacement starts a new piece (MergedWithNext);
+      // word mode: only the first replacement of a run does
+      if (q > start && (T.ms_split || !prev_repl)) {
+        flush(q);
+        start = q;
+      }
+      q += r.size();
+      prev_repl = true;
+    } else {
+      int cl;
+      decode_utf8(q, end, &cl);
+      q += cl;
+      prev_repl = false;
+    }
+  }
+  flush(end);
+}
+
 void encode_segment(const Tok& T, const uint8_t* p, size_t len,
                     std::vector<uint32_t>& out, PieceCache& cache) {
   if (len == 0) return;
   if (cache.owner != T.gen) {  // cache may be thread_local across handles
     cache.map.clear();
     cache.owner = T.gen;
+  }
+  if (T.pretok_kind == 4) {
+    encode_segment_metaspace(T, p, len, out, cache);
+    return;
   }
   thread_local std::string prefixed;
   if (T.add_prefix_space && p[0] != ' ') {
@@ -512,12 +685,23 @@ extern "C" {
 void* tg_tok_create(const uint8_t* vocab_blob, uint64_t vocab_blob_len,
                     uint32_t n_tokens, const uint32_t* merges,
                     uint32_t n_merges, int pretok_kind, int add_prefix_space,
-                    int ignore_merges) {
+                    int ignore_merges, int byte_fallback, int32_t unk_id,
+                    int fuse_unk, int ms_split,
+                    const uint8_t* replacement, uint32_t replacement_len) {
   auto* T = new Tok();
   T->pretok_kind = pretok_kind;
   T->add_prefix_space = add_prefix_space != 0;
   T->ignore_merges = ignore_merges != 0;
+  T->byte_fallback = byte_fallback != 0;
+  T->unk_id = unk_id;
+  T->fuse_unk = fuse_unk != 0;
+  T->ms_split = ms_split != 0;
+  if (replacement != nullptr && replacement_len > 0) {
+    T->replacement.assign(reinterpret_cast<const char*>(replacement),
+                          replacement_len);
+  }
   for (int i = 0; i < 256; i++) T->byte_id[i] = -1;
+  for (int i = 0; i < 256; i++) T->byte_fb_id[i] = -1;
   T->vocab.reserve(n_tokens * 2);
   const uint8_t* p = vocab_blob;
   const uint8_t* end = vocab_blob + vocab_blob_len;
@@ -538,11 +722,56 @@ void* tg_tok_create(const uint8_t* vocab_blob, uint64_t vocab_blob_len,
     if (len == 1) T->byte_id[static_cast<uint8_t>(tok[0])] = id;
     T->vocab.emplace(std::move(tok), id);
   }
-  for (int i = 0; i < 256; i++) {
-    if (T->byte_id[i] < 0) {
-      // fast path requires a complete byte alphabet
-      delete T;
-      return nullptr;
+  if (pretok_kind != 4) {
+    for (int i = 0; i < 256; i++) {
+      if (T->byte_id[i] < 0) {
+        // byte-level fast path requires a complete byte alphabet
+        delete T;
+        return nullptr;
+      }
+    }
+  } else {
+    if (T->byte_fallback) {
+      // resolve the "<0xXX>" byte-fallback alphabet from the vocab
+      char buf[8];
+      for (int i = 0; i < 256; i++) {
+        std::snprintf(buf, sizeof(buf), "<0x%02X>", i);
+        auto it = T->vocab.find(buf);
+        if (it != T->vocab.end()) {
+          T->byte_fb_id[i] = static_cast<int32_t>(it->second);
+        }
+      }
+    }
+    // single-codepoint vocab entries -> char_id (initial-symbol lookup)
+    for (const auto& [tok, id] : T->vocab) {
+      if (tok.size() < 2) continue;
+      const uint8_t* tp = reinterpret_cast<const uint8_t*>(tok.data());
+      int cl;
+      uint32_t cp = decode_utf8(tp, tp + tok.size(), &cl);
+      if (static_cast<size_t>(cl) == tok.size()) {
+        T->char_id.emplace(cp, static_cast<int32_t>(id));
+      }
+    }
+    // prove the safe word split (see ms_word_split): replacement must be
+    // a vocab char and every token's replacement occurrences must form a
+    // prefix run. ignore_merges is excluded — its whole-piece direct
+    // lookup is piece-shape dependent.
+    if (!T->ms_split && !T->ignore_merges && !T->replacement.empty() &&
+        T->vocab.count(T->replacement)) {
+      bool ok = true;
+      const std::string& r = T->replacement;
+      for (const auto& [tok, id] : T->vocab) {
+        size_t pos = 0;
+        while (pos + r.size() <= tok.size() &&
+               tok.compare(pos, r.size(), r) == 0) {
+          pos += r.size();
+        }
+        if (tok.find(r, pos) != std::string::npos) {
+          ok = false;
+          break;
+        }
+      }
+      T->ms_word_split = ok;
     }
   }
   T->merges.reserve(n_merges * 2);
@@ -620,6 +849,6 @@ int64_t tg_tok_encode_batch(void* h, const uint8_t* text,
   return static_cast<int64_t>(written);
 }
 
-int tg_tok_abi_version() { return 1; }
+int tg_tok_abi_version() { return 2; }
 
 }  // extern "C"

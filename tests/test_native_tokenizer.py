@@ -155,6 +155,74 @@ def test_native_gpt2_reference_asset():
         assert ours.encode(t, add_special_tokens=False) == golden.encode(t).ids
 
 
+MS_CASES = CASES + [
+    "▁already marked",
+    "<s>hello",
+    "hello<unk>world",
+    "mid <s> token",
+    "byte fallback: \x01\x02 控制",
+    "tab\tand  double  space",
+]
+
+
+def test_native_mistral_reference_asset():
+    """The FLAGSHIP tokenizer (Mistral-7B-v0.3: Metaspace pre-tokenizer,
+    byte-fallback BPE) must take the native path and match HF tokenizers
+    exactly — round 1 left this family on the pure-Python fallback
+    (csrc/tokenizer.cpp kind=4 now covers it)."""
+    d = reference_asset("Mistral-7B-v0.3")
+    ours = Tokenizer.from_dir(d)
+    assert ours.native_encoder is not None, "metaspace fast path inactive"
+    golden = hf_tokenizers.Tokenizer.from_file(f"{d}/tokenizer.json")
+    for t in MS_CASES:
+        got = ours.encode(t, add_special_tokens=False)
+        want = golden.encode(t, add_special_tokens=False).ids
+        assert got == want, repr(t)
+    # python path must agree too
+    py = Tokenizer.from_dir(d)
+    py._native_tried = True
+    py._native = None
+    for t in MS_CASES:
+        assert py.encode(t, add_special_tokens=False) == \
+            golden.encode(t, add_special_tokens=False).ids, repr(t)
+    # batched/threaded
+    got = ours.encode_batch(MS_CASES, add_special_tokens=False,
+                            num_threads=4)
+    assert got == [golden.encode(t, add_special_tokens=False).ids
+                   for t in MS_CASES]
+
+
+def test_native_mistral_fuzz():
+    """Fuzz the metaspace native path against HF tokenizers."""
+    d = reference_asset("Mistral-7B-v0.3")
+    ours = Tokenizer.from_dir(d)
+    assert ours.native_encoder is not None
+    golden = hf_tokenizers.Tokenizer.from_file(f"{d}/tokenizer.json")
+    rng = random.Random(11)
+
+    def rand_text(n):
+        out = []
+        for _ in range(n):
+            r = rng.random()
+            if r < 0.45:
+                out.append(chr(rng.randint(32, 126)))
+            elif r < 0.6:
+                out.append(chr(rng.randint(0x4E00, 0x4FFF)))
+            elif r < 0.72:
+                out.append(rng.choice("🌍🚀😀é阿ü\t\r\n '▁"))
+            elif r < 0.82:
+                out.append(chr(rng.randint(1, 8)))  # control bytes
+            else:
+                out.append(rng.choice(["<s>", " the", "\n\n", "</s>"]))
+        return "".join(out)
+
+    texts = [rand_text(rng.randint(0, 60)) for _ in range(120)]
+    for t in texts:
+        got = ours.encode(t, add_special_tokens=False)
+        want = golden.encode(t, add_special_tokens=False).ids
+        assert got == want, repr(t)
+
+
 def test_native_disabled_by_env(tmp_path, monkeypatch):
     """TINYGPT_NO_NATIVE must force the pure-Python path (checked via a
     fresh library-state snapshot, not the cached loader)."""

@@ -55,6 +55,7 @@ KIND_NONE = 0
 KIND_GPT2 = 1
 KIND_LLAMA3 = 2
 KIND_QWEN2 = 3
+KIND_METASPACE = 4
 
 
 def _so_path() -> str:
@@ -125,6 +126,8 @@ def _load_library() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint32,
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint32,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int32, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_uint32,
         ]
         lib.tg_tok_destroy.argtypes = [ctypes.c_void_p]
         lib.tg_tok_encode_batch.restype = ctypes.c_int64
@@ -134,7 +137,7 @@ def _load_library() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint64,
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
         ]
-        if lib.tg_tok_abi_version() != 1:
+        if lib.tg_tok_abi_version() != 2:
             log.warning("native tokenizer ABI mismatch")
             return None
         _LIB = lib
@@ -142,11 +145,18 @@ def _load_library() -> Optional[ctypes.CDLL]:
 
 
 class NativeEncoder:
-    """Encodes plain-text segments via the C++ core."""
+    """Encodes plain-text segments via the C++ core.
 
-    def __init__(self, handle: int, lib: ctypes.CDLL):
+    `transform`, when set, must be applied by the caller to each segment
+    BEFORE encode_segments: transform(segment, is_first) -> str. The
+    metaspace family uses it for the space->replacement mapping and the
+    prepend scheme (both single C-speed str passes in Python; the C++
+    side then does char-alphabet BPE + byte fallback)."""
+
+    def __init__(self, handle: int, lib: ctypes.CDLL, transform=None):
         self._h = handle
         self._lib = lib
+        self.transform = transform
 
     def __del__(self):
         try:
@@ -230,8 +240,44 @@ def _detect_pretok(tokenizer) -> Optional[tuple]:
     return None
 
 
+def _detect_metaspace(tokenizer) -> Optional[tuple]:
+    """Detect the sentencepiece-converted BPE family (Mistral-v0.3,
+    Llama-2 layouts). Returns (replacement, prepend_scheme, split,
+    unconditional_prepend) or None.
+
+    Two equivalent pipeline spellings exist in the wild:
+      * pre_tokenizer Metaspace (replacement/prepend_scheme/split),
+        normalizer None — Mistral-7B-v0.3;
+      * normalizer Sequence[Prepend(rep), Replace(' '->rep)],
+        pre_tokenizer None — Llama-2. The Prepend normalizer applies to
+        every segment unconditionally (vs Metaspace's
+        only-if-not-already-prefixed, first-segment-only default).
+    """
+    from tinygpt_tpu.tokenizer.metaspace import Metaspace
+    from tinygpt_tpu.tokenizer.normalizers import (
+        NormalizerSequence,
+        PrependNormalizer,
+        ReplaceNormalizer,
+    )
+
+    pt, nm = tokenizer.pre_tokenizer, tokenizer.normalizer
+    if isinstance(pt, Metaspace) and nm is None:
+        return (pt.replacement, pt.prepend_scheme, pt.split, False)
+    if pt is None and isinstance(nm, NormalizerSequence):
+        parts = nm.normalizers
+        if (
+            len(parts) == 2
+            and isinstance(parts[0], PrependNormalizer)
+            and isinstance(parts[1], ReplaceNormalizer)
+            and parts[1]._literal == " "
+            and parts[1].content == parts[0].prepend
+        ):
+            return (parts[0].prepend, "always", False, True)
+    return None
+
+
 def build_native_encoder(tokenizer) -> Optional[NativeEncoder]:
-    """Return a NativeEncoder when `tokenizer` fits the fast path."""
+    """Return a NativeEncoder when `tokenizer` fits a fast path."""
     from tinygpt_tpu.tokenizer.bpe import BPE
     from tinygpt_tpu.tokenizer.byte_level import unicode_str_to_bytes
 
@@ -241,19 +287,50 @@ def build_native_encoder(tokenizer) -> Optional[NativeEncoder]:
     model = tokenizer.model
     if not isinstance(model, BPE):
         return None
-    if (
-        model.continuing_subword_prefix
-        or model.end_of_word_suffix
-        or model.byte_fallback
-        or model.unk_token
-    ):
+    if model.continuing_subword_prefix or model.end_of_word_suffix:
         return None
-    if tokenizer.normalizer is not None:
-        return None
-    pre = _detect_pretok(tokenizer)
-    if pre is None:
-        return None
-    kind, add_prefix_space = pre
+
+    meta = _detect_metaspace(tokenizer)
+    transform = None
+    if meta is not None:
+        replacement, scheme, split, uncond = meta
+        if uncond:
+            # normalizer form splits added tokens on normalized content
+            # AFTER normalizing; skipping that re-split is only safe when
+            # no added token can be (un)made by the transform
+            for t in tokenizer._added_by_content:
+                if " " in t or replacement in t:
+                    return None
+        kind, add_prefix_space = KIND_METASPACE, False
+        rep = replacement
+
+        def transform(seg: str, is_first: bool, _rep=rep, _scheme=scheme,
+                      _uncond=uncond) -> str:
+            seg = seg.replace(" ", _rep)
+            if _uncond:
+                return _rep + seg if seg else seg
+            if _scheme == "always" or (_scheme == "first" and is_first):
+                if not seg.startswith(_rep):
+                    seg = _rep + seg
+            return seg
+
+        token_bytes = lambda s: s.encode("utf-8")  # noqa: E731
+        ms_split, byte_fallback, fuse_unk = split, model.byte_fallback, \
+            model.fuse_unk
+        unk_id = model.vocab.get(model.unk_token, -1) \
+            if model.unk_token else -1
+    else:
+        if model.byte_fallback or model.unk_token:
+            return None
+        if tokenizer.normalizer is not None:
+            return None
+        pre = _detect_pretok(tokenizer)
+        if pre is None:
+            return None
+        kind, add_prefix_space = pre
+        token_bytes = unicode_str_to_bytes
+        rep = ""
+        ms_split, byte_fallback, fuse_unk, unk_id = False, False, False, -1
 
     vocab = model.vocab
     n_tokens = max(vocab.values()) + 1 if vocab else 0
@@ -262,14 +339,14 @@ def build_native_encoder(tokenizer) -> Optional[NativeEncoder]:
     raw: List[bytes] = [b""] * n_tokens  # unused ids stay empty
     for tok_str, tid in vocab.items():
         if 0 <= tid < n_tokens:
-            raw[tid] = unicode_str_to_bytes(tok_str)
+            raw[tid] = token_bytes(tok_str)
     blob_parts = []
     for b in raw:
         blob_parts.append(len(b).to_bytes(4, "little"))
         blob_parts.append(b)
     blob = b"".join(blob_parts)
 
-    merges = np.zeros(len(model.merge_ranks) * 3, dtype=np.uint32)
+    merges = np.zeros(max(len(model.merge_ranks), 1) * 3, dtype=np.uint32)
     items = sorted(model.merge_ranks.items(), key=lambda kv: kv[1])
     kept = 0
     for (a, b), _rank in items:
@@ -280,6 +357,7 @@ def build_native_encoder(tokenizer) -> Optional[NativeEncoder]:
         merges[kept * 3 : kept * 3 + 3] = (ia, ib, im)
         kept += 1
 
+    rep_bytes = rep.encode("utf-8")
     handle = lib.tg_tok_create(
         blob,
         len(blob),
@@ -289,6 +367,12 @@ def build_native_encoder(tokenizer) -> Optional[NativeEncoder]:
         kind,
         int(add_prefix_space),
         int(model.ignore_merges),
+        int(byte_fallback),
+        int(unk_id),
+        int(fuse_unk),
+        int(ms_split),
+        rep_bytes,
+        len(rep_bytes),
     )
     if not handle:
         return None
@@ -296,4 +380,4 @@ def build_native_encoder(tokenizer) -> Optional[NativeEncoder]:
         "native tokenizer active: kind=%d vocab=%d merges=%d",
         kind, n_tokens, kept,
     )
-    return NativeEncoder(handle, lib)
+    return NativeEncoder(handle, lib, transform=transform)

@@ -283,8 +283,14 @@ class Tokenizer:
         splits, C++ does split-pattern matching + BPE for every plain
         segment of every text in one GIL-free call."""
         per_text = [self._segment_items(t) for t in texts]
-        segments = [seg for items in per_text
-                    for tid, seg in items if tid is None]
+        transform = self.native_encoder.transform
+        segments = []
+        for items in per_text:
+            for idx, (tid, seg) in enumerate(items):
+                if tid is None:
+                    if transform is not None:
+                        seg = transform(seg, idx == 0)
+                    segments.append(seg)
         encoded = self.native_encoder.encode_segments(
             segments, num_threads=num_threads
         )
