@@ -44,9 +44,17 @@ def main():
     ap.add_argument("--no-prefix-cache", action="store_true")
     ap.add_argument("--prefill-chunk", type=int, default=0,
                     help="chunked prefill: max prompt tokens per step")
+    ap.add_argument("--tp", type=int, default=0,
+                    help="shard the batcher over a tp mesh of this size "
+                         "(0 = single device)")
     args = ap.parse_args()
 
     import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # the env var alone is overridden by a sitecustomize on this
+        # image; the config update wins (CLAUDE.md)
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from tinygpt_tpu.engine.scheduler import (
@@ -79,6 +87,7 @@ def main():
             attn_impl=attn, decode_quantum=args.quantum,
             enable_prefix_cache=not args.no_prefix_cache,
             prefill_chunk_tokens=args.prefill_chunk,
+            mesh_shape=(1, 1, args.tp) if args.tp else None,
         ),
     )
 

@@ -281,6 +281,51 @@ def test_scheduler_quantum_invariance(llama):
         )
 
 
+def test_scheduler_tp_sharded_matches_single(llama):
+    """Continuous batching on a tp mesh (virtual 8-device CPU) must match
+    the single-device scheduler's greedy streams, modulo legitimate
+    near-tie flips between the differently-compiled programs (same
+    tolerance as test_scheduler_quantum_invariance)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    cfg, model, params = llama
+    rng = np.random.default_rng(29)
+    prompts = [list(int(x) for x in rng.integers(2, cfg.vocab_size, n))
+               for n in (4, 9, 18)]
+
+    def run(mesh_shape):
+        batcher = ContinuousBatcher(
+            model, cfg, params, eos_ids=set(),
+            config=SchedulerConfig(
+                batch_capacity=3, block_size=16, n_blocks=64,
+                max_blocks_per_seq=8, prefill_bucket=16, dtype="float32",
+                mesh_shape=mesh_shape,
+            ),
+        )
+        for i, p in enumerate(prompts):
+            batcher.add_request(Request(request_id=i, prompt_ids=p,
+                                        max_new_tokens=6))
+        got = {i: [] for i in range(len(prompts))}
+        _drain(batcher, got)
+        return got
+
+    single = run(None)
+    sharded = run((1, 1, 4))
+    for rid in single:
+        a, b = single[rid], sharded[rid]
+        assert len(a) == len(b) == 6
+        if a == b:
+            continue
+        i = next(j for j in range(len(a)) if a[j] != b[j])
+        context = prompts[rid] + a[:i]
+        logits = _dense_logits(cfg, model, params, context)
+        top = float(logits.max())
+        assert top - logits[a[i]] < 1e-3 and top - logits[b[i]] < 1e-3, (
+            f"request {rid} diverges at {i} without a near-tie: "
+            f"{a[i]} vs {b[i]}"
+        )
+
+
 def _drain(batcher, got=None):
     steps = 0
     while batcher.has_work and steps < 200:

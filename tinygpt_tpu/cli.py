@@ -23,6 +23,13 @@ DEFAULT_PROMPTS = [
 
 
 def main(argv=None) -> int:
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # honor the env var even where a sitecustomize overrides it
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     ap = argparse.ArgumentParser(
         prog="tinygpt_tpu", description="batch inference example"
     )

@@ -75,6 +75,12 @@ class SchedulerConfig:
     # chunks — long prompts no longer freeze running streams. Rounded up
     # to lcm(prefill_bucket, block_size).
     prefill_chunk_tokens: int = 0
+    # tensor-parallel serving: (dp, sp, tp) mesh shape. Params shard
+    # Megatron-style, the paged K/V pools shard over kv-heads on tp, and
+    # every jitted program (admit / chunk / decode quantum) runs under
+    # GSPMD on the mesh. dp/sp must be 1 (row-parallel serving needs
+    # per-row admission, future work); None = single device.
+    mesh_shape: Optional[tuple] = None
 
 
 @dataclass
@@ -130,10 +136,55 @@ class ContinuousBatcher:
             self.kv_dtype = jnp.float8_e4m3fn
         else:
             self.kv_dtype = resolve_dtype(sc.kv_cache_dtype)
+        # mesh / sharding (tp-only serving; see SchedulerConfig.mesh_shape)
+        self._mesh = None
+        self._pool_spec = None
+        if sc.mesh_shape is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from tinygpt_tpu.parallel.sharding import (
+                make_mesh,
+                param_pspecs,
+                shard_params,
+            )
+
+            shape = tuple(sc.mesh_shape)
+            if len(shape) == 2:
+                dp, sp, tp = shape[0], 1, shape[1]
+            else:
+                dp, sp, tp = shape
+            if dp != 1 or sp != 1:
+                raise ValueError(
+                    "continuous batching shards tp only (dp=sp=1)"
+                )
+            self._mesh = make_mesh(n_devices=tp, dp=1, sp=1, tp=tp)
+            self.params = shard_params(
+                self.params, self._mesh,
+                param_pspecs(model_config, self.params),
+            )
+            kv_tp = ("tp" if model_config.num_kv_heads % tp == 0 and tp > 1
+                     else None)
+            self._pool_spec = P(None, None, kv_tp, None, None)
+            log.info("scheduler sharded over tp=%d (kv heads %s)",
+                     tp, "sharded" if kv_tp else "replicated")
         self.state: PagedKVState = create_paged_state(
             model_config, sc.n_blocks, sc.block_size, sc.batch_capacity,
             sc.max_blocks_per_seq, dtype=self.kv_dtype,
         )
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self.state = self.state._replace(
+                k_pool=jax.device_put(
+                    self.state.k_pool,
+                    NamedSharding(self._mesh, self._pool_spec)),
+                v_pool=jax.device_put(
+                    self.state.v_pool,
+                    NamedSharding(self._mesh, self._pool_spec)),
+                block_tables=self._put(self.state.block_tables),
+                lengths=self._put(self.state.lengths),
+                starts=self._put(self.state.starts),
+                active=self._put(self.state.active),
+            )
         # block bookkeeping + prefix index: native (csrc/kvpool.cpp) when
         # available, pure-Python otherwise — identical semantics and
         # allocation order
@@ -167,6 +218,17 @@ class ContinuousBatcher:
             cfg=self.cfg, attn_impl=self.sc.attn_impl,
         )
         self._prefill_fn = _jitted_forward(self.model.forward)
+
+    def _put(self, x, spec=None):
+        """Upload a host array: replicated (or `spec`-sharded) on the mesh
+        when sharded, plain asarray otherwise. All inputs of the jitted
+        programs must live on the SAME device set — a stray single-device
+        upload alongside mesh-sharded params is an error."""
+        if self._mesh is None:
+            return jnp.asarray(x)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(x, NamedSharding(self._mesh, spec or P()))
 
     # -- public API -------------------------------------------------------
 
@@ -343,16 +405,16 @@ class ContinuousBatcher:
         s = req.sampler
         tok_dev, self.state = _admit_program(
             self.params, self.state,
-            jnp.asarray(np.asarray(shared, np.int32)),
-            jnp.asarray(np.asarray(private, np.int32)),
-            jnp.asarray(ids), jnp.asarray(positions), jnp.asarray(valid),
-            jnp.asarray([S_suf - 1], jnp.int32),
-            jnp.asarray([s.temperature or 0.0], jnp.float32),
-            jnp.asarray([s.top_k or 0], jnp.int32),
-            jnp.asarray([s.top_p if s.top_p is not None else 1.0],
-                        jnp.float32),
-            jnp.asarray([s.min_p or 0.0], jnp.float32),
-            k,
+            self._put(np.asarray(shared, np.int32)),
+            self._put(np.asarray(private, np.int32)),
+            self._put(ids), self._put(positions), self._put(valid),
+            self._put(np.asarray([S_suf - 1], np.int32)),
+            self._put(np.asarray([s.temperature or 0.0], np.float32)),
+            self._put(np.asarray([s.top_k or 0], np.int32)),
+            self._put(np.asarray([s.top_p if s.top_p is not None else 1.0],
+                                 np.float32)),
+            self._put(np.asarray([s.min_p or 0.0], np.float32)),
+            self._put(k),
             forward=self.model.forward, cfg=self.cfg,
             attn_impl=sc.attn_impl, block_size=bs,
             kv_dtype=jnp.dtype(self.kv_dtype).name,
@@ -446,16 +508,16 @@ class ContinuousBatcher:
         s = req.sampler
         tok_dev, self.state = _admit_chunk_program(
             self.params, self.state,
-            jnp.asarray(table), jnp.asarray(pos0, jnp.int32),
-            jnp.asarray(np.asarray(private, np.int32)),
-            jnp.asarray(ids), jnp.asarray(positions), jnp.asarray(valid),
-            jnp.asarray([n_tok - 1], jnp.int32),
-            jnp.asarray([s.temperature or 0.0], jnp.float32),
-            jnp.asarray([s.top_k or 0], jnp.int32),
-            jnp.asarray([s.top_p if s.top_p is not None else 1.0],
-                        jnp.float32),
-            jnp.asarray([s.min_p or 0.0], jnp.float32),
-            k,
+            self._put(table), self._put(np.asarray(pos0, np.int32)),
+            self._put(np.asarray(private, np.int32)),
+            self._put(ids), self._put(positions), self._put(valid),
+            self._put(np.asarray([n_tok - 1], np.int32)),
+            self._put(np.asarray([s.temperature or 0.0], np.float32)),
+            self._put(np.asarray([s.top_k or 0], np.int32)),
+            self._put(np.asarray([s.top_p if s.top_p is not None else 1.0],
+                                 np.float32)),
+            self._put(np.asarray([s.min_p or 0.0], np.float32)),
+            self._put(k),
             forward=self.model.forward, cfg=self.cfg,
             attn_impl=sc.attn_impl, block_size=bs,
             kv_dtype=jnp.dtype(self.kv_dtype).name,
@@ -534,10 +596,10 @@ class ContinuousBatcher:
         # .copy(): these mirrors are mutated below while the dispatch may
         # still be in flight (see _sync_state_meta)
         toks_seq, self.state = self._decode_fn(
-            self.params, self.state, jnp.asarray(self._tokens.copy()),
-            jnp.asarray(self._temps.copy()), jnp.asarray(self._topks.copy()),
-            jnp.asarray(self._topps.copy()), jnp.asarray(self._minps.copy()),
-            k, n_steps=n_steps,
+            self.params, self.state, self._put(self._tokens.copy()),
+            self._put(self._temps.copy()), self._put(self._topks.copy()),
+            self._put(self._topps.copy()), self._put(self._minps.copy()),
+            self._put(k), n_steps=n_steps,
         )
         was_active = self._active.copy()
         self._lengths[was_active] += n_steps
@@ -587,10 +649,10 @@ class ContinuousBatcher:
         lets the in-flight program read post-mutation values (observed as
         K/V writes landing one slot too far, rarely and timing-dependent)."""
         self.state = self.state._replace(
-            block_tables=jnp.asarray(self._tables.copy()),
-            lengths=jnp.asarray(self._lengths.copy()),
-            starts=jnp.asarray(self._starts.copy()),
-            active=jnp.asarray(self._active.copy()),
+            block_tables=self._put(self._tables.copy()),
+            lengths=self._put(self._lengths.copy()),
+            starts=self._put(self._starts.copy()),
+            active=self._put(self._active.copy()),
         )
 
 

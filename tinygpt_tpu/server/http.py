@@ -97,6 +97,9 @@ class TinyGPTServer:
                     dtype=cfg.dtype,
                     attn_impl=self.engine._attn_impl,
                     prefill_chunk_tokens=cfg.prefill_chunk_tokens,
+                    # --mesh with the continuous scheduler shards the
+                    # batcher's programs/pools too (tp serving)
+                    mesh_shape=cfg.mesh_shape,
                 ),
             )
         else:
@@ -345,6 +348,12 @@ def main(argv=None) -> None:
     ap.add_argument("--prefill-chunk", type=int, default=0,
                     help="chunked prefill: max prompt tokens per step")
     args = ap.parse_args(argv)
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # honor the env var even where a sitecustomize overrides it
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     server = TinyGPTServer(ServerConfig(
         model_dir=args.model, host=args.host, port=args.port,
