@@ -1,0 +1,146 @@
+"""Multi-host runtime tests: a REAL 2-process jax.distributed run on CPU
+(the honest correctness substitute for >=2 TPU hosts, which this
+environment cannot provide — SURVEY §4). Each process owns 4 virtual CPU
+devices; the engine builds a hybrid (dcn_dp=2) x (tp=4) mesh, feeds
+host-local batch shards, and both processes must produce the same greedy
+streams as a single-process run of the same mesh shape."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from tests.fixtures import build_full_model_dir
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, os, sys
+sys.path.insert(0, os.environ["TG_REPO"])
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=os.environ["TG_COORD"],
+    num_processes=2,
+    process_id=int(os.environ["TG_PID"]),
+)
+assert jax.process_count() == 2 and jax.device_count() == 8, (
+    jax.process_count(), jax.device_count())
+
+from tinygpt_tpu.engine.engine import GPTConfig, GPTEngine
+from tinygpt_tpu.ops.sampling import SamplerConfig
+
+eng = GPTEngine(GPTConfig(
+    model_dir=os.environ["TG_MODEL"], dtype="float32", max_tokens=6,
+    decode_chunk=3, mesh_shape=(2, 1, 4), sampler=SamplerConfig(),
+))
+eng.prepare()
+outs = eng.generate_sync(["Hello there", "Counting: one two three"])
+print("RESULT " + json.dumps([o.token_ids for o in outs]))
+"""
+
+
+@pytest.fixture(scope="module")
+def llama_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dist_llama")
+    build_full_model_dir(str(d), seed=3, n_layer=2, model_type="llama")
+    return str(d)
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_engine_matches_single(llama_dir):
+    port = _free_port()
+    env_base = dict(
+        os.environ,
+        TG_REPO=REPO,
+        TG_MODEL=llama_dir,
+        TG_COORD=f"127.0.0.1:{port}",
+        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+        JAX_PLATFORMS="cpu",
+        TINYGPT_NO_COMPILE_CACHE="1",
+    )
+    procs = []
+    for pid in range(2):
+        env = dict(env_base, TG_PID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", WORKER], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, out[-3000:]
+        line = next(ln for ln in out.splitlines()
+                    if ln.startswith("RESULT "))
+        outs.append(json.loads(line[len("RESULT "):]))
+    # both processes see the identical global token streams
+    assert outs[0] == outs[1]
+
+    # single-process reference on the SAME mesh shape (8 local devices)
+    if len(jax.devices()) < 8:
+        pytest.skip("parent has < 8 virtual devices")
+    from tinygpt_tpu.engine.engine import GPTConfig, GPTEngine
+    from tinygpt_tpu.ops.sampling import SamplerConfig
+
+    eng = GPTEngine(GPTConfig(
+        model_dir=llama_dir, dtype="float32", max_tokens=6,
+        decode_chunk=3, mesh_shape=(2, 1, 4), sampler=SamplerConfig(),
+    ))
+    eng.prepare()
+    ref = [o.token_ids
+           for o in eng.generate_sync(["Hello there",
+                                       "Counting: one two three"])]
+    # identical programs on identical (virtual) hardware; exact match —
+    # near-tie flips would indicate a real divergence in the distributed
+    # input/output plumbing, not compile variance, so compare strictly
+    # but fall back to a near-tie check if CPU codegen differs.
+    if outs[0] != ref:
+        from tinygpt_tpu.hf.config import load_model_config
+        from tinygpt_tpu.hf.safetensors_io import load_safetensors_dir
+        from tinygpt_tpu.models import get_model
+        from tinygpt_tpu.engine.kv_cache import create_kv_cache
+
+        cfg = load_model_config(llama_dir)
+        model = get_model(cfg.model_type)
+        params = model.load_params(cfg, load_safetensors_dir(llama_dir),
+                                   dtype=jnp.float32)
+        tok = eng.ctx.tokenizer
+        prompts = [tok.encode("Hello there"),
+                   tok.encode("Counting: one two three")]
+        for r, (a, b) in enumerate(zip(outs[0], ref)):
+            if a == b:
+                continue
+            i = next(j for j in range(min(len(a), len(b)))
+                     if a[j] != b[j])
+            ctx_ids = prompts[r] + a[:i]
+            cache = create_kv_cache(cfg, 1, 128, dtype=jnp.float32)
+            S = len(ctx_ids)
+            logits, _ = model.forward(
+                params, cfg, jnp.asarray([ctx_ids], jnp.int32), cache,
+                jnp.arange(S)[None, :], jnp.ones((1, S), jnp.bool_),
+                last_only=True,
+            )
+            lg = np.asarray(logits[0, -1])
+            top = float(lg.max())
+            assert top - lg[a[i]] < 1e-3 and top - lg[b[i]] < 1e-3, (
+                f"row {r} diverges at {i} without a near-tie"
+            )

@@ -30,6 +30,16 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    # join a multi-host runtime when configured (JAX_COORDINATOR_ADDRESS
+    # / JAX_NUM_PROCESSES / JAX_PROCESS_ID env); no-op single process
+    from tinygpt_tpu.parallel import distributed
+
+    distributed.initialize(
+        num_processes=(int(os.environ["JAX_NUM_PROCESSES"])
+                       if os.environ.get("JAX_NUM_PROCESSES") else None),
+        process_id=(int(os.environ["JAX_PROCESS_ID"])
+                    if os.environ.get("JAX_PROCESS_ID") else None),
+    )
     ap = argparse.ArgumentParser(
         prog="tinygpt_tpu", description="batch inference example"
     )

@@ -208,7 +208,14 @@ class GPTEngine:
         )
 
     def _prepare_gspmd(self, mc, dp: int, sp: int, tp: int) -> None:
-        """dp/sp/tp sharding via NamedSharding + GSPMD."""
+        """dp/sp/tp sharding via NamedSharding + GSPMD.
+
+        With jax.process_count() > 1 (multi-host: CLI/server call
+        parallel.distributed.initialize() first) the requested dp axis is
+        factored into (dcn_dp=processes) x (dp within a slice), laid out
+        by hybrid_mesh so only data parallelism crosses DCN while tp's
+        all-reduces ride ICI; batch-sharded arrays are then built from
+        host-local shards (see _place)."""
         from jax.sharding import NamedSharding
         from tinygpt_tpu.parallel.sharding import (
             cache_pspecs,
@@ -218,17 +225,34 @@ class GPTEngine:
             shard_params,
         )
 
-        self._mesh = make_mesh(n_devices=dp * sp * tp, dp=dp, sp=sp, tp=tp)
+        procs = jax.process_count()
+        batch_axes = "dp"
+        if procs > 1:
+            from tinygpt_tpu.parallel.distributed import hybrid_mesh
+
+            if dp % procs:
+                raise ValueError(
+                    f"dp={dp} must be divisible by process count {procs}"
+                )
+            self._mesh = hybrid_mesh(dcn_dp=procs, dp=dp // procs, sp=sp,
+                                     tp=tp)
+            batch_axes = ("dcn_dp", "dp")
+        else:
+            self._mesh = make_mesh(n_devices=dp * sp * tp, dp=dp, sp=sp,
+                                   tp=tp)
+        self._batch_shards = dp
         self.ctx.params = shard_params(
             self.ctx.params, self._mesh, param_pspecs(mc, self.ctx.params)
         )
         self._cache_sharding = jax.tree.map(
-            lambda s: NamedSharding(self._mesh, s), cache_pspecs(mc, tp)
+            lambda s: NamedSharding(self._mesh, s),
+            cache_pspecs(mc, tp, batch_axes=batch_axes),
         )
         self._data_sharding = NamedSharding(
-            self._mesh, data_pspecs(sp=sp > 1)
+            self._mesh, data_pspecs(sp=sp > 1, batch_axes=batch_axes)
         )
-        log.info("engine sharded over mesh dp=%d sp=%d tp=%d", dp, sp, tp)
+        log.info("engine sharded over mesh dp=%d sp=%d tp=%d (%d processes)",
+                 dp, sp, tp, procs)
 
     def _prepare_pipeline(self, mc, dp: int, sp: int, pp: int,
                           tp: int) -> None:
@@ -337,21 +361,64 @@ class GPTEngine:
 
     def _place(self, cache, ids, positions, valid):
         """Apply mesh shardings to a fresh cache and prefill inputs (no-op
-        single-device)."""
+        single-device). Multi-process: every host runs the same program on
+        the same texts; batch-sharded inputs are assembled from each
+        host's local row slice, and the (all-zero) cache shards are
+        created per host without materializing the global buffers."""
         ids, positions, valid = (
-            jnp.asarray(ids), jnp.asarray(positions), jnp.asarray(valid)
+            np.asarray(ids), np.asarray(positions), np.asarray(valid)
         )
         if self._mesh is None:
-            return cache, ids, positions, valid
-        dp = self._mesh.shape["dp"]
+            return (cache, jnp.asarray(ids), jnp.asarray(positions),
+                    jnp.asarray(valid))
+        dp = getattr(self, "_batch_shards", None) or self._mesh.shape["dp"]
         if ids.shape[0] % dp:
             raise ValueError(
                 f"batch {ids.shape[0]} not divisible by dp={dp}"
             )
         cache = self._stage_cache(cache)  # [L,...] -> [PP, L/PP, ...]
+        if jax.process_count() > 1:
+            from tinygpt_tpu.parallel.distributed import (
+                host_local_batch_slice,
+            )
+
+            def zeros_shards(x, sharding):
+                dt = x.dtype if hasattr(x, "dtype") else np.int32
+                shape = getattr(x, "shape", ())
+
+                def cb(index):
+                    sh = tuple(
+                        len(range(*ix.indices(dim)))
+                        for ix, dim in zip(index, shape)
+                    )
+                    return np.zeros(sh, dt)
+
+                return jax.make_array_from_callback(shape, sharding, cb)
+
+            cache = jax.tree.map(zeros_shards, cache, self._cache_sharding)
+            start, size = host_local_batch_slice(ids.shape[0])
+
+            def put(x):
+                return jax.make_array_from_process_local_data(
+                    self._data_sharding, x[start : start + size],
+                    global_shape=x.shape,
+                )
+
+            return cache, put(ids), put(positions), put(valid)
         cache = jax.tree.map(jax.device_put, cache, self._cache_sharding)
-        put = lambda x: jax.device_put(x, self._data_sharding)
+        put = lambda x: jax.device_put(jnp.asarray(x), self._data_sharding)
         return cache, put(ids), put(positions), put(valid)
+
+    def _fetch(self, x) -> np.ndarray:
+        """Device tokens -> host numpy. Multi-process: batch-sharded
+        outputs are not fully addressable on any one host, so gather the
+        global value on every host (rides DCN; tokens are tiny)."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(
+                x, tiled=True))
+        return np.asarray(x)
 
     def apply_chat_template(self, messages, add_generation_prompt=True) -> str:
         assert self.ctx is not None
@@ -412,6 +479,7 @@ class GPTEngine:
             self.config.speculative == "ngram"
             and len(texts) == 1
             and self.config.sampler.is_greedy
+            and jax.process_count() == 1
         ):
             return self._spec_prefill_and_loop(texts, max_tokens, on_token)
         cfg = self.ctx.model_config
@@ -485,7 +553,7 @@ class GPTEngine:
             self._key, k = jax.random.split(self._key)
             return chunk_fn(params, cur_dev, cache, pos, k, n_steps=chunk)
 
-        if not on_token(0, np.asarray(tok_dev)):
+        if not on_token(0, self._fetch(tok_dev)):
             return encoded
         step = 1
         if step >= max_tokens:
@@ -495,7 +563,7 @@ class GPTEngine:
             ahead = None
             if step + chunk < max_tokens:
                 ahead, cache = launch(nxt[-1], step + chunk)
-            nh = np.asarray(nxt)  # [chunk, B] — syncs while `ahead` runs
+            nh = self._fetch(nxt)  # [chunk, B] — syncs while `ahead` runs
             for i in range(min(chunk, max_tokens - step)):
                 if not on_token(step, nh[i]):
                     return encoded

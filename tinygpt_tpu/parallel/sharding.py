@@ -54,11 +54,12 @@ def make_mesh(
     return Mesh(arr, ("dp", "sp", "tp"))
 
 
-def data_pspecs(sp: bool = False):
+def data_pspecs(sp: bool = False, batch_axes="dp"):
     """PartitionSpecs for (ids, positions, valid) prefill inputs: batch on
-    dp, optionally sequence on sp."""
+    dp (or a ("dcn_dp", "dp") tuple on hybrid multi-host meshes),
+    optionally sequence on sp."""
     s = "sp" if sp else None
-    return P("dp", s)
+    return P(batch_axes, s)
 
 
 def param_pspecs(cfg: ModelConfig, params: Dict) -> Dict:
@@ -102,17 +103,17 @@ def param_pspecs(cfg: ModelConfig, params: Dict) -> Dict:
     return specs
 
 
-def cache_pspecs(cfg: ModelConfig, tp_size: int):
+def cache_pspecs(cfg: ModelConfig, tp_size: int, batch_axes="dp"):
     """KV cache [L, B, Nk, T, D]: shard kv-heads on tp when divisible,
-    batch on dp."""
+    batch on dp (or ("dcn_dp", "dp") on hybrid multi-host meshes)."""
     kv_tp = "tp" if cfg.num_kv_heads % max(tp_size, 1) == 0 and tp_size > 1 else None
     from tinygpt_tpu.engine.kv_cache import KVCache
 
     return KVCache(
-        k=P(None, "dp", kv_tp, None, None),
-        v=P(None, "dp", kv_tp, None, None),
-        kv_pos=P("dp", None),
-        valid=P("dp", None),
+        k=P(None, batch_axes, kv_tp, None, None),
+        v=P(None, batch_axes, kv_tp, None, None),
+        kv_pos=P(batch_axes, None),
+        valid=P(batch_axes, None),
         length=P(),
     )
 

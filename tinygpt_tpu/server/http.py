@@ -354,6 +354,15 @@ def main(argv=None) -> None:
         import jax
 
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    # join a multi-host runtime when configured (no-op single process)
+    from tinygpt_tpu.parallel import distributed
+
+    distributed.initialize(
+        num_processes=(int(os.environ["JAX_NUM_PROCESSES"])
+                       if os.environ.get("JAX_NUM_PROCESSES") else None),
+        process_id=(int(os.environ["JAX_PROCESS_ID"])
+                    if os.environ.get("JAX_PROCESS_ID") else None),
+    )
 
     server = TinyGPTServer(ServerConfig(
         model_dir=args.model, host=args.host, port=args.port,
