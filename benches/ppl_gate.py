@@ -1,0 +1,186 @@
+"""Quantization quality gate: Δ perplexity vs BF16/F32 on a trained model.
+
+BASELINE.json demands ppl regressions of <= 0.1 (INT8) / <= 0.5 (INT4)
+vs the float baseline on a real corpus. This environment has no
+fetchable pretrained weights or WikiText (zero egress), so the gate
+trains its OWN small causal LM offline on real text — the Python sources
+installed in site-packages (megabytes of structured, held-out-able
+code) — and measures ppl over >= 100k held-out tokens. A trained model
+gives calibrated logits, which is what makes quantization error visible;
+random weights would hide it in noise.
+
+Artifacts: prints one JSON line with ppl per precision and the deltas.
+The regression test (tests/test_ppl_gate.py) runs a reduced budget of
+the same pipeline and asserts the thresholds.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import io
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_corpus(train_mb: float = 2.0, eval_mb: float = 0.6):
+    """Deterministic text corpus from installed Python sources: sorted
+    file order, train/eval split at file granularity (no leakage)."""
+    import sysconfig
+
+    root = sysconfig.get_paths()["purelib"]
+    files = sorted(glob.glob(os.path.join(root, "**", "*.py"),
+                             recursive=True))
+    train, evl = io.StringIO(), io.StringIO()
+    t_target, e_target = train_mb * 1e6, eval_mb * 1e6
+    for i, f in enumerate(files):
+        try:
+            with open(f, "r", encoding="utf-8", errors="ignore") as fh:
+                text = fh.read()
+        except OSError:
+            continue
+        if not text.strip():
+            continue
+        # every 5th file goes to eval until its budget fills
+        if i % 5 == 0 and evl.tell() < e_target:
+            evl.write(text + "\n\n")
+        elif train.tell() < t_target:
+            train.write(text + "\n\n")
+        if train.tell() >= t_target and evl.tell() >= e_target:
+            break
+    return train.getvalue(), evl.getvalue()
+
+
+def train_model(out_dir: str, train_text: str, *, n_layer=4, n_embd=256,
+                n_head=4, vocab=4096, seq_len=256, steps=600, batch=8,
+                lr=3e-4, seed=0, log=print):
+    """Train a small GPT-2-architecture LM with torch (CPU) and save an
+    HF model dir (config + tokenizer.json + safetensors) loadable by
+    tinygpt_tpu."""
+    import torch
+    from tokenizers import Tokenizer as HFTok
+    from tokenizers import models as tok_models
+    from tokenizers import pre_tokenizers, trainers
+    import transformers
+
+    torch.manual_seed(seed)
+    os.makedirs(out_dir, exist_ok=True)
+
+    hf_tok = HFTok(tok_models.BPE())
+    hf_tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    trainer = trainers.BpeTrainer(
+        vocab_size=vocab, special_tokens=["<|endoftext|>"],
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
+    )
+    hf_tok.train_from_iterator(
+        [train_text[i : i + 4096] for i in range(0, len(train_text), 4096)],
+        trainer,
+    )
+    hf_tok.save(os.path.join(out_dir, "tokenizer.json"))
+    ids = np.asarray(hf_tok.encode(train_text).ids, np.int64)
+    log(f"corpus: {len(train_text)/1e6:.1f} MB -> {len(ids)} tokens")
+
+    cfg = transformers.GPT2Config(
+        vocab_size=vocab, n_positions=seq_len, n_embd=n_embd,
+        n_layer=n_layer, n_head=n_head, bos_token_id=0, eos_token_id=0,
+    )
+    model = transformers.GPT2LMHeadModel(cfg)
+    opt = torch.optim.AdamW(model.parameters(), lr=lr)
+    sched = torch.optim.lr_scheduler.LinearLR(
+        opt, start_factor=1.0, end_factor=0.1, total_iters=steps)
+    rng = np.random.default_rng(seed)
+    model.train()
+    for step in range(steps):
+        starts = rng.integers(0, len(ids) - seq_len - 1, batch)
+        x = torch.tensor(
+            np.stack([ids[s : s + seq_len] for s in starts]))
+        out = model(x, labels=x)
+        out.loss.backward()
+        opt.step()
+        sched.step()
+        opt.zero_grad()
+        if step % 100 == 0 or step == steps - 1:
+            log(f"step {step}: loss {out.loss.item():.3f}")
+    model.eval()
+
+    model.save_pretrained(out_dir, safe_serialization=True)
+    with open(os.path.join(out_dir, "tokenizer_config.json"), "w") as f:
+        json.dump({"model_max_length": seq_len,
+                   "eos_token": "<|endoftext|>"}, f)
+    return out_dir
+
+
+def measure(model_dir: str, eval_text: str, *, max_tokens=120_000,
+            window=256, stride=128, log=print) -> dict:
+    """ppl over the held-out stream for float32 / int8 / int4 / fp8-KV."""
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    import tinygpt_tpu
+
+    tinygpt_tpu.ensure_compile_cache()
+    import jax.numpy as jnp
+
+    from tinygpt_tpu.evaluate import perplexity
+    from tinygpt_tpu.hf.config import load_model_config
+    from tinygpt_tpu.hf.safetensors_io import load_safetensors_dir
+    from tinygpt_tpu.models import get_model
+    from tinygpt_tpu.ops.quant import quantize_params
+    from tinygpt_tpu.tokenizer import Tokenizer
+
+    cfg = load_model_config(model_dir)
+    model = get_model(cfg.model_type)
+    weights = load_safetensors_dir(model_dir)
+    params = model.load_params(cfg, weights, dtype=jnp.float32)
+    tok = Tokenizer.from_dir(model_dir)
+    ids = tok.encode(eval_text, add_special_tokens=False)[:max_tokens]
+    log(f"eval stream: {len(ids)} tokens (window {window}, stride {stride})")
+
+    out = {"eval_tokens": len(ids)}
+    base = perplexity(model, cfg, params, ids, window=window, stride=stride)
+    out["ppl_f32"] = round(float(base), 4)
+    for bits, name in ((8, "int8"), (4, "int4")):
+        qp = quantize_params(params, bits=bits, group_size=128)
+        p = perplexity(model, cfg, qp, ids, window=window, stride=stride)
+        out[f"ppl_{name}"] = round(float(p), 4)
+        out[f"dppl_{name}"] = round(float(p - base), 4)
+        log(f"{name}: ppl {p:.4f} (delta {p - base:+.4f})")
+    p8 = perplexity(model, cfg, params, ids, window=window, stride=stride,
+                    kv_dtype=jnp.float8_e4m3fn)
+    out["ppl_fp8kv"] = round(float(p8), 4)
+    out["dppl_fp8kv"] = round(float(p8 - base), 4)
+    log(f"fp8-kv: ppl {p8:.4f} (delta {p8 - base:+.4f})")
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", default="/tmp/ppl_gate_model")
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--hidden", type=int, default=256)
+    ap.add_argument("--eval-tokens", type=int, default=120_000)
+    ap.add_argument("--reuse", action="store_true",
+                    help="skip training if the model dir exists")
+    args = ap.parse_args()
+
+    train_text, eval_text = build_corpus()
+    if not (args.reuse and
+            os.path.exists(os.path.join(args.dir, "model.safetensors"))):
+        train_model(args.dir, train_text, steps=args.steps,
+                    n_layer=args.layers, n_embd=args.hidden)
+    res = measure(args.dir, eval_text, max_tokens=args.eval_tokens)
+    res["metric"] = "quantization_ppl_gate"
+    res["pass_int8"] = res["dppl_int8"] <= 0.1
+    res["pass_int4"] = res["dppl_int4"] <= 0.5
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

@@ -37,6 +37,8 @@ def window_nll(
     window: int = 512,
     stride: int = 256,
     attn_impl: str = "xla",
+    kv_dtype=None,  # KV-cache storage dtype (fp8 quality gating);
+                    # None = float32
 ) -> tuple:
     """Returns (total_nll, n_scored_tokens) over the token stream."""
     ids = np.asarray(token_ids, dtype=np.int32)
@@ -50,7 +52,8 @@ def window_nll(
     def score(chunk, n_score):
         """NLL of the last `n_score` next-token predictions in `chunk`."""
         S = chunk.shape[0]
-        cache = create_kv_cache(cfg, 1, window, dtype=jnp.float32)
+        cache = create_kv_cache(cfg, 1, window,
+                                dtype=kv_dtype or jnp.float32)
         pos = jnp.arange(S)[None, :]
         logits, _ = model.forward(
             params, cfg, chunk[None, :], cache, pos,
@@ -87,9 +90,9 @@ def window_nll(
 
 
 def perplexity(model, cfg, params, token_ids, window=512, stride=256,
-               attn_impl: str = "xla") -> float:
+               attn_impl: str = "xla", kv_dtype=None) -> float:
     nll, n = window_nll(model, cfg, params, token_ids, window, stride,
-                        attn_impl)
+                        attn_impl, kv_dtype=kv_dtype)
     return math.exp(nll / max(n, 1))
 
 
