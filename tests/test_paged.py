@@ -60,6 +60,43 @@ def test_paged_kernel_vs_xla_oracle():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_paged_frozen_kernel_vs_xla_oracle():
+    """paged_decode_frozen_tpu (stacked pools + in-flight merge,
+    interpret mode) vs the XLA gather oracle, mid-quantum."""
+    from tinygpt_tpu.ops.paged_attention import (
+        paged_decode_frozen_tpu,
+        paged_decode_frozen_xla,
+    )
+
+    rng = np.random.default_rng(3)
+    L, n_blocks, Nk, bs, D, B, MB, G, N = 3, 16, 2, 16, 64, 3, 4, 2, 8
+    Nq = Nk * G
+    kp = (rng.standard_normal((L, n_blocks, Nk, bs, D)) * 0.3).astype(np.float32)
+    vp = (rng.standard_normal((L, n_blocks, Nk, bs, D)) * 0.3).astype(np.float32)
+    kp[:, 0] = 0.0
+    vp[:, 0] = 0.0
+    ki = (rng.standard_normal((B, Nk, N, D)) * 0.3).astype(np.float32)
+    vi = (rng.standard_normal((B, Nk, N, D)) * 0.3).astype(np.float32)
+    q = (rng.standard_normal((B, Nq, D)) * 0.3).astype(np.float32)
+    tables = np.array([[1, 2, 3, 0], [4, 5, 0, 0], [6, 0, 0, 0]], np.int32)
+    lengths0 = np.array([41, 20, 9], np.int32)
+    starts = np.array([0, 3, 1], np.int32)
+    step = 2
+    for l in range(L):
+        args = (jnp.asarray(q), jnp.asarray(kp), jnp.asarray(vp),
+                jnp.asarray(tables), jnp.asarray(lengths0),
+                jnp.asarray(starts), jnp.asarray(ki), jnp.asarray(vi),
+                jnp.asarray(l, jnp.int32), jnp.asarray(step, jnp.int32))
+        ref = paged_decode_frozen_xla(
+            args[0], jnp.asarray(kp[l]), jnp.asarray(vp[l]), *args[3:8],
+            args[9], scale=D ** -0.5)
+        got = paged_decode_frozen_tpu(*args, scale=D ** -0.5,
+                                      interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"layer {l}")
+
+
 def test_paged_kernel_sliding_window():
     rng = np.random.default_rng(1)
     n_blocks, Nk, bs, D, B, MB = 8, 1, 16, 64, 1, 3

@@ -519,6 +519,148 @@ def decode_steps(
     return toks, new_cache
 
 
+def decode_paged_steps(
+    params: Dict,
+    cfg: ModelConfig,
+    tok0: jnp.ndarray,   # [B] first input token of the quantum
+    state,               # PagedKVState
+    keys: jnp.ndarray,   # [n_steps, ...] per-step sampler keys
+    sample_fn,           # (logits [B, V], key) -> tok [B] int32
+    attn_impl: str = "xla",
+):
+    """n_steps paged decode steps as ONE scanned program with the block
+    POOLS frozen (the paged analogue of decode_steps): carrying the
+    [L, n_blocks, ...] pools through the scan costs a full pool
+    read+write per layer per step plus a per-layer slab copy across any
+    Pallas call — at the serving-bench shape that's ~4.3 GB/step of pure
+    bookkeeping traffic. Here each step's K/V land in an in-flight
+    buffer merged by paged_decode_frozen, and ONE scatter writes the
+    quantum's tokens into their (block, offset) slots at the end.
+
+    Sliding windows are NOT handled (the frozen merge would need
+    per-row window offsets across the pool/in-flight split); callers
+    must fall back to forward_paged for windowed models.
+
+    Returns (toks [n_steps, B], advanced PagedKVState).
+    """
+    from tinygpt_tpu.ops.paged_attention import paged_decode_frozen
+
+    assert cfg.sliding_window is None, "frozen paged decode: no window"
+    B = tok0.shape[0]
+    n_steps = keys.shape[0]
+    L = cfg.num_hidden_layers
+    D, Nq, Nk = cfg.head_dim, cfg.num_attention_heads, cfg.num_kv_heads
+    q_dim = Nq * D
+    bs = state.block_size
+    lengths0, starts = state.lengths, state.starts
+    tables, active = state.block_tables, state.active
+    act_i = active.astype(jnp.int32)
+    cos, sin = params["rope_cos"], params["rope_sin"]
+
+    quant = {k: v for k, v in params["layers"].items()
+             if isinstance(v, QuantizedTensor)}
+    rest = {k: v for k, v in params["layers"].items() if k not in quant}
+    ls = jnp.arange(L, dtype=jnp.int32)
+
+    infl_dt = jnp.bfloat16 if jnp.dtype(state.k_pool.dtype).itemsize < 2 \
+        else state.k_pool.dtype
+    infl_k0 = jnp.zeros((L, B, Nk, n_steps, D), infl_dt)
+    infl_v0 = jnp.zeros((L, B, Nk, n_steps, D), infl_dt)
+
+    def one_step(tok, infl_k, infl_v, step):
+        lengths_t = lengths0 + step * act_i
+        positions = (lengths_t - starts)[:, None]  # [B, 1] logical
+        x = params["embed"][tok[:, None]]
+
+        def layer_fn(x, scanned):
+            lp, ik, iv, l = scanned
+
+            def mm(h, key):
+                if key in quant:
+                    return matmul_dequant_stacked(h, quant[key], l)
+                return matmul_any(h, lp[key])
+
+            h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
+            qkv = mm(h, "qkv_w")
+            if "qkv_b" in lp:
+                qkv = qkv + lp["qkv_b"]
+            q = qkv[..., :q_dim].reshape(B, 1, Nq, D)
+            k = qkv[..., q_dim : q_dim + Nk * D].reshape(B, 1, Nk, D)
+            v = qkv[..., q_dim + Nk * D :].reshape(B, 1, Nk, D)
+            if cfg.qk_norm:
+                q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
+                k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
+            q, k = apply_rope(q, k, cos, sin, positions)
+            ik = jax.lax.dynamic_update_slice(
+                ik, k.transpose(0, 2, 1, 3).astype(ik.dtype),
+                (0, 0, step, 0),
+            )
+            iv = jax.lax.dynamic_update_slice(
+                iv, v.transpose(0, 2, 1, 3).astype(iv.dtype),
+                (0, 0, step, 0),
+            )
+            attn = paged_decode_frozen(
+                q[:, 0], state.k_pool, state.v_pool, tables, lengths0,
+                starts, ik, iv, l, step, scale=D ** -0.5,
+                kernel=attn_impl,
+            )
+            x = x + mm(attn.reshape(B, 1, q_dim), "o_w")
+            h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
+            gate_up = mm(h, "gate_up_w")
+            gate, up = jnp.split(gate_up, 2, axis=-1)
+            x = x + mm(
+                jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up,
+                "down_w",
+            )
+            return x, (ik, iv)
+
+        x, (infl_k, infl_v) = jax.lax.scan(
+            layer_fn, x, (rest, infl_k, infl_v, ls)
+        )
+        x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+        head = params["lm_head"]
+        if head is None:
+            logits = x[:, 0] @ params["embed"].T
+        else:
+            logits = matmul_any(x[:, 0], head)
+        return logits.astype(jnp.float32), infl_k, infl_v
+
+    def body(carry, key_step):
+        tok, infl_k, infl_v, step = carry
+        logits, infl_k, infl_v = one_step(tok, infl_k, infl_v, step)
+        nxt = sample_fn(logits, key_step).astype(jnp.int32)
+        return (nxt, infl_k, infl_v, step + 1), nxt
+
+    (tok, infl_k, infl_v, _), toks = jax.lax.scan(
+        body, (tok0.astype(jnp.int32), infl_k0, infl_v0,
+               jnp.asarray(0, jnp.int32)), keys
+    )
+
+    # scatter the quantum's K/V into their (block, offset) slots: step t's
+    # token occupies slot lengths0 + t of its row (inactive rows -> the
+    # reserved null block, same as forward_paged)
+    steps = jnp.arange(n_steps, dtype=jnp.int32)
+    slot_t = lengths0[None, :] + steps[:, None] * act_i[None, :]  # [N, B]
+    rows = jnp.arange(B)
+    blk = tables[rows[None, :], slot_t // bs]
+    blk = jnp.where(active[None, :], blk, 0)
+    off = slot_t % bs
+    blkf, offf = blk.reshape(-1), off.reshape(-1)
+    # advanced indexing pulls the two indexed dims to the FRONT: target
+    # k_pool[:, blkf, :, offf, :] has shape [N*B, L, Nk, D]
+    vals_k = infl_k.transpose(3, 1, 0, 2, 4).reshape(
+        n_steps * B, L, Nk, D).astype(state.k_pool.dtype)
+    vals_v = infl_v.transpose(3, 1, 0, 2, 4).reshape(
+        n_steps * B, L, Nk, D).astype(state.v_pool.dtype)
+    k_pool = state.k_pool.at[:, blkf, :, offf, :].set(vals_k, mode="drop")
+    v_pool = state.v_pool.at[:, blkf, :, offf, :].set(vals_v, mode="drop")
+    new_state = state._replace(
+        k_pool=k_pool, v_pool=v_pool,
+        lengths=lengths0 + n_steps * act_i,
+    )
+    return toks, new_state
+
+
 def forward_paged(
     params: Dict,
     cfg: ModelConfig,

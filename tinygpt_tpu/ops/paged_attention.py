@@ -195,3 +195,232 @@ def paged_decode(
                                 starts, scale, sliding_window=sliding_window)
     return paged_decode_xla(q, k_pool, v_pool, block_tables, lengths,
                             starts, scale, sliding_window=sliding_window)
+
+
+# -- frozen-pool decode (chunked decode quantum) ----------------------------
+#
+# During an n-step decode quantum the pools stay loop INVARIANTS: each
+# step's K/V land in a small in-flight buffer and attention merges
+# (frozen pool) + (in-flight slots <= current step) with a two-part
+# online softmax, exactly like the dense-cache causal_lm.decode_steps.
+# Carrying the pools through the scan costs a full pool read+write per
+# layer per step (~4.3 GB/step at the serving-bench shape), plus a copy
+# of each layer's pool slab across the Pallas custom-call boundary; the
+# frozen kernel instead reads the STACKED [L, ...] pools directly via a
+# prefetched layer index.
+
+
+def paged_decode_frozen_xla(
+    q: jnp.ndarray,            # [B, Nq, D]
+    k_pool: jnp.ndarray,       # [n_blocks, Nk, bs, D] (single layer)
+    v_pool: jnp.ndarray,
+    block_tables: jnp.ndarray,  # [B, MB]
+    lengths0: jnp.ndarray,      # [B] — slots used at QUANTUM START
+    starts: jnp.ndarray,        # [B]
+    k_infl: jnp.ndarray,        # [B, Nk, N, D] — this layer's in-flight K
+    v_infl: jnp.ndarray,
+    step: jnp.ndarray,          # scalar int32 current in-flight slot
+    scale: float,
+) -> jnp.ndarray:
+    """Oracle: gather + two-part merge (tests / CPU). Every frozen slot
+    is causally visible (all predate the quantum); in-flight slot j holds
+    each row's own token at quantum step j, visible iff j <= step."""
+    k = paged_gather_dense(k_pool, block_tables)
+    v = paged_gather_dense(v_pool, block_tables)
+    B, Nk, T, D = k.shape
+    N = k_infl.shape[2]
+    Nq = q.shape[1]
+    G = Nq // Nk
+
+    qg = q.reshape(B, 1, Nk, G, D).astype(jnp.float32)
+    sf = jnp.einsum("bskgd,bktd->bkgst", qg, k.astype(jnp.float32)) * scale
+    si = jnp.einsum("bskgd,bkjd->bkgsj", qg,
+                    k_infl.astype(jnp.float32)) * scale
+    t_idx = jnp.arange(T, dtype=jnp.int32)[None, :]
+    mask_f = (t_idx < lengths0[:, None]) & (t_idx >= starts[:, None])
+    j = jnp.arange(N, dtype=jnp.int32)
+    mask_i = j <= step
+    sf = jnp.where(mask_f[:, None, None, None, :], sf, NEG_INF)
+    si = jnp.where(mask_i[None, None, None, None, :], si, NEG_INF)
+    s_all = jnp.concatenate([sf, si], axis=-1)
+    probs = jax.nn.softmax(s_all, axis=-1)
+    out = jnp.einsum("bkgst,bktd->bskgd", probs[..., :T],
+                     v.astype(jnp.float32))
+    out = out + jnp.einsum("bkgsj,bkjd->bskgd", probs[..., T:],
+                           v_infl.astype(jnp.float32))
+    return out.reshape(B, 1, Nq, D)[:, 0].astype(q.dtype)
+
+
+def _paged_frozen_kernel(
+    tables_ref,   # scalar prefetch: [B, MB] int32
+    lengths_ref,  # scalar prefetch: [B] int32 (quantum-start lengths)
+    starts_ref,   # scalar prefetch: [B] int32
+    ls_ref,       # scalar prefetch: [2] int32 (layer, step)
+    q_ref,        # [1, Nk, G, D]
+    k_ref,        # [1, 1, Nk, bs, D] — selected pool block, layer l
+    v_ref,        # [1, 1, Nk, bs, D]
+    ik_ref,       # [1, Nk, N, D]
+    iv_ref,       # [1, Nk, N, D]
+    o_ref,        # [1, Nk, G, D]
+    m_scr, l_scr, acc_scr,  # [Nk*G, 128] x2, [Nk*G, D]
+    *,
+    scale: float,
+    n_blk: int,
+    n_kv: int,
+    bs: int,
+):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    G = q_ref.shape[2]
+    R = n_kv * G
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    length = lengths_ref[b]
+    start = starts_ref[b]
+    block_live = (j * bs < length) & ((j + 1) * bs > start)
+
+    def dots(x_rows, kv_ref, idx, contract):
+        outs = []
+        for h in range(n_kv):
+            outs.append(jax.lax.dot_general(
+                x_rows[h * G : (h + 1) * G],
+                kv_ref[idx + (h,)].astype(jnp.float32),
+                ((contract, ((), ()))),
+                preferred_element_type=jnp.float32,
+            ))
+        return jnp.concatenate(outs, axis=0)
+
+    q = q_ref[0].astype(jnp.float32).reshape(R, q_ref.shape[3])
+
+    @pl.when(block_live)
+    def _():
+        s = dots(q, k_ref, (0, 0), ((1,), (1,))) * scale  # [R, bs]
+        t = j * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
+        mask = (t < length) & (t >= start)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scr[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_scr[:] = jnp.broadcast_to(
+            l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True),
+            l_scr.shape,
+        )
+        acc_scr[:] = acc_scr[:] * alpha + dots(p, v_ref, (0, 0),
+                                               ((1,), (0,)))
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+
+    @pl.when(j == n_blk - 1)
+    def _():
+        step = ls_ref[1]
+        N = ik_ref.shape[2]
+        si = dots(q, ik_ref, (0,), ((1,), (1,))) * scale  # [R, N]
+        ji = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+        si = jnp.where(ji <= step, si, NEG_INF)
+
+        m_prev = m_scr[:, :1]
+        m2 = jnp.maximum(m_prev, jnp.max(si, axis=1, keepdims=True))
+        pi = jnp.exp(si - m2)
+        alpha2 = jnp.exp(m_prev - m2)
+        l2 = l_scr[:, :1] * alpha2 + jnp.sum(pi, axis=1, keepdims=True)
+        acc2 = acc_scr[:] * alpha2 + dots(pi, iv_ref, (0,), ((1,), (0,)))
+        safe_l = jnp.where(l2 == 0.0, 1.0, l2)
+        o_ref[0] = (acc2 / safe_l).reshape(o_ref.shape[1:]).astype(
+            o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def paged_decode_frozen_tpu(
+    q: jnp.ndarray,            # [B, Nq, D]
+    k_pools: jnp.ndarray,      # [L, n_blocks, Nk, bs, D] STACKED pools
+    v_pools: jnp.ndarray,
+    block_tables: jnp.ndarray,  # [B, MB] int32
+    lengths0: jnp.ndarray,      # [B] int32 (quantum-start)
+    starts: jnp.ndarray,        # [B] int32
+    k_infl: jnp.ndarray,        # [B, Nk, N, D]
+    v_infl: jnp.ndarray,
+    l: jnp.ndarray,             # scalar int32 layer index
+    step: jnp.ndarray,          # scalar int32 in-flight slot
+    scale: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, Nq, D = q.shape
+    L, n_blocks, Nk, bs, _ = k_pools.shape
+    MB = block_tables.shape[1]
+    N = k_infl.shape[2]
+    G = Nq // Nk
+    q4 = q.reshape(B, Nk, G, D)
+    ls = jnp.stack([jnp.asarray(l, jnp.int32),
+                    jnp.asarray(step, jnp.int32)])
+
+    def table_lookup(b, j, tables, lengths, starts, ls):
+        idx = tables[b, j]
+        return (ls[0], jnp.where(j * bs < lengths[b], idx, 0), 0, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(B, MB),
+        in_specs=[
+            pl.BlockSpec((1, Nk, G, D), lambda b, j, *_: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Nk, bs, D), table_lookup,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Nk, bs, D), table_lookup,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nk, N, D), lambda b, j, *_: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nk, N, D), lambda b, j, *_: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, Nk, G, D), lambda b, j, *_: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Nk * G, 128), jnp.float32),
+            pltpu.VMEM((Nk * G, 128), jnp.float32),
+            pltpu.VMEM((Nk * G, D), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _paged_frozen_kernel, scale=scale, n_blk=MB, n_kv=Nk, bs=bs,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Nk, G, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Nq * (MB * bs + N) * D,
+            bytes_accessed=2 * B * MB * bs * D * Nk * 2,
+            transcendentals=B * Nq * (MB * bs + N),
+        ),
+        interpret=interpret,
+    )(block_tables, lengths0, starts, ls, q4, k_pools, v_pools,
+      k_infl, v_infl)
+    return out.reshape(B, Nq, D)
+
+
+def paged_decode_frozen(
+    q, k_pools, v_pools, block_tables, lengths0, starts, k_infl, v_infl,
+    l, step, scale, kernel: str = "xla",
+) -> jnp.ndarray:
+    """Dispatch: `k_pools`/`v_pools` are the STACKED [L, ...] pools; the
+    XLA oracle slices layer l, the kernel indexes it via scalar
+    prefetch."""
+    if kernel == "pallas":
+        return paged_decode_frozen_tpu(
+            q, k_pools, v_pools, block_tables, lengths0, starts,
+            k_infl, v_infl, l, step, scale,
+        )
+    kp = jax.lax.dynamic_index_in_dim(k_pools, l, 0, keepdims=False)
+    vp = jax.lax.dynamic_index_in_dim(v_pools, l, 0, keepdims=False)
+    return paged_decode_frozen_xla(
+        q, kp, vp, block_tables, lengths0, starts, k_infl, v_infl, step,
+        scale,
+    )
