@@ -101,6 +101,49 @@ def test_stacked_kernel_matches_reference(bits, group, M):
                                    atol=2e-3, err_msg=f"layer {l}")
 
 
+def test_stacked_fused_kernel_matches_composition():
+    """Fused ln/silu/residual options of the stacked int4 kernel
+    (interpret mode) vs the explicit XLA composition."""
+    from tinygpt_tpu.ops.quant_kernels import (
+        matmul_dequant_int4_stacked_fused,
+    )
+
+    rng = np.random.default_rng(13)
+    L, IN, OUT, M, G = 2, 256, 384, 4, 64
+    w = rng.standard_normal((L, IN, OUT)).astype(np.float32) * 0.05
+    qt = quantize_weight(w, bits=4, group_size=G)
+    wd = [np.asarray(dequantize(
+        QuantizedTensor(qt.data[i], qt.scales[i], 4, G, IN), jnp.float32))
+        for i in range(L)]
+    x = rng.standard_normal((M, IN)).astype(np.float32)
+    ln = rng.standard_normal((L, 1, IN)).astype(np.float32)
+    res = rng.standard_normal((M, OUT)).astype(np.float32)
+    gate_up = rng.standard_normal((M, 2 * IN)).astype(np.float32) * 0.5
+
+    def silu(v):
+        return v / (1 + np.exp(-v))
+
+    for l in range(L):
+        li = jnp.asarray(l, jnp.int32)
+        # ln + invrms prologue
+        inv = 1.0 / np.sqrt((x ** 2).mean(-1, keepdims=True) + 1e-6)
+        ref = (x * inv * ln[l]) @ wd[l]
+        got = matmul_dequant_int4_stacked_fused(
+            jnp.asarray(x), qt.data, qt.scales, li, group=G,
+            ln=jnp.asarray(ln), invrms=jnp.asarray(inv), interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3,
+                                   atol=2e-3, err_msg=f"ln l={l}")
+        # silu(gate)*up prologue + residual epilogue
+        ref = silu(gate_up[:, :IN]) * gate_up[:, IN:] @ wd[l] + res
+        got = matmul_dequant_int4_stacked_fused(
+            jnp.asarray(gate_up), qt.data, qt.scales, li, group=G,
+            silu=True, res=jnp.asarray(res), interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3,
+                                   atol=2e-3, err_msg=f"silu l={l}")
+
+
 def test_matmul_any_dispatch():
     rng = np.random.default_rng(3)
     w = rng.standard_normal((128, 64)).astype(np.float32) * 0.05

@@ -411,6 +411,26 @@ def decode_steps(
     # cost per chunk (see sdpa_decode_frozen)
     kT = None if use_kernel else jnp.swapaxes(cache.k, 3, 4)
 
+    # elementwise-fused int4 path: rms-norm prologue, silu(g)*u prologue
+    # and residual epilogue run inside the dequant matmuls (the XLA
+    # per-op overhead of the [B, H]-sized chain costs ~1 ms/step at
+    # Mistral-7B b4). Engaged when every layer matmul is int4 and the
+    # family has no qkv bias / qk-norm (Llama/Mistral).
+    fuse = (
+        all(k in quant and quant[k].bits == 4
+            for k in ("qkv_w", "o_w", "gate_up_w", "down_w"))
+        and not cfg.qk_norm
+        and "qkv_b" not in params["layers"]
+        and jax.devices()[0].platform == "tpu"
+    )
+    if fuse:
+        from tinygpt_tpu.ops.quant_kernels import (
+            matmul_dequant_int4_stacked_fused as mm_fused,
+        )
+
+        ln_in = params["layers"]["input_ln"][:, None, :]    # [L, 1, H]
+        ln_post = params["layers"]["post_ln"][:, None, :]
+
     def one_step(tok, positions, infl_k, infl_v, step):
         x = params["embed"][tok[:, None]]  # [B, 1, H]
         if use_kernel:
@@ -436,10 +456,24 @@ def decode_steps(
                     return matmul_dequant_stacked(h, quant[key], l)
                 return matmul_any(h, lp[key])
 
-            h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
-            qkv = mm(h, "qkv_w")
-            if "qkv_b" in lp:
-                qkv = qkv + lp["qkv_b"]
+            def invrms(v2):
+                vf32 = v2.astype(jnp.float32)
+                return jax.lax.rsqrt(
+                    jnp.mean(vf32 * vf32, axis=-1, keepdims=True)
+                    + cfg.rms_norm_eps
+                )
+
+            if fuse:
+                x2 = x[:, 0, :]
+                qt = quant["qkv_w"]
+                qkv = mm_fused(x2, qt.data, qt.scales, l,
+                               group=qt.group_size, ln=ln_in,
+                               invrms=invrms(x2))[:, None, :]
+            else:
+                h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
+                qkv = mm(h, "qkv_w")
+                if "qkv_b" in lp:
+                    qkv = qkv + lp["qkv_b"]
             q = qkv[..., :q_dim].reshape(B, 1, Nq, D)
             k = qkv[..., q_dim : q_dim + Nk * D].reshape(B, 1, Nk, D)
             v = qkv[..., q_dim + Nk * D :].reshape(B, 1, Nk, D)
@@ -470,6 +504,18 @@ def decode_steps(
                     positions, sliding_window=cfg.sliding_window,
                     k_transposed=True,
                 )
+            if fuse:
+                qt = quant["o_w"]
+                x2 = mm_fused(attn.reshape(B, q_dim), qt.data, qt.scales,
+                              l, group=qt.group_size, res=x[:, 0, :])
+                qt = quant["gate_up_w"]
+                gate_up = mm_fused(x2, qt.data, qt.scales, l,
+                                   group=qt.group_size, ln=ln_post,
+                                   invrms=invrms(x2))
+                qt = quant["down_w"]
+                x2 = mm_fused(gate_up, qt.data, qt.scales, l,
+                              group=qt.group_size, silu=True, res=x2)
+                return x2[:, None, :], (ik, iv)
             x = x + mm(attn.reshape(B, 1, q_dim), "o_w")
             h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
             gate_up = mm(h, "gate_up_w")

@@ -475,3 +475,186 @@ def matmul_dequant_stacked_tpu(x: jnp.ndarray, qt: "QuantizedTensor",
     return matmul_dequant_int4_stacked(
         x, qt.data, qt.scales, l, group=qt.group_size, interpret=interpret
     )
+
+
+# -- fused-elementwise stacked int4 ------------------------------------------
+#
+# The decode step's per-layer elementwise chain (rms-norm scaling,
+# silu(gate)*up, residual adds) costs ~1 ms/step at Mistral-7B b4 purely
+# in XLA per-op overhead on [4, H]-sized arrays. The fused variant folds
+# them into the dequant matmul where the data already sits in VMEM:
+#   * ln + invrms prologue: x_eff = x * invrms[m] * ln[l, col] — the
+#     rsqrt(mean(x^2)) reduce stays one small XLA op, only the two
+#     broadcasts move in;
+#   * silu prologue: x is [M, 2*IN] = gate||up and the kernel computes
+#     silu(g)*u per block (gate/up arrive as extra x blocks);
+#   * residual epilogue: o = acc + res.
+# The per-group rank-1 bias correction uses the TRANSFORMED x, so the
+# fusions compose exactly with the biased-nibble math.
+
+
+def _int4_kernel_stacked_fused(*refs, n_k: int, group: int, has_ln: bool,
+                               has_silu: bool, has_res: bool):
+    it = iter(refs[1:])  # refs[0] = scalar prefetch (consumed by index_maps)
+    if has_silu:
+        g_lo_ref, g_hi_ref, u_lo_ref, u_hi_ref = (next(it) for _ in range(4))
+    else:
+        x_lo_ref, x_hi_ref = next(it), next(it)
+    if has_ln:
+        ln_lo_ref, ln_hi_ref, inv_ref = (next(it) for _ in range(3))
+    w_ref, s_lo_ref, s_hi_ref = next(it), next(it), next(it)
+    res_ref = next(it) if has_res else None
+    o_ref, acc_ref = next(it), next(it)
+
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    packed = w_ref[0].astype(jnp.int32)
+    bkp, bo = packed.shape
+    rows = bkp // group
+    lo = (packed & 0x0F).astype(jnp.float32)
+    hi = ((packed >> 4) & 0x0F).astype(jnp.float32)
+
+    if has_silu:
+        g_lo = g_lo_ref[:].astype(jnp.float32)
+        g_hi = g_hi_ref[:].astype(jnp.float32)
+        x_lo = g_lo * jax.nn.sigmoid(g_lo) * u_lo_ref[:].astype(
+            jnp.float32)
+        x_hi = g_hi * jax.nn.sigmoid(g_hi) * u_hi_ref[:].astype(
+            jnp.float32)
+    else:
+        x_lo = x_lo_ref[:].astype(jnp.float32)
+        x_hi = x_hi_ref[:].astype(jnp.float32)
+    if has_ln:
+        inv = inv_ref[:].astype(jnp.float32)  # [BM, 1]
+        x_lo = x_lo * inv * ln_lo_ref[0].astype(jnp.float32)
+        x_hi = x_hi * inv * ln_hi_ref[0].astype(jnp.float32)
+
+    s_lo = s_lo_ref[0].astype(jnp.float32)
+    s_hi = s_hi_ref[0].astype(jnp.float32)
+    acc = acc_ref[:]
+    for r in range(rows):
+        sl = slice(r * group, (r + 1) * group)
+        xs_lo = jnp.sum(x_lo[:, sl], axis=1, keepdims=True)
+        xs_hi = jnp.sum(x_hi[:, sl], axis=1, keepdims=True)
+        acc = acc + s_lo[r][None, :] * (
+            jnp.dot(x_lo[:, sl], lo[sl, :],
+                    preferred_element_type=jnp.float32) - 8.0 * xs_lo
+        )
+        acc = acc + s_hi[r][None, :] * (
+            jnp.dot(x_hi[:, sl], hi[sl, :],
+                    preferred_element_type=jnp.float32) - 8.0 * xs_hi
+        )
+    acc_ref[:] = acc
+
+    @pl.when(k == n_k - 1)
+    def _():
+        out = acc_ref[:]
+        if has_res:
+            out = out + res_ref[:].astype(jnp.float32)
+        o_ref[:] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group", "silu", "bm", "bk", "bo", "interpret"),
+)
+def matmul_dequant_int4_stacked_fused(
+    x: jnp.ndarray,       # [M, IN]; with silu: [M, 2*IN] = gate||up
+    data: jnp.ndarray,    # [L, IN/2, OUT]
+    scales: jnp.ndarray,  # [L, IN/group, OUT]
+    l: jnp.ndarray,
+    group: int,
+    ln: jnp.ndarray = None,      # [L, 1, IN] norm weight (with invrms)
+    invrms: jnp.ndarray = None,  # [M, 1] f32 per-row 1/rms
+    res: jnp.ndarray = None,     # [M, OUT] residual added in the epilogue
+    silu: bool = False,          # x is gate||up; compute silu(g)*u
+    bm: int = 256,
+    bk: int = 1024,
+    bo=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    has_silu = bool(silu)
+    IN2 = x.shape[1]
+    IN = IN2 // 2 if has_silu else IN2
+    M = x.shape[0]
+    L, INP, OUT = data.shape
+    half = IN // 2
+    assert INP == half
+    has_ln = ln is not None
+    has_res = res is not None
+    bm = min(bm, _round_up(M, 8))
+    bk = _pick_bk(INP, group, bk)
+    bo = _pick_bo(OUT, INP // bk) if bo is None else min(bo, OUT)
+    n_m, n_o, n_k = _cdiv(M, bm), _cdiv(OUT, bo), INP // bk
+    rows = bk // group
+
+    def xspec(block_off):
+        return pl.BlockSpec(
+            (bm, bk),
+            lambda m, o, k, l, _off=block_off: (m, k + _off),
+            memory_space=pltpu.VMEM,
+        )
+
+    inputs = []
+    in_specs = []
+    if has_silu:
+        # gate cols [0, IN) -> planes at block offsets 0 / n_k;
+        # up cols [IN, 2*IN) -> 2*n_k / 3*n_k
+        for off in (0, n_k, 2 * n_k, 3 * n_k):
+            inputs.append(x)
+            in_specs.append(xspec(off))
+    else:
+        inputs.extend([x, x])
+        in_specs.extend([xspec(0), xspec(n_k)])
+    if has_ln:
+        inputs.extend([ln, ln, invrms.astype(jnp.float32)])
+        in_specs.extend([
+            pl.BlockSpec((1, 1, bk), lambda m, o, k, l: (l[0], 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk),
+                         lambda m, o, k, l, _nk=n_k: (l[0], 0, k + _nk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda m, o, k, l: (m, 0),
+                         memory_space=pltpu.VMEM),
+        ])
+    inputs.extend([data, scales, scales])
+    in_specs.extend([
+        pl.BlockSpec((1, bk, bo), lambda m, o, k, l: (l[0], k, o),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, rows, bo), lambda m, o, k, l: (l[0], k, o),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, rows, bo),
+                     lambda m, o, k, l, _nk=n_k: (l[0], k + _nk, o),
+                     memory_space=pltpu.VMEM),
+    ])
+    if has_res:
+        inputs.append(res)
+        in_specs.append(pl.BlockSpec((bm, bo), lambda m, o, k, l: (m, o),
+                                     memory_space=pltpu.VMEM))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_m, n_o, n_k),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bo), lambda m, o, k, l: (m, o),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bm, bo), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_int4_kernel_stacked_fused, n_k=n_k, group=group,
+                          has_ln=has_ln, has_silu=has_silu,
+                          has_res=has_res),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, OUT), res.dtype if has_res
+                                       else x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * IN * OUT,
+            bytes_accessed=M * IN2 * 2 + IN * OUT // 2 + M * OUT * 2,
+            transcendentals=M * IN if has_silu else 0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(l, jnp.int32).reshape(1), *inputs)
