@@ -204,6 +204,43 @@ def test_scheduler_matches_dense_greedy(llama):
             context.append(tok)
 
 
+def test_scheduler_matches_dense_greedy_sliding_window(llama):
+    """The frozen-pool decode quantum must honor sliding windows: a
+    windowed config's scheduler stream must match dense greedy decode
+    with the same window (prompts long enough that the window binds)."""
+    import dataclasses
+
+    cfg, model, params = llama
+    cfg_w = dataclasses.replace(cfg, sliding_window=8)
+    rng = np.random.default_rng(31)
+    prompts = [list(int(x) for x in rng.integers(2, cfg.vocab_size, n))
+               for n in (14, 21)]
+    n_new = 6
+
+    batcher = ContinuousBatcher(
+        model, cfg_w, params, eos_ids=set(),
+        config=SchedulerConfig(
+            batch_capacity=2, block_size=16, n_blocks=64,
+            max_blocks_per_seq=8, prefill_bucket=16, dtype="float32",
+        ),
+    )
+    for i, p in enumerate(prompts):
+        batcher.add_request(Request(request_id=i, prompt_ids=p,
+                                    max_new_tokens=n_new))
+    got = {i: [] for i in range(len(prompts))}
+    _drain(batcher, got)
+    for i, p in enumerate(prompts):
+        assert len(got[i]) == n_new
+        context = list(p)
+        for step_idx, tok in enumerate(got[i]):
+            logits = _dense_logits(cfg_w, model, params, context)
+            best = int(logits.argmax())
+            assert tok == best or logits[best] - logits[tok] < 1e-3, (
+                f"request {i} step {step_idx}: {tok} vs {best}"
+            )
+            context.append(tok)
+
+
 def test_scheduler_eos_and_capacity(llama):
     cfg, model, params = llama
     rng = np.random.default_rng(4)

@@ -214,10 +214,7 @@ class ContinuousBatcher:
         # batcher must not recompile (wasteful, and XLA CPU's compile-time
         # parallel-reduction splits vary with load, which would make
         # numerics differ between otherwise identical batchers)
-        use_frozen = (
-            hasattr(self.model, "decode_paged_steps")
-            and model_config.sliding_window is None
-        )
+        use_frozen = hasattr(self.model, "decode_paged_steps")
         if use_frozen:
             # frozen-pool quantum: pools are loop invariants, one scatter
             # per quantum (see causal_lm.decode_paged_steps)

@@ -23,12 +23,20 @@ def get_model(model_type: str):
     mod = _FAMILY.get(model_type)
     if mod is None:
         raise ValueError(f"unsupported model_type {model_type!r}")
-    return SimpleNamespace(
+    ns = SimpleNamespace(
         load_params=mod.load_params,
         init_params=mod.init_params,
         forward=mod.forward,
         forward_paged=getattr(mod, "forward_paged", None),
     )
+    # frozen-chunk decode entry points (hasattr-gated by engine/scheduler;
+    # omitting them here silently routed real model dirs onto the slow
+    # stepwise paths — caught by an end-to-end drive)
+    for opt in ("decode_steps", "decode_paged_steps"):
+        fn = getattr(mod, opt, None)
+        if fn is not None:
+            setattr(ns, opt, fn)
+    return ns
 
 
 __all__ = ["get_model", "causal_lm", "gpt2"]

@@ -583,15 +583,14 @@ def decode_paged_steps(
     buffer merged by paged_decode_frozen, and ONE scatter writes the
     quantum's tokens into their (block, offset) slots at the end.
 
-    Sliding windows are NOT handled (the frozen merge would need
-    per-row window offsets across the pool/in-flight split); callers
-    must fall back to forward_paged for windowed models.
+    Sliding windows are handled inside the frozen merge (the current
+    token's slot is lengths0[b] + step, and slot deltas equal logical
+    deltas within a row).
 
     Returns (toks [n_steps, B], advanced PagedKVState).
     """
     from tinygpt_tpu.ops.paged_attention import paged_decode_frozen
 
-    assert cfg.sliding_window is None, "frozen paged decode: no window"
     B = tok0.shape[0]
     n_steps = keys.shape[0]
     L = cfg.num_hidden_layers
@@ -648,7 +647,7 @@ def decode_paged_steps(
             attn = paged_decode_frozen(
                 q[:, 0], state.k_pool, state.v_pool, tables, lengths0,
                 starts, ik, iv, l, step, scale=D ** -0.5,
-                kernel=attn_impl,
+                sliding_window=cfg.sliding_window, kernel=attn_impl,
             )
             x = x + mm(attn.reshape(B, 1, q_dim), "o_w")
             h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)

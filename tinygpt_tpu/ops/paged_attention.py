@@ -221,10 +221,14 @@ def paged_decode_frozen_xla(
     v_infl: jnp.ndarray,
     step: jnp.ndarray,          # scalar int32 current in-flight slot
     scale: float,
+    sliding_window=None,
 ) -> jnp.ndarray:
     """Oracle: gather + two-part merge (tests / CPU). Every frozen slot
     is causally visible (all predate the quantum); in-flight slot j holds
-    each row's own token at quantum step j, visible iff j <= step."""
+    each row's own token at quantum step j, visible iff j <= step. With a
+    window w, the current token sits at slot lengths0[b] + step, so pool
+    slots need t > that - w and in-flight slots step - j < w (slot deltas
+    equal logical deltas within a row)."""
     k = paged_gather_dense(k_pool, block_tables)
     v = paged_gather_dense(v_pool, block_tables)
     B, Nk, T, D = k.shape
@@ -240,6 +244,10 @@ def paged_decode_frozen_xla(
     mask_f = (t_idx < lengths0[:, None]) & (t_idx >= starts[:, None])
     j = jnp.arange(N, dtype=jnp.int32)
     mask_i = j <= step
+    if sliding_window is not None:
+        q_slot = lengths0[:, None] + step  # current token's slot per row
+        mask_f &= t_idx > q_slot - sliding_window
+        mask_i &= (step - j) < sliding_window
     sf = jnp.where(mask_f[:, None, None, None, :], sf, NEG_INF)
     si = jnp.where(mask_i[None, None, None, None, :], si, NEG_INF)
     s_all = jnp.concatenate([sf, si], axis=-1)
@@ -268,6 +276,7 @@ def _paged_frozen_kernel(
     n_blk: int,
     n_kv: int,
     bs: int,
+    sliding_window,
 ):
     b = pl.program_id(0)
     j = pl.program_id(1)
@@ -302,6 +311,8 @@ def _paged_frozen_kernel(
         s = dots(q, k_ref, (0, 0), ((1,), (1,))) * scale  # [R, bs]
         t = j * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
         mask = (t < length) & (t >= start)
+        if sliding_window is not None:
+            mask &= t > length + ls_ref[1] - sliding_window
         s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_scr[:, :1]
@@ -322,7 +333,10 @@ def _paged_frozen_kernel(
         N = ik_ref.shape[2]
         si = dots(q, ik_ref, (0,), ((1,), (1,))) * scale  # [R, N]
         ji = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
-        si = jnp.where(ji <= step, si, NEG_INF)
+        mi = ji <= step
+        if sliding_window is not None:
+            mi &= (step - ji) < sliding_window
+        si = jnp.where(mi, si, NEG_INF)
 
         m_prev = m_scr[:, :1]
         m2 = jnp.maximum(m_prev, jnp.max(si, axis=1, keepdims=True))
@@ -335,7 +349,9 @@ def _paged_frozen_kernel(
             o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("scale", "sliding_window", "interpret")
+)
 def paged_decode_frozen_tpu(
     q: jnp.ndarray,            # [B, Nq, D]
     k_pools: jnp.ndarray,      # [L, n_blocks, Nk, bs, D] STACKED pools
@@ -348,6 +364,7 @@ def paged_decode_frozen_tpu(
     l: jnp.ndarray,             # scalar int32 layer index
     step: jnp.ndarray,          # scalar int32 in-flight slot
     scale: float,
+    sliding_window=None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     B, Nq, D = q.shape
@@ -390,6 +407,7 @@ def paged_decode_frozen_tpu(
     )
     kernel = functools.partial(
         _paged_frozen_kernel, scale=scale, n_blk=MB, n_kv=Nk, bs=bs,
+        sliding_window=sliding_window,
     )
     out = pl.pallas_call(
         kernel,
@@ -408,7 +426,7 @@ def paged_decode_frozen_tpu(
 
 def paged_decode_frozen(
     q, k_pools, v_pools, block_tables, lengths0, starts, k_infl, v_infl,
-    l, step, scale, kernel: str = "xla",
+    l, step, scale, sliding_window=None, kernel: str = "xla",
 ) -> jnp.ndarray:
     """Dispatch: `k_pools`/`v_pools` are the STACKED [L, ...] pools; the
     XLA oracle slices layer l, the kernel indexes it via scalar
@@ -417,10 +435,11 @@ def paged_decode_frozen(
         return paged_decode_frozen_tpu(
             q, k_pools, v_pools, block_tables, lengths0, starts,
             k_infl, v_infl, l, step, scale,
+            sliding_window=sliding_window,
         )
     kp = jax.lax.dynamic_index_in_dim(k_pools, l, 0, keepdims=False)
     vp = jax.lax.dynamic_index_in_dim(v_pools, l, 0, keepdims=False)
     return paged_decode_frozen_xla(
         q, kp, vp, block_tables, lengths0, starts, k_infl, v_infl, step,
-        scale,
+        scale, sliding_window=sliding_window,
     )
