@@ -25,14 +25,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run(batch: int = 4, decode_steps: int = 32, bits: int = 4,
-        group: int = 128, context: int = 1024) -> dict:
+        group: int = 128, context: int = 1024,
+        serving: bool = False) -> dict:
     """Build the Mistral-7B-shape quantized model and measure decode
     tokens/s/chip; returns the result dict (also used by bench.py as the
     driver's headline metric)."""
     import types
 
     args = types.SimpleNamespace(batch=batch, decode_steps=decode_steps,
-                                 bits=bits, group=group, context=context)
+                                 bits=bits, group=group, context=context,
+                                 serving=serving)
 
     import tinygpt_tpu
 
@@ -124,13 +126,77 @@ def run(batch: int = 4, decode_steps: int = 32, bits: int = 4,
         best = min(best, time.perf_counter() - t0)
 
     hot = nbytes - params["embed"].size * 2  # embed gather is traffic-free
-    return {
+    res = {
         "metric": f"decode_tokens_per_sec_mistral7b_int{args.bits}_b{B}",
         "value": round(B * N / best, 1),
         "unit": "tokens/s",
         "ms_per_step": round(best / N * 1e3, 2),
         "hot_gb_per_step": round(hot / 1e9, 2),
         "eff_gb_s": round(hot / 1e9 / (best / N), 0),
+    }
+    if getattr(args, "serving", False):
+        del cache
+        gc.collect()
+        res.update(serving_leg(cfg, params))
+    return res
+
+
+def serving_leg(cfg, params, n_requests: int = 8, prompt_len: int = 512,
+                max_new: int = 32) -> dict:
+    """TTFT p50 + throughput under continuous batching at the flagship
+    shape (BASELINE's serving metric), reusing the quantized params."""
+    import jax
+
+    from tinygpt_tpu.engine.scheduler import (
+        ContinuousBatcher,
+        Request,
+        SchedulerConfig,
+    )
+    from tinygpt_tpu.models import causal_lm
+
+    rng = np.random.default_rng(0)
+    attn = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    batcher = ContinuousBatcher(
+        causal_lm, cfg, params, eos_ids=set(),
+        config=SchedulerConfig(
+            batch_capacity=8, block_size=64, n_blocks=96,
+            max_blocks_per_seq=16, prefill_bucket=64, dtype="bfloat16",
+            attn_impl=attn, enable_prefix_cache=False,
+        ),
+    )
+    # warmup: compile admission + quantum
+    warm = [int(x) for x in rng.integers(2, cfg.vocab_size, prompt_len)]
+    batcher.add_request(Request(request_id=-1, prompt_ids=warm,
+                                max_new_tokens=max_new))
+    while batcher.has_work:
+        batcher.step()
+
+    submit = {}
+    first = {}
+    done = 0
+    t0 = time.perf_counter()
+    for i in range(n_requests):
+        p = [int(x) for x in rng.integers(2, cfg.vocab_size, prompt_len)]
+        batcher.add_request(Request(request_id=i, prompt_ids=p,
+                                    max_new_tokens=max_new))
+        submit[i] = time.perf_counter()
+    toks = 0
+    while batcher.has_work:
+        for ev in batcher.step():
+            if ev.token_id is not None:
+                toks += 1
+                if ev.request_id not in first:
+                    first[ev.request_id] = time.perf_counter()
+            if ev.finished:
+                done += 1
+    wall = time.perf_counter() - t0
+    ttfts = sorted(first[i] - submit[i] for i in first)
+    return {
+        "serving_ttft_p50_s": round(ttfts[len(ttfts) // 2], 3),
+        "serving_ttft_p95_s": round(ttfts[max(0, int(len(ttfts) * 0.95) - 1)], 3),
+        "serving_tok_s": round(toks / wall, 1),
+        "serving_requests": n_requests,
+        "serving_prompt_len": prompt_len,
     }
 
 
@@ -141,9 +207,12 @@ def main():
     ap.add_argument("--bits", type=int, default=4, choices=[4, 8])
     ap.add_argument("--group", type=int, default=128)
     ap.add_argument("--context", type=int, default=1024)
+    ap.add_argument("--serving", action="store_true",
+                    help="also measure TTFT/throughput under continuous "
+                         "batching at the flagship shape")
     args = ap.parse_args()
     print(json.dumps(run(args.batch, args.decode_steps, args.bits,
-                         args.group, args.context)))
+                         args.group, args.context, serving=args.serving)))
 
 
 if __name__ == "__main__":

@@ -118,7 +118,12 @@ def matmul_dequant_int8(
     OUT = data.shape[1]
     bm = min(bm, _round_up(M, 8))
     bk = _pick_bk(IN, group, bk)
-    bo = _pick_bo(OUT, IN // bk) if bo is None else min(bo, OUT)
+    # wide output tiles are a decode (small-bm) tuning; prefill-sized bm
+    # with bo=4096 blows the 16 MB VMEM scoped budget
+    if bo is None:
+        bo = _pick_bo(OUT, IN // bk, target=4096 if bm <= 32 else 1024)
+    else:
+        bo = min(bo, OUT)
     n_m, n_o, n_k = _cdiv(M, bm), _cdiv(OUT, bo), IN // bk
 
     rows = bk // group
@@ -218,7 +223,10 @@ def matmul_dequant_int4(
     # nibble planes and both scale planes tile cleanly.
     bm = min(bm, _round_up(M, 8))
     bk = _pick_bk(INP, group, bk)
-    bo = _pick_bo(OUT, INP // bk) if bo is None else min(bo, OUT)
+    if bo is None:  # see the bm<=32 note in matmul_dequant_int8
+        bo = _pick_bo(OUT, INP // bk, target=4096 if bm <= 32 else 1024)
+    else:
+        bo = min(bo, OUT)
     n_m, n_o, n_k = _cdiv(M, bm), _cdiv(OUT, bo), INP // bk
     half_groups = half // group
 
@@ -329,7 +337,10 @@ def matmul_dequant_int8_stacked(
     L, _, OUT = data.shape
     bm = min(bm, _round_up(M, 8))
     bk = _pick_bk(IN, group, bk)
-    bo = _pick_bo(OUT, IN // bk) if bo is None else min(bo, OUT)
+    if bo is None:  # see the bm<=32 note in matmul_dequant_int8
+        bo = _pick_bo(OUT, IN // bk, target=4096 if bm <= 32 else 1024)
+    else:
+        bo = min(bo, OUT)
     n_m, n_o, n_k = _cdiv(M, bm), _cdiv(OUT, bo), IN // bk
     rows = bk // group
     # scales are consumed in their NATIVE [L, IN/group, OUT] layout: block
@@ -422,7 +433,10 @@ def matmul_dequant_int4_stacked(
     assert INP == half, "packed rows must be in/2"
     bm = min(bm, _round_up(M, 8))
     bk = _pick_bk(INP, group, bk)
-    bo = _pick_bo(OUT, INP // bk) if bo is None else min(bo, OUT)
+    if bo is None:  # see the bm<=32 note in matmul_dequant_int8
+        bo = _pick_bo(OUT, INP // bk, target=4096 if bm <= 32 else 1024)
+    else:
+        bo = min(bo, OUT)
     n_m, n_o, n_k = _cdiv(M, bm), _cdiv(OUT, bo), INP // bk
     rows = bk // group
     # scales consumed in NATIVE [L, IN/group, OUT] layout: the lo plane's
@@ -588,7 +602,10 @@ def matmul_dequant_int4_stacked_fused(
     has_res = res is not None
     bm = min(bm, _round_up(M, 8))
     bk = _pick_bk(INP, group, bk)
-    bo = _pick_bo(OUT, INP // bk) if bo is None else min(bo, OUT)
+    if bo is None:  # see the bm<=32 note in matmul_dequant_int8
+        bo = _pick_bo(OUT, INP // bk, target=4096 if bm <= 32 else 1024)
+    else:
+        bo = min(bo, OUT)
     n_m, n_o, n_k = _cdiv(M, bm), _cdiv(OUT, bo), INP // bk
     rows = bk // group
 
