@@ -47,6 +47,11 @@ def main():
     ap.add_argument("--tp", type=int, default=0,
                     help="shard the batcher over a tp mesh of this size "
                          "(0 = single device)")
+    ap.add_argument("--speculative", action="store_true",
+                    help="n-gram speculative decode quanta (greedy rows)")
+    ap.add_argument("--repetitive", action="store_true",
+                    help="prompts repeat a short phrase (the n-gram "
+                         "speculative sweet spot: code/extraction-like)")
     args = ap.parse_args()
 
     import jax
@@ -88,6 +93,7 @@ def main():
             enable_prefix_cache=not args.no_prefix_cache,
             prefill_chunk_tokens=args.prefill_chunk,
             mesh_shape=(1, 1, args.tp) if args.tp else None,
+            speculative="ngram" if args.speculative else None,
         ),
     )
 
@@ -110,10 +116,15 @@ def main():
 
     t_start = time.perf_counter()
     for i in range(args.requests):
+        if args.repetitive:
+            phrase = [int(x) for x in rng.integers(2, cfg.vocab_size, 7)]
+            body = (phrase * (args.prompt_len // 7 + 1))[: args.prompt_len]
+        else:
+            body = [int(x) for x in
+                    rng.integers(2, cfg.vocab_size, args.prompt_len)]
         batcher.add_request(Request(
             request_id=i,
-            prompt_ids=shared + [int(x) for x in
-                        rng.integers(2, cfg.vocab_size, args.prompt_len)],
+            prompt_ids=shared + body,
             max_new_tokens=args.max_new,
         ))
         submit_t[i] = time.perf_counter()
@@ -144,6 +155,8 @@ def main():
         "max_new": args.max_new,
         "capacity": args.capacity,
         "quantum": args.quantum,
+        "speculative": bool(args.speculative),
+        "repetitive": bool(args.repetitive),
         "ttft_p50_s": round(float(np.percentile(ttft, 50)), 3),
         "ttft_p95_s": round(float(np.percentile(ttft, 95)), 3),
         "throughput_tok_s": round(total_tokens / wall, 1),

@@ -97,6 +97,47 @@ def test_paged_frozen_kernel_vs_xla_oracle():
                                    err_msg=f"layer {l}")
 
 
+def test_paged_spec_kernel_vs_xla_oracle():
+    """paged_decode_spec_tpu (S verify queries, prior-valid + own-round
+    causal in-flight masks, interpret mode) vs the XLA gather oracle."""
+    from tinygpt_tpu.ops.paged_attention import (
+        paged_decode_spec_tpu,
+        paged_decode_spec_xla,
+    )
+
+    rng = np.random.default_rng(7)
+    L, n_blocks, Nk, bs, D, B, MB, G, S, N = 2, 16, 2, 16, 64, 3, 4, 2, 3, 9
+    Nq = Nk * G
+    kp = (rng.standard_normal((L, n_blocks, Nk, bs, D)) * 0.3).astype(np.float32)
+    vp = (rng.standard_normal((L, n_blocks, Nk, bs, D)) * 0.3).astype(np.float32)
+    kp[:, 0] = 0.0
+    vp[:, 0] = 0.0
+    ki = (rng.standard_normal((B, Nk, N, D)) * 0.3).astype(np.float32)
+    vi = (rng.standard_normal((B, Nk, N, D)) * 0.3).astype(np.float32)
+    q = (rng.standard_normal((B, S, Nq, D)) * 0.3).astype(np.float32)
+    tables = np.array([[1, 2, 3, 0], [4, 5, 0, 0], [6, 0, 0, 0]], np.int32)
+    lengths0 = np.array([41, 20, 9], np.int32)
+    starts = np.array([0, 3, 1], np.int32)
+    # round 1 of S-slot rounds: prior accepted slots vary per row
+    valid = np.zeros((B, N), bool)
+    valid[0, :2] = True
+    valid[1, :3] = True
+    base = S  # own-round slots [S, 2S)
+    for l in range(L):
+        args = (jnp.asarray(q), jnp.asarray(kp), jnp.asarray(vp),
+                jnp.asarray(tables), jnp.asarray(lengths0),
+                jnp.asarray(starts), jnp.asarray(ki), jnp.asarray(vi),
+                jnp.asarray(valid), jnp.asarray(l, jnp.int32),
+                jnp.asarray(base, jnp.int32))
+        ref = paged_decode_spec_xla(
+            args[0], jnp.asarray(kp[l]), jnp.asarray(vp[l]), *args[3:9],
+            args[10], scale=D ** -0.5)
+        got = paged_decode_spec_tpu(*args, scale=D ** -0.5, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"layer {l}")
+
+
 def test_paged_kernel_sliding_window():
     rng = np.random.default_rng(1)
     n_blocks, Nk, bs, D, B, MB = 8, 1, 16, 64, 1, 3
@@ -239,6 +280,68 @@ def test_scheduler_matches_dense_greedy_sliding_window(llama):
                 f"request {i} step {step_idx}: {tok} vs {best}"
             )
             context.append(tok)
+
+
+def test_scheduler_speculative_matches_dense_greedy(llama):
+    """The speculative decode quantum (n-gram draft + verify in the
+    scheduler) must emit exactly the dense model's greedy choices —
+    speculative verification is exact for greedy; only near-tie
+    reduction-order flips between the differently-compiled programs are
+    tolerated. Prompts repeat a phrase so drafts actually get accepted."""
+    cfg, model, params = llama
+    rng = np.random.default_rng(41)
+    phrase = [int(x) for x in rng.integers(2, cfg.vocab_size, 6)]
+    prompts = [
+        phrase * 3 + [int(x) for x in rng.integers(2, cfg.vocab_size, 2)],
+        [int(x) for x in rng.integers(2, cfg.vocab_size, 9)],
+    ]
+    n_new = 8
+
+    def run(spec):
+        batcher = ContinuousBatcher(
+            model, cfg, params, eos_ids=set(),
+            config=SchedulerConfig(
+                batch_capacity=2, block_size=16, n_blocks=64,
+                max_blocks_per_seq=8, prefill_bucket=16, dtype="float32",
+                decode_quantum=8, speculative=spec, spec_draft_len=3,
+                spec_ngram=2,
+            ),
+        )
+        for i, p in enumerate(prompts):
+            batcher.add_request(Request(request_id=i, prompt_ids=p,
+                                        max_new_tokens=n_new))
+        got = {i: [] for i in range(len(prompts))}
+        _drain(batcher, got)
+        return got
+
+    got = run("ngram")
+    for i, p in enumerate(prompts):
+        assert len(got[i]) == n_new, got
+        context = list(p)
+        for step_idx, tok in enumerate(got[i]):
+            logits = _dense_logits(cfg, model, params, context)
+            best = int(logits.argmax())
+            assert tok == best or logits[best] - logits[tok] < 1e-3, (
+                f"request {i} step {step_idx}: {tok} vs dense argmax {best}"
+            )
+            context.append(tok)
+    # a sampling request must force the fallback quantum (no crash,
+    # tokens still produced)
+    batcher = ContinuousBatcher(
+        model, cfg, params, eos_ids=set(),
+        config=SchedulerConfig(
+            batch_capacity=2, block_size=16, n_blocks=64,
+            max_blocks_per_seq=8, prefill_bucket=16, dtype="float32",
+            speculative="ngram",
+        ),
+    )
+    batcher.add_request(Request(
+        request_id=0, prompt_ids=prompts[0], max_new_tokens=4,
+        sampler=SamplerConfig(temperature=0.8, top_k=5),
+    ))
+    got2 = {}
+    _drain(batcher, got2)
+    assert len(got2[0]) == 4
 
 
 def test_scheduler_eos_and_capacity(llama):

@@ -82,6 +82,17 @@ class SchedulerConfig:
     # GSPMD on the mesh. dp/sp must be 1 (row-parallel serving needs
     # per-row admission, future work); None = single device.
     mesh_shape: Optional[tuple] = None
+    # speculative decoding IN THE SCHEDULER: None | "ngram". When every
+    # running row is greedy (and the model has no sliding window), the
+    # decode quantum becomes R rounds of device-resident n-gram drafting
+    # + gamma+1-token verification per row — each row's throughput
+    # multiplies by (1 + its mean accepted drafts). Rows with sampling
+    # knobs make the batch fall back to the plain quantum.
+    speculative: Optional[str] = None
+    spec_draft_len: int = 4
+    spec_ngram: int = 3
+    # device context-buffer capacity for drafting (tokens per row)
+    spec_ctx: int = 2048
 
 
 @dataclass
@@ -227,6 +238,19 @@ class ContinuousBatcher:
             self._decode_fn = functools.partial(
                 _decode_quantum, forward_paged=self.model.forward_paged,
                 cfg=self.cfg, attn_impl=self.sc.attn_impl,
+            )
+        self._spec_fn = None
+        if (
+            sc.speculative == "ngram"
+            and hasattr(self.model, "decode_paged_spec_steps")
+            and model_config.sliding_window is None
+        ):
+            self._spec_fn = functools.partial(
+                _decode_quantum_spec,
+                decode_paged_spec_steps=self.model.decode_paged_spec_steps,
+                cfg=self.cfg, attn_impl=self.sc.attn_impl,
+                gamma=max(1, sc.spec_draft_len),
+                ngram=max(1, sc.spec_ngram),
             )
         self._prefill_fn = _jitted_forward(self.model.forward)
 
@@ -587,7 +611,87 @@ class ContinuousBatcher:
             safe[row] = min(n_steps, covered_until - length)
         return safe
 
+    def _spec_eligible(self) -> bool:
+        """Speculative quanta run only when EVERY live row is greedy
+        (n-gram verification is exact for greedy only)."""
+        if self._spec_fn is None or not self.running:
+            return False
+        rows = list(self.running.keys())
+        return bool(np.all(self._temps[rows] == 0.0))
+
+    def _decode_spec(self) -> List[TokenEvent]:
+        """Speculative decode quantum: R rounds x (gamma+1)-token verify
+        (causal_lm.decode_paged_spec_steps). Worst case a row writes
+        R*(gamma+1) slots; rows without that much owned storage emit up
+        to their safe count and finish by length, like the plain
+        quantum."""
+        events: List[TokenEvent] = []
+        sc = self.sc
+        gamma = max(1, sc.spec_draft_len)
+        S = gamma + 1
+        n_rounds = max(1, sc.decode_quantum // S)
+        worst = n_rounds * S
+        safe = self._ensure_blocks(worst)
+        for row, m in list(safe.items()):
+            if m <= 0:
+                req = self.running[row]
+                req.finished = True
+                req.finish_reason = "length"
+                events.append(TokenEvent(req.request_id, None, True,
+                                         "length"))
+                self.release(req)
+                safe.pop(row)
+        if not self.running:
+            return events
+        self._sync_state_meta()
+        # per-row draft context: prompt + generated (cur token last)
+        C = max(sc.spec_ctx, 2 * worst + sc.spec_ngram + 2)
+        ctx = np.zeros((sc.batch_capacity, C), np.int32)
+        clen = np.zeros(sc.batch_capacity, np.int32)
+        for row, req in self.running.items():
+            toks = (req.prompt_ids + req.generated)[-C:]
+            ctx[row, : len(toks)] = toks
+            clen[row] = len(toks)
+        packed, self.state = self._spec_fn(
+            self.params, self.state, self._put(self._tokens.copy()),
+            self._put(ctx), self._put(clen), n_rounds=n_rounds,
+        )
+        B = self.sc.batch_capacity
+        flat = np.asarray(packed)       # ONE download
+        n_tok = n_rounds * B * S
+        toks_h = flat[:n_tok].reshape(n_rounds, B, S)
+        counts_h = flat[n_tok : n_tok + n_rounds * B].reshape(n_rounds, B)
+        cur_h = flat[n_tok + n_rounds * B :]
+        for row, req in list(self.running.items()):
+            budget = safe.get(row, 0)
+            emitted = 0
+            for r in range(n_rounds):
+                if req.finished:
+                    break
+                for i in range(int(counts_h[r, row])):
+                    if req.finished:
+                        break
+                    if emitted >= budget:
+                        # device wrote past this row's owned blocks (the
+                        # scatter clamps to the null block); finish it
+                        req.finished = True
+                        req.finish_reason = "length"
+                        events.append(TokenEvent(req.request_id, None,
+                                                 True, "length"))
+                        self.release(req)
+                        break
+                    tok = int(toks_h[r, row, i])
+                    self._tokens[row] = tok
+                    events.extend(self._emit(req, tok))
+                    emitted += 1
+            if not req.finished:
+                self._lengths[row] += int(counts_h[:, row].sum())
+                self._tokens[row] = int(cur_h[row])
+        return events
+
     def _decode(self) -> List[TokenEvent]:
+        if self._spec_eligible():
+            return self._decode_spec()
         events: List[TokenEvent] = []
         n_steps = max(1, self.sc.decode_quantum)
         safe = self._ensure_blocks(n_steps)
@@ -606,11 +710,13 @@ class ContinuousBatcher:
         self._key, k = jax.random.split(self._key)
         # .copy(): these mirrors are mutated below while the dispatch may
         # still be in flight (see _sync_state_meta)
+        rows_live = list(self.running.keys())
+        all_greedy = bool(np.all(self._temps[rows_live] == 0.0))
         toks_seq, self.state = self._decode_fn(
             self.params, self.state, self._put(self._tokens.copy()),
             self._put(self._temps.copy()), self._put(self._topks.copy()),
             self._put(self._topps.copy()), self._put(self._minps.copy()),
-            self._put(k), n_steps=n_steps,
+            self._put(k), n_steps=n_steps, all_greedy=all_greedy,
         )
         was_active = self._active.copy()
         self._lengths[was_active] += n_steps
@@ -780,29 +886,60 @@ def _jitted_forward(forward_fn):
 @functools.partial(
     jax.jit,
     donate_argnums=(1,),
-    static_argnames=("decode_paged_steps", "cfg", "attn_impl", "n_steps"),
+    static_argnames=("decode_paged_spec_steps", "cfg", "attn_impl",
+                     "gamma", "ngram", "n_rounds"),
+)
+def _decode_quantum_spec(params, state, tokens, ctx, clen, *,
+                         decode_paged_spec_steps, cfg, attn_impl, gamma,
+                         ngram, n_rounds):
+    """Speculative decode quantum (greedy): R device-resident draft +
+    verify rounds (causal_lm.decode_paged_spec_steps). Outputs are
+    PACKED into one int32 array — on the tunneled TPU backend every
+    device->host fetch is a full round trip (~25 ms), so three separate
+    downloads would triple the per-dispatch overhead."""
+    toks, counts, cur, state = decode_paged_spec_steps(
+        params, cfg, tokens, state, ctx, clen, n_rounds, gamma, ngram,
+        attn_impl=attn_impl,
+    )
+    packed = jnp.concatenate(
+        [toks.reshape(-1), counts.reshape(-1), cur.reshape(-1)]
+    ).astype(jnp.int32)
+    return packed, state
+
+
+@functools.partial(
+    jax.jit,
+    donate_argnums=(1,),
+    static_argnames=("decode_paged_steps", "cfg", "attn_impl", "n_steps",
+                     "all_greedy"),
 )
 def _decode_quantum_frozen(params, state, tokens, temps, topks, topps,
                            minps, key, *, decode_paged_steps, cfg,
-                           attn_impl, n_steps):
+                           attn_impl, n_steps, all_greedy=False):
     """Frozen-pool decode quantum (causal_lm.decode_paged_steps): the
     pools stay loop invariants; the donated state aliases in place at the
-    final scatter."""
+    final scatter. all_greedy compiles the sampler down to argmax (the
+    full per-row sampler costs a [B, V] sort per step)."""
     keys = jax.random.split(key, n_steps)
+    if all_greedy:
+        sample_fn = lambda lg, k: jnp.argmax(lg, -1).astype(jnp.int32)
+    else:
+        sample_fn = lambda lg, k: sample_batched(lg, temps, topks, topps,
+                                                 minps, k)
     return decode_paged_steps(
-        params, cfg, tokens, state, keys,
-        lambda lg, k: sample_batched(lg, temps, topks, topps, minps, k),
-        attn_impl=attn_impl,
+        params, cfg, tokens, state, keys, sample_fn, attn_impl=attn_impl,
     )
 
 
 @functools.partial(
     jax.jit,
     donate_argnums=(1,),
-    static_argnames=("forward_paged", "cfg", "attn_impl", "n_steps"),
+    static_argnames=("forward_paged", "cfg", "attn_impl", "n_steps",
+                     "all_greedy"),
 )
 def _decode_quantum(params, state, tokens, temps, topks, topps, minps,
-                    key, *, forward_paged, cfg, attn_impl, n_steps):
+                    key, *, forward_paged, cfg, attn_impl, n_steps,
+                    all_greedy=False):
     """n_steps whole decode steps as one scanned program; returns tokens
     [n_steps, B] and the advanced state."""
 
@@ -810,7 +947,11 @@ def _decode_quantum(params, state, tokens, temps, topks, topps, minps,
         state, toks = carry
         logits, state = forward_paged(params, cfg, toks, state,
                                       attn_impl=attn_impl)
-        nxt = sample_batched(logits, temps, topks, topps, minps, key_step)
+        if all_greedy:
+            nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+        else:
+            nxt = sample_batched(logits, temps, topks, topps, minps,
+                                 key_step)
         return (state, nxt), nxt
 
     keys = jax.random.split(key, n_steps)

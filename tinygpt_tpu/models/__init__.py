@@ -32,7 +32,8 @@ def get_model(model_type: str):
     # frozen-chunk decode entry points (hasattr-gated by engine/scheduler;
     # omitting them here silently routed real model dirs onto the slow
     # stepwise paths — caught by an end-to-end drive)
-    for opt in ("decode_steps", "decode_paged_steps"):
+    for opt in ("decode_steps", "decode_paged_steps",
+                "decode_paged_spec_steps"):
         fn = getattr(mod, opt, None)
         if fn is not None:
             setattr(ns, opt, fn)

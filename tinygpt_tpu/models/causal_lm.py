@@ -706,6 +706,199 @@ def decode_paged_steps(
     return toks, new_state
 
 
+def decode_paged_spec_steps(
+    params: Dict,
+    cfg: ModelConfig,
+    tok0: jnp.ndarray,        # [B] current input token per row
+    state,                    # PagedKVState (frozen pools)
+    ctx_tokens: jnp.ndarray,  # [B, C] int32 — prompt+generated, cur last
+    ctx_lens: jnp.ndarray,    # [B] int32
+    n_rounds: int,
+    gamma: int,               # draft length; S = gamma + 1 verify positions
+    ngram: int,
+    attn_impl: str = "xla",
+):
+    """n_rounds of GREEDY n-gram speculative verification for the
+    continuous scheduler, fully device-resident: per-row prompt-lookup
+    drafting over the context buffer, a gamma+1-position verify forward
+    per round against the FROZEN pools (+ accepted in-flight slots), and
+    prefix acceptance — all in one scanned program. One scatter writes
+    every ACCEPTED slot to its (block, offset) at the end. A verify
+    forward reads the same weight bytes as one decode step, so each
+    row's throughput multiplies by (1 + its mean accepted drafts).
+
+    Returns (toks [R, B, S], counts [R, B] emitted per round, cur [B]
+    next input per row, advanced PagedKVState). Rows draft from their
+    OWN context; sliding windows unsupported (callers gate).
+    """
+    from tinygpt_tpu.ops.paged_attention import paged_decode_spec
+
+    assert cfg.sliding_window is None, "spec quantum: no sliding window"
+    B = tok0.shape[0]
+    C = ctx_tokens.shape[1]
+    S = gamma + 1
+    N = n_rounds * S
+    L = cfg.num_hidden_layers
+    D, Nq, Nk = cfg.head_dim, cfg.num_attention_heads, cfg.num_kv_heads
+    q_dim = Nq * D
+    bs = state.block_size
+    lengths0, starts = state.lengths, state.starts
+    tables, active = state.block_tables, state.active
+    act_i = active.astype(jnp.int32)
+    cos, sin = params["rope_cos"], params["rope_sin"]
+
+    quant = {k: v for k, v in params["layers"].items()
+             if isinstance(v, QuantizedTensor)}
+    rest = {k: v for k, v in params["layers"].items() if k not in quant}
+    ls = jnp.arange(L, dtype=jnp.int32)
+    infl_dt = jnp.bfloat16 if jnp.dtype(state.k_pool.dtype).itemsize < 2 \
+        else state.k_pool.dtype
+
+    iota_c = jnp.arange(C - ngram + 1, dtype=jnp.int32)[None, :]
+    iota_s = jnp.arange(S, dtype=jnp.int32)
+    rows_b = jnp.arange(B)
+
+    def draft_fn(ctx, clen, cur):
+        """Vectorized prompt-lookup: most recent earlier window matching
+        each row's final n-gram; rows without a match draft `cur`."""
+        idx = jnp.clip(clen[:, None] - ngram + jnp.arange(ngram)[None, :],
+                       0, C - 1)
+        tail = jnp.take_along_axis(ctx, idx, axis=1)  # [B, n]
+        match = jnp.ones((B, C - ngram + 1), bool)
+        for j in range(ngram):
+            match &= ctx[:, j : C - ngram + 1 + j] == tail[:, j : j + 1]
+        match &= iota_c <= (clen[:, None] - ngram - 1)
+        i_star = jnp.max(jnp.where(match, iota_c, -1), axis=1)  # [B]
+        found = i_star >= 0
+        p = i_star[:, None] + ngram + jnp.arange(gamma)[None, :]
+        avail = found[:, None] & (p < clen[:, None])
+        vals = jnp.take_along_axis(ctx, jnp.clip(p, 0, C - 1), axis=1)
+        return jnp.where(avail, vals, cur[:, None])  # [B, gamma]
+
+    def verify_forward(ids, positions, infl_k, infl_v, valid, r):
+        x = params["embed"][ids]  # [B, S, H]
+
+        def layer_fn(x, scanned):
+            lp, ik, iv, l = scanned
+
+            def mm(h, key):
+                if key in quant:
+                    return matmul_dequant_stacked(h, quant[key], l)
+                return matmul_any(h, lp[key])
+
+            h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
+            qkv = mm(h, "qkv_w")
+            if "qkv_b" in lp:
+                qkv = qkv + lp["qkv_b"]
+            q = qkv[..., :q_dim].reshape(B, S, Nq, D)
+            k = qkv[..., q_dim : q_dim + Nk * D].reshape(B, S, Nk, D)
+            v = qkv[..., q_dim + Nk * D :].reshape(B, S, Nk, D)
+            if cfg.qk_norm:
+                q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
+                k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
+            q, k = apply_rope(q, k, cos, sin, positions)
+            ik = jax.lax.dynamic_update_slice(
+                ik, k.transpose(0, 2, 1, 3).astype(ik.dtype),
+                (0, 0, r * S, 0),
+            )
+            iv = jax.lax.dynamic_update_slice(
+                iv, v.transpose(0, 2, 1, 3).astype(iv.dtype),
+                (0, 0, r * S, 0),
+            )
+            attn = paged_decode_spec(
+                q, state.k_pool, state.v_pool, tables, lengths0, starts,
+                ik, iv, valid, l, r * S, scale=D ** -0.5,
+                kernel=attn_impl,
+            )
+            x = x + mm(attn.reshape(B, S, q_dim), "o_w")
+            h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
+            gate_up = mm(h, "gate_up_w")
+            gate, up = jnp.split(gate_up, 2, axis=-1)
+            x = x + mm(
+                jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up,
+                "down_w",
+            )
+            return x, (ik, iv)
+
+        x, (infl_k, infl_v) = jax.lax.scan(
+            layer_fn, x, (rest, infl_k, infl_v, ls)
+        )
+        x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+        head = params["lm_head"]
+        if head is None:
+            logits = x @ params["embed"].T
+        else:
+            logits = matmul_any(x, head)
+        return logits.astype(jnp.float32), infl_k, infl_v
+
+    def round_fn(carry, r):
+        cur, infl_k, infl_v, valid, acc, ctx, clen = carry
+        draft = draft_fn(ctx, clen, cur)                    # [B, gamma]
+        ids = jnp.concatenate([cur[:, None], draft], axis=1)  # [B, S]
+        positions = (lengths0 - starts + acc)[:, None] + iota_s[None, :]
+        logits, infl_k, infl_v = verify_forward(
+            ids, positions, infl_k, infl_v, valid, r)
+        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, S]
+        m = jnp.sum(jnp.cumprod(
+            (preds[:, :gamma] == draft).astype(jnp.int32), axis=1), axis=1)
+        nxt = jnp.take_along_axis(
+            preds, jnp.clip(m, 0, gamma)[:, None], axis=1)[:, 0]
+        # accept this round's slots 0..m into the in-flight validity
+        pos_in = jnp.arange(N, dtype=jnp.int32)[None, :]
+        this_round = (pos_in >= r * S) & (pos_in < (r + 1) * S)
+        valid = valid | (this_round & (pos_in - r * S <= m[:, None]))
+        # append the emitted tokens (preds[:, :m+1]) to the context
+        idx2 = clen[:, None] + iota_s[None, :]
+        old = jnp.take_along_axis(ctx, jnp.clip(idx2, 0, C - 1), axis=1)
+        newv = jnp.where(
+            (iota_s[None, :] <= m[:, None]) & (idx2 < C), preds, old)
+        ctx = ctx.at[rows_b[:, None], jnp.clip(idx2, 0, C - 1)].set(newv)
+        emitted = (m + 1) * act_i
+        carry = (nxt, infl_k, infl_v, valid, acc + emitted, ctx,
+                 clen + emitted)
+        return carry, (preds, m + 1)
+
+    infl_k0 = jnp.zeros((L, B, Nk, N, D), infl_dt)
+    infl_v0 = jnp.zeros_like(infl_k0)
+    valid0 = jnp.zeros((B, N), bool)
+    carry0 = (tok0.astype(jnp.int32), infl_k0, infl_v0, valid0,
+              jnp.zeros((B,), jnp.int32), ctx_tokens,
+              ctx_lens.astype(jnp.int32))
+    (cur, infl_k, infl_v, valid, acc, _, _), (toks, counts) = jax.lax.scan(
+        round_fn, carry0, jnp.arange(n_rounds, dtype=jnp.int32)
+    )
+    # counts from ys are raw m+1 (pre active-mask); recompute emitted
+    counts = counts * act_i[None, :]
+
+    # scatter accepted slots: round r slot i -> pool slot
+    # lengths0 + A_r + i, where A_r = accepted+1 emitted before round r
+    A = jnp.concatenate(
+        [jnp.zeros((1, B), jnp.int32), jnp.cumsum(counts, axis=0)[:-1]],
+        axis=0,
+    )  # [R, B]
+    slot = (lengths0[None, None, :] + A[:, None, :]
+            + iota_s[None, :, None])                        # [R, S, B]
+    keep = (iota_s[None, :, None] < counts[:, None, :]) & active[None, None, :]
+    blk = tables[rows_b[None, None, :], jnp.clip(slot // bs, 0,
+                                                 tables.shape[1] - 1)]
+    blk = jnp.where(keep, blk, 0)
+    off = slot % bs
+    blkf, offf = blk.reshape(-1), off.reshape(-1)
+    # infl slots are (r, i) -> r*S + i; vals laid out [R, S, B] to match
+    vals_k = infl_k.reshape(L, B, Nk, n_rounds, S, D).transpose(
+        3, 4, 1, 0, 2, 5).reshape(n_rounds * S * B, L, Nk, D)
+    vals_v = infl_v.reshape(L, B, Nk, n_rounds, S, D).transpose(
+        3, 4, 1, 0, 2, 5).reshape(n_rounds * S * B, L, Nk, D)
+    k_pool = state.k_pool.at[:, blkf, :, offf, :].set(
+        vals_k.astype(state.k_pool.dtype), mode="drop")
+    v_pool = state.v_pool.at[:, blkf, :, offf, :].set(
+        vals_v.astype(state.v_pool.dtype), mode="drop")
+    new_state = state._replace(
+        k_pool=k_pool, v_pool=v_pool, lengths=lengths0 + acc,
+    )
+    return toks, counts, cur, new_state
+
+
 def forward_paged(
     params: Dict,
     cfg: ModelConfig,

@@ -424,6 +424,244 @@ def paged_decode_frozen_tpu(
     return out.reshape(B, Nq, D)
 
 
+# -- frozen-pool SPEC-VERIFY attention (S query positions) ------------------
+#
+# Speculative verification runs S = draft_len + 1 query positions per row
+# in one forward. Queries attend the frozen pool (all slots predate the
+# quantum), PRIOR rounds' accepted in-flight slots (given by a validity
+# byte per slot), and their OWN round's slots causally (slot base + j
+# visible to query s iff j <= s).
+
+
+def paged_decode_spec_xla(
+    q: jnp.ndarray,            # [B, S, Nq, D]
+    k_pool: jnp.ndarray,       # [n_blocks, Nk, bs, D] (single layer)
+    v_pool: jnp.ndarray,
+    block_tables: jnp.ndarray,  # [B, MB]
+    lengths0: jnp.ndarray,      # [B]
+    starts: jnp.ndarray,        # [B]
+    k_infl: jnp.ndarray,        # [B, Nk, N, D]
+    v_infl: jnp.ndarray,
+    infl_valid: jnp.ndarray,    # [B, N] bool — prior rounds' ACCEPTED slots
+    base: jnp.ndarray,          # scalar int32 — own round's first slot
+    scale: float,
+) -> jnp.ndarray:
+    k = paged_gather_dense(k_pool, block_tables)
+    v = paged_gather_dense(v_pool, block_tables)
+    B, Nk, T, D = k.shape
+    S = q.shape[1]
+    N = k_infl.shape[2]
+    Nq = q.shape[2]
+    G = Nq // Nk
+
+    qg = q.reshape(B, S, Nk, G, D).astype(jnp.float32)
+    sf = jnp.einsum("bskgd,bktd->bkgst", qg, k.astype(jnp.float32)) * scale
+    si = jnp.einsum("bskgd,bkjd->bkgsj", qg,
+                    k_infl.astype(jnp.float32)) * scale
+    t_idx = jnp.arange(T, dtype=jnp.int32)[None, :]
+    mask_f = (t_idx < lengths0[:, None]) & (t_idx >= starts[:, None])
+    j = jnp.arange(N, dtype=jnp.int32)[None, None, :]          # [1, 1, N]
+    s_idx = jnp.arange(S, dtype=jnp.int32)[None, :, None]      # [1, S, 1]
+    own = (j >= base) & (j <= base + s_idx)                    # [1, S, N]
+    mask_i = infl_valid[:, None, :] | own                      # [B, S, N]
+    sf = jnp.where(mask_f[:, None, None, None, :], sf, NEG_INF)
+    si = jnp.where(mask_i[:, None, None, :, :], si, NEG_INF)
+    s_all = jnp.concatenate([sf, si], axis=-1)
+    probs = jax.nn.softmax(s_all, axis=-1)
+    out = jnp.einsum("bkgst,bktd->bskgd", probs[..., :T],
+                     v.astype(jnp.float32))
+    out = out + jnp.einsum("bkgsj,bkjd->bskgd", probs[..., T:],
+                           v_infl.astype(jnp.float32))
+    return out.reshape(B, S, Nq, D).astype(q.dtype)
+
+
+def _paged_spec_kernel(
+    tables_ref,   # scalar prefetch: [B, MB] int32
+    lengths_ref,  # scalar prefetch: [B] int32
+    starts_ref,   # scalar prefetch: [B] int32
+    lb_ref,       # scalar prefetch: [2] int32 (layer, own-round base)
+    q_ref,        # [1, Nk, S*G, D] (rows s-major within head)
+    k_ref,        # [1, 1, Nk, bs, D]
+    v_ref,        # [1, 1, Nk, bs, D]
+    ik_ref,       # [1, Nk, N, D]
+    iv_ref,       # [1, Nk, N, D]
+    valid_ref,    # [1, 1, N] int8 — prior accepted in-flight slots
+    o_ref,        # [1, Nk, S*G, D]
+    m_scr, l_scr, acc_scr,
+    *,
+    scale: float,
+    n_blk: int,
+    n_kv: int,
+    bs: int,
+    n_g: int,     # G = Nq // Nk (rows per query position)
+):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    SG = q_ref.shape[2]
+    R = n_kv * SG
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    length = lengths_ref[b]
+    start = starts_ref[b]
+    block_live = (j * bs < length) & ((j + 1) * bs > start)
+
+    def dots(x_rows, kv_ref, idx, contract):
+        outs = []
+        for h in range(n_kv):
+            outs.append(jax.lax.dot_general(
+                x_rows[h * SG : (h + 1) * SG],
+                kv_ref[idx + (h,)].astype(jnp.float32),
+                ((contract, ((), ()))),
+                preferred_element_type=jnp.float32,
+            ))
+        return jnp.concatenate(outs, axis=0)
+
+    q = q_ref[0].astype(jnp.float32).reshape(R, q_ref.shape[3])
+
+    @pl.when(block_live)
+    def _():
+        s = dots(q, k_ref, (0, 0), ((1,), (1,))) * scale  # [R, bs]
+        t = j * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
+        mask = (t < length) & (t >= start)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scr[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_scr[:] = jnp.broadcast_to(
+            l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True),
+            l_scr.shape,
+        )
+        acc_scr[:] = acc_scr[:] * alpha + dots(p, v_ref, (0, 0),
+                                               ((1,), (0,)))
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+
+    @pl.when(j == n_blk - 1)
+    def _():
+        base = lb_ref[1]
+        N = ik_ref.shape[2]
+        si = dots(q, ik_ref, (0,), ((1,), (1,))) * scale  # [R, N]
+        # row r of the stacked scores is query position s = (r % SG) // G
+        row = jax.lax.broadcasted_iota(jnp.int32, (R, N), 0)
+        s_pos = (row % SG) // n_g
+        ji = jax.lax.broadcasted_iota(jnp.int32, (R, N), 1)
+        own = (ji >= base) & (ji <= base + s_pos)
+        prior = valid_ref[0, 0][None, :] != 0
+        si = jnp.where(prior | own, si, NEG_INF)
+
+        m_prev = m_scr[:, :1]
+        m2 = jnp.maximum(m_prev, jnp.max(si, axis=1, keepdims=True))
+        pi = jnp.exp(si - m2)
+        alpha2 = jnp.exp(m_prev - m2)
+        l2 = l_scr[:, :1] * alpha2 + jnp.sum(pi, axis=1, keepdims=True)
+        acc2 = acc_scr[:] * alpha2 + dots(pi, iv_ref, (0,), ((1,), (0,)))
+        safe_l = jnp.where(l2 == 0.0, 1.0, l2)
+        o_ref[0] = (acc2 / safe_l).reshape(o_ref.shape[1:]).astype(
+            o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def paged_decode_spec_tpu(
+    q: jnp.ndarray,            # [B, S, Nq, D]
+    k_pools: jnp.ndarray,      # [L, n_blocks, Nk, bs, D] STACKED
+    v_pools: jnp.ndarray,
+    block_tables: jnp.ndarray,
+    lengths0: jnp.ndarray,
+    starts: jnp.ndarray,
+    k_infl: jnp.ndarray,       # [B, Nk, N, D]
+    v_infl: jnp.ndarray,
+    infl_valid: jnp.ndarray,   # [B, N] bool
+    l: jnp.ndarray,
+    base: jnp.ndarray,
+    scale: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, S, Nq, D = q.shape
+    L, n_blocks, Nk, bs, _ = k_pools.shape
+    MB = block_tables.shape[1]
+    N = k_infl.shape[2]
+    G = Nq // Nk
+    # rows s-major within each head: [B, Nk, S*G, D]
+    q4 = q.reshape(B, S, Nk, G, D).transpose(0, 2, 1, 3, 4).reshape(
+        B, Nk, S * G, D)
+    valid8 = infl_valid.astype(jnp.int8).reshape(B, 1, N)
+    lb = jnp.stack([jnp.asarray(l, jnp.int32),
+                    jnp.asarray(base, jnp.int32)])
+
+    def table_lookup(b, j, tables, lengths, starts, lb):
+        idx = tables[b, j]
+        return (lb[0], jnp.where(j * bs < lengths[b], idx, 0), 0, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(B, MB),
+        in_specs=[
+            pl.BlockSpec((1, Nk, S * G, D), lambda b, j, *_: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Nk, bs, D), table_lookup,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Nk, bs, D), table_lookup,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nk, N, D), lambda b, j, *_: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nk, N, D), lambda b, j, *_: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda b, j, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, Nk, S * G, D), lambda b, j, *_: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Nk * S * G, 128), jnp.float32),
+            pltpu.VMEM((Nk * S * G, 128), jnp.float32),
+            pltpu.VMEM((Nk * S * G, D), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _paged_spec_kernel, scale=scale, n_blk=MB, n_kv=Nk, bs=bs, n_g=G,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Nk, S * G, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * S * Nq * (MB * bs + N) * D,
+            bytes_accessed=2 * B * MB * bs * D * Nk * 2,
+            transcendentals=B * S * Nq * (MB * bs + N),
+        ),
+        interpret=interpret,
+    )(block_tables, lengths0, starts, lb, q4, k_pools, v_pools,
+      k_infl, v_infl, valid8)
+    # rows back to [B, S, Nq, D]
+    return out.reshape(B, Nk, S, G, D).transpose(0, 2, 1, 3, 4).reshape(
+        B, S, Nq, D)
+
+
+def paged_decode_spec(
+    q, k_pools, v_pools, block_tables, lengths0, starts, k_infl, v_infl,
+    infl_valid, l, base, scale, kernel: str = "xla",
+) -> jnp.ndarray:
+    if kernel == "pallas":
+        return paged_decode_spec_tpu(
+            q, k_pools, v_pools, block_tables, lengths0, starts,
+            k_infl, v_infl, infl_valid, l, base, scale,
+        )
+    kp = jax.lax.dynamic_index_in_dim(k_pools, l, 0, keepdims=False)
+    vp = jax.lax.dynamic_index_in_dim(v_pools, l, 0, keepdims=False)
+    return paged_decode_spec_xla(
+        q, kp, vp, block_tables, lengths0, starts, k_infl, v_infl,
+        infl_valid, base, scale,
+    )
+
+
 def paged_decode_frozen(
     q, k_pools, v_pools, block_tables, lengths0, starts, k_infl, v_infl,
     l, step, scale, sliding_window=None, kernel: str = "xla",

@@ -86,27 +86,35 @@ def sample_batched(
     t = jnp.where(temperature <= 0, 1.0, temperature)[:, None]
     scaled = logits / t
 
-    sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]  # desc
-    ranks = jnp.argsort(
-        jnp.argsort(scaled, axis=-1)[:, ::-1], axis=-1
-    )  # rank of each vocab entry in the descending order
+    # ONE descending sort; every knob reduces to a VALUE threshold on it
+    # (same tie semantics as the single-config apply_top_k/apply_top_p).
+    # The previous rank-based formulation used two extra argsorts plus a
+    # [B, V] gather — profiled at >10 ms/step at a 128k vocab, >half the
+    # whole serving decode step.
+    sorted_desc = jnp.sort(scaled, axis=-1)[:, ::-1]
 
-    # top-k: mask entries ranked >= k (k == 0 disables)
-    k_eff = jnp.where(top_k <= 0, V, top_k)[:, None]
-    keep = ranks < k_eff
+    # top-k threshold: the k-th largest value (k == 0 disables)
+    k_eff = jnp.clip(jnp.where(top_k <= 0, V, top_k), 1, V)
+    kth_k = jnp.take_along_axis(
+        sorted_desc, (k_eff - 1)[:, None].astype(jnp.int32), axis=-1
+    )
 
-    # top-p over the sorted distribution, always keeping rank 0
-    probs_sorted = jax.nn.softmax(sorted_logits, axis=-1)
+    # top-p threshold: smallest logit whose preceding cumulative mass is
+    # still below p (rank 0 always kept)
+    probs_sorted = jax.nn.softmax(sorted_desc, axis=-1)
     cum = jnp.cumsum(probs_sorted, axis=-1)
     keep_sorted = (cum - probs_sorted) < top_p[:, None]
     keep_sorted = keep_sorted.at[:, 0].set(True)
-    keep &= jnp.take_along_axis(keep_sorted, ranks, axis=-1)
+    kth_p = jnp.min(
+        jnp.where(keep_sorted, sorted_desc, jnp.inf), axis=-1,
+        keepdims=True,
+    )
 
-    # min-p
+    # min-p threshold in probability space
     probs = jax.nn.softmax(scaled, axis=-1)
-    threshold = jnp.max(probs, axis=-1, keepdims=True) * min_p[:, None]
-    keep &= probs >= threshold
+    thr_min = jnp.max(probs, axis=-1, keepdims=True) * min_p[:, None]
 
+    keep = (scaled >= kth_k) & (scaled >= kth_p) & (probs >= thr_min)
     masked = jnp.where(keep, scaled, NEG_INF)
     sampled = jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
     return jnp.where(temperature <= 0, greedy_tok, sampled)

@@ -48,6 +48,7 @@ class ServerConfig:
     quantization: Optional[str] = None  # None | "int8" | "int4"
     quant_group_size: int = 128
     mesh_shape: Optional[tuple] = None  # (dp, sp, tp) device mesh
+    speculative: bool = False  # n-gram spec decode quanta (greedy rows)
     # "continuous" = paged continuous batching; "sequential" = the
     # reference's one-request-at-a-time worker
     scheduler: str = "continuous"
@@ -100,6 +101,7 @@ class TinyGPTServer:
                     # --mesh with the continuous scheduler shards the
                     # batcher's programs/pools too (tp serving)
                     mesh_shape=cfg.mesh_shape,
+                    speculative="ngram" if cfg.speculative else None,
                 ),
             )
         else:
@@ -347,6 +349,10 @@ def main(argv=None) -> None:
     ap.add_argument("--kv-n-blocks", type=int, default=1024)
     ap.add_argument("--prefill-chunk", type=int, default=0,
                     help="chunked prefill: max prompt tokens per step")
+    ap.add_argument("--speculative", action="store_true",
+                    help="n-gram speculative decode quanta when every "
+                         "live request is greedy (repetitive-text "
+                         "workloads; see SchedulerConfig.speculative)")
     args = ap.parse_args(argv)
 
     if os.environ.get("JAX_PLATFORMS"):
@@ -372,6 +378,7 @@ def main(argv=None) -> None:
         chat_template_file=args.chat_template_file,
         web_dir=args.web_dir,
         quantization=args.quantization,
+        speculative=args.speculative,
         quant_group_size=args.quant_group_size,
         mesh_shape=(tuple(int(x) for x in args.mesh.split(","))
                     if args.mesh else None),
