@@ -32,7 +32,7 @@ def main():
     ap.add_argument("--prompt-len", type=int, default=64)
     ap.add_argument("--max-new", type=int, default=64)
     ap.add_argument("--capacity", type=int, default=8)
-    ap.add_argument("--quantum", type=int, default=4)
+    ap.add_argument("--quantum", type=int, default=8)
     ap.add_argument("--layers", type=int, default=16)
     ap.add_argument("--hidden", type=int, default=2048)
     ap.add_argument("--vocab", type=int, default=128256)
