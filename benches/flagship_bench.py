@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def run(batch: int = 4, decode_steps: int = 32, bits: int = 4,
         group: int = 128, context: int = 1024,
-        serving: bool = False) -> dict:
+        serving: bool = False, kv_dtype: str = "bf16") -> dict:
     """Build the Mistral-7B-shape quantized model and measure decode
     tokens/s/chip; returns the result dict (also used by bench.py as the
     driver's headline metric)."""
@@ -98,7 +98,9 @@ def run(batch: int = 4, decode_steps: int = 32, bits: int = 4,
           f"{nbytes/1e9:.2f} GB resident", file=sys.stderr)
 
     B, N = args.batch, args.decode_steps
-    cache = create_kv_cache(cfg, B, args.context, dtype=jnp.bfloat16)
+    kv_dt = jnp.float8_e4m3fn if kv_dtype in ("fp8", "e4m3") \
+        else jnp.bfloat16
+    cache = create_kv_cache(cfg, B, args.context, dtype=kv_dt)
 
     @functools.partial(jax.jit, donate_argnums=(2,))
     def decode_n(p, tok, c, pos0):
@@ -127,7 +129,8 @@ def run(batch: int = 4, decode_steps: int = 32, bits: int = 4,
 
     hot = nbytes - params["embed"].size * 2  # embed gather is traffic-free
     res = {
-        "metric": f"decode_tokens_per_sec_mistral7b_int{args.bits}_b{B}",
+        "metric": f"decode_tokens_per_sec_mistral7b_int{args.bits}_b{B}"
+                  + ("_fp8kv" if kv_dtype in ("fp8", "e4m3") else ""),
         "value": round(B * N / best, 1),
         "unit": "tokens/s",
         "ms_per_step": round(best / N * 1e3, 2),
@@ -210,9 +213,11 @@ def main():
     ap.add_argument("--serving", action="store_true",
                     help="also measure TTFT/throughput under continuous "
                          "batching at the flagship shape")
+    ap.add_argument("--kv-dtype", default="bf16", choices=["bf16", "fp8"])
     args = ap.parse_args()
     print(json.dumps(run(args.batch, args.decode_steps, args.bits,
-                         args.group, args.context, serving=args.serving)))
+                         args.group, args.context, serving=args.serving,
+                         kv_dtype=args.kv_dtype)))
 
 
 if __name__ == "__main__":
