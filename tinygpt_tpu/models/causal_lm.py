@@ -612,7 +612,7 @@ def decode_paged_steps(
     infl_k0 = jnp.zeros((L, B, Nk, n_steps, D), infl_dt)
     infl_v0 = jnp.zeros((L, B, Nk, n_steps, D), infl_dt)
 
-    def one_step(tok, infl_k, infl_v, step):
+    def one_step(tok, infl_k, infl_v, step, kp, vp):
         lengths_t = lengths0 + step * act_i
         positions = (lengths_t - starts)[:, None]  # [B, 1] logical
         x = params["embed"][tok[:, None]]
@@ -645,7 +645,7 @@ def decode_paged_steps(
                 (0, 0, step, 0),
             )
             attn = paged_decode_frozen(
-                q[:, 0], state.k_pool, state.v_pool, tables, lengths0,
+                q[:, 0], kp, vp, tables, lengths0,
                 starts, ik, iv, l, step, scale=D ** -0.5,
                 sliding_window=cfg.sliding_window, kernel=attn_impl,
             )
@@ -670,15 +670,22 @@ def decode_paged_steps(
             logits = matmul_any(x[:, 0], head)
         return logits.astype(jnp.float32), infl_k, infl_v
 
+    # the pools ride through the scan as UNCHANGED carry: consumed only
+    # by the loop and then by the final scatter, one linear ownership
+    # chain XLA can alias end-to-end. Leaving them outside the scan gives
+    # them two consumers (loop + scatter) and XLA materializes full-pool
+    # copies around the loop (profiled: 2x1.56 ms before + 4 after).
     def body(carry, key_step):
-        tok, infl_k, infl_v, step = carry
-        logits, infl_k, infl_v = one_step(tok, infl_k, infl_v, step)
+        tok, infl_k, infl_v, kp, vp, step = carry
+        logits, infl_k, infl_v = one_step(tok, infl_k, infl_v, step,
+                                          kp, vp)
         nxt = sample_fn(logits, key_step).astype(jnp.int32)
-        return (nxt, infl_k, infl_v, step + 1), nxt
+        return (nxt, infl_k, infl_v, kp, vp, step + 1), nxt
 
-    (tok, infl_k, infl_v, _), toks = jax.lax.scan(
+    (tok, infl_k, infl_v, kp_out, vp_out, _), toks = jax.lax.scan(
         body, (tok0.astype(jnp.int32), infl_k0, infl_v0,
-               jnp.asarray(0, jnp.int32)), keys
+               state.k_pool, state.v_pool, jnp.asarray(0, jnp.int32)),
+        keys
     )
 
     # scatter the quantum's K/V into their (block, offset) slots: step t's
@@ -697,8 +704,8 @@ def decode_paged_steps(
         n_steps * B, L, Nk, D).astype(state.k_pool.dtype)
     vals_v = infl_v.transpose(3, 1, 0, 2, 4).reshape(
         n_steps * B, L, Nk, D).astype(state.v_pool.dtype)
-    k_pool = state.k_pool.at[:, blkf, :, offf, :].set(vals_k, mode="drop")
-    v_pool = state.v_pool.at[:, blkf, :, offf, :].set(vals_v, mode="drop")
+    k_pool = kp_out.at[:, blkf, :, offf, :].set(vals_k, mode="drop")
+    v_pool = vp_out.at[:, blkf, :, offf, :].set(vals_v, mode="drop")
     new_state = state._replace(
         k_pool=k_pool, v_pool=v_pool,
         lengths=lengths0 + n_steps * act_i,
@@ -775,7 +782,7 @@ def decode_paged_spec_steps(
         vals = jnp.take_along_axis(ctx, jnp.clip(p, 0, C - 1), axis=1)
         return jnp.where(avail, vals, cur[:, None])  # [B, gamma]
 
-    def verify_forward(ids, positions, infl_k, infl_v, valid, r):
+    def verify_forward(ids, positions, infl_k, infl_v, valid, r, kp, vp):
         x = params["embed"][ids]  # [B, S, H]
 
         def layer_fn(x, scanned):
@@ -806,7 +813,7 @@ def decode_paged_spec_steps(
                 (0, 0, r * S, 0),
             )
             attn = paged_decode_spec(
-                q, state.k_pool, state.v_pool, tables, lengths0, starts,
+                q, kp, vp, tables, lengths0, starts,
                 ik, iv, valid, l, r * S, scale=D ** -0.5,
                 kernel=attn_impl,
             )
@@ -832,12 +839,12 @@ def decode_paged_spec_steps(
         return logits.astype(jnp.float32), infl_k, infl_v
 
     def round_fn(carry, r):
-        cur, infl_k, infl_v, valid, acc, ctx, clen = carry
+        cur, infl_k, infl_v, valid, acc, ctx, clen, kp, vp = carry
         draft = draft_fn(ctx, clen, cur)                    # [B, gamma]
         ids = jnp.concatenate([cur[:, None], draft], axis=1)  # [B, S]
         positions = (lengths0 - starts + acc)[:, None] + iota_s[None, :]
         logits, infl_k, infl_v = verify_forward(
-            ids, positions, infl_k, infl_v, valid, r)
+            ids, positions, infl_k, infl_v, valid, r, kp, vp)
         preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, S]
         m = jnp.sum(jnp.cumprod(
             (preds[:, :gamma] == draft).astype(jnp.int32), axis=1), axis=1)
@@ -855,18 +862,21 @@ def decode_paged_spec_steps(
         ctx = ctx.at[rows_b[:, None], jnp.clip(idx2, 0, C - 1)].set(newv)
         emitted = (m + 1) * act_i
         carry = (nxt, infl_k, infl_v, valid, acc + emitted, ctx,
-                 clen + emitted)
+                 clen + emitted, kp, vp)
         return carry, (preds, m + 1)
 
     infl_k0 = jnp.zeros((L, B, Nk, N, D), infl_dt)
     infl_v0 = jnp.zeros_like(infl_k0)
     valid0 = jnp.zeros((B, N), bool)
+    # pools ride through the scan as UNCHANGED carry (single ownership
+    # chain -> XLA aliases loop + final scatter; see decode_paged_steps)
     carry0 = (tok0.astype(jnp.int32), infl_k0, infl_v0, valid0,
               jnp.zeros((B,), jnp.int32), ctx_tokens,
-              ctx_lens.astype(jnp.int32))
-    (cur, infl_k, infl_v, valid, acc, _, _), (toks, counts) = jax.lax.scan(
-        round_fn, carry0, jnp.arange(n_rounds, dtype=jnp.int32)
-    )
+              ctx_lens.astype(jnp.int32), state.k_pool, state.v_pool)
+    (cur, infl_k, infl_v, valid, acc, _, _, kp_out, vp_out), \
+        (toks, counts) = jax.lax.scan(
+            round_fn, carry0, jnp.arange(n_rounds, dtype=jnp.int32)
+        )
     # counts from ys are raw m+1 (pre active-mask); recompute emitted
     counts = counts * act_i[None, :]
 
@@ -889,9 +899,9 @@ def decode_paged_spec_steps(
         3, 4, 1, 0, 2, 5).reshape(n_rounds * S * B, L, Nk, D)
     vals_v = infl_v.reshape(L, B, Nk, n_rounds, S, D).transpose(
         3, 4, 1, 0, 2, 5).reshape(n_rounds * S * B, L, Nk, D)
-    k_pool = state.k_pool.at[:, blkf, :, offf, :].set(
+    k_pool = kp_out.at[:, blkf, :, offf, :].set(
         vals_k.astype(state.k_pool.dtype), mode="drop")
-    v_pool = state.v_pool.at[:, blkf, :, offf, :].set(
+    v_pool = vp_out.at[:, blkf, :, offf, :].set(
         vals_v.astype(state.v_pool.dtype), mode="drop")
     new_state = state._replace(
         k_pool=k_pool, v_pool=v_pool, lengths=lengths0 + acc,
