@@ -282,6 +282,34 @@ def test_scheduler_matches_dense_greedy_sliding_window(llama):
             context.append(tok)
 
 
+def test_scheduler_pipelined_matches_unpipelined(llama):
+    """Quantum pipelining (issue k+1 before syncing k) only changes
+    latency: the token streams must equal the unpipelined scheduler's,
+    including under EOS finishes and mixed-length prompts."""
+    cfg, model, params = llama
+    rng = np.random.default_rng(47)
+    prompts = [list(int(x) for x in rng.integers(2, cfg.vocab_size, n))
+               for n in (5, 12, 3)]
+
+    def run(pipeline):
+        batcher = ContinuousBatcher(
+            model, cfg, params, eos_ids={7},
+            config=SchedulerConfig(
+                batch_capacity=2, block_size=16, n_blocks=64,
+                max_blocks_per_seq=8, prefill_bucket=16, dtype="float32",
+                decode_quantum=3, pipeline_quanta=pipeline,
+            ),
+        )
+        for i, p in enumerate(prompts):
+            batcher.add_request(Request(request_id=i, prompt_ids=p,
+                                        max_new_tokens=7))
+        got = {}
+        _drain(batcher, got)
+        return got
+
+    assert run(True) == run(False)
+
+
 def test_scheduler_speculative_matches_dense_greedy(llama):
     """The speculative decode quantum (n-gram draft + verify in the
     scheduler) must emit exactly the dense model's greedy choices —

@@ -93,6 +93,12 @@ class SchedulerConfig:
     spec_ngram: int = 3
     # device context-buffer capacity for drafting (tokens per row)
     spec_ctx: int = 2048
+    # pipeline decode quanta: issue quantum k+1 (chaining the last token
+    # device-to-device) BEFORE syncing quantum k's tokens to the host, so
+    # the ~25 ms dispatch round trip overlaps device execution. EOS is
+    # noticed one quantum late (surplus tokens discarded, same as
+    # mid-quantum finishes); admissions drain the pipeline first.
+    pipeline_quanta: bool = True
 
 
 @dataclass
@@ -207,6 +213,10 @@ class ContinuousBatcher:
         self._admitting: Optional[Request] = None  # chunked prefill
         self.running: Dict[int, Request] = {}  # row -> Request
         self.free_rows = list(range(sc.batch_capacity - 1, -1, -1))
+        # pipelined decode: the issued-but-unsynced quantum and the
+        # device-resident chained input tokens for the next one
+        self._inflight = None
+        self._tokens_dev = None
         self._key = jax.random.PRNGKey(sc.seed)
         # host mirrors of device state
         self._tables = np.zeros((sc.batch_capacity, sc.max_blocks_per_seq),
@@ -273,7 +283,8 @@ class ContinuousBatcher:
     @property
     def has_work(self) -> bool:
         return bool(self.waiting or self.running
-                    or self._admitting is not None)
+                    or self._admitting is not None
+                    or self._inflight is not None)
 
     @property
     def n_running(self) -> int:
@@ -282,6 +293,11 @@ class ContinuousBatcher:
     def step(self) -> List[TokenEvent]:
         """Admit (prefill — whole or one chunk) if possible, then decode."""
         events: List[TokenEvent] = []
+        if (self._admitting is not None or self.waiting
+                or not self.running):
+            # admissions (and idle wrap-up) need host state in sync; a
+            # drain may also free rows/blocks the admission needs
+            events.extend(self._drain_inflight())
         if self._admitting is not None:
             events.extend(self._continue_admission())
             if self.running:
@@ -330,6 +346,7 @@ class ContinuousBatcher:
             req.row = -1
 
     def cancel(self, request_id: int) -> None:
+        self._drain_inflight()
         self.waiting = [r for r in self.waiting
                         if r.request_id != request_id]
         if (self._admitting is not None
@@ -467,6 +484,7 @@ class ContinuousBatcher:
         self._starts[row] = 0
         self._active[row] = True
         self._tokens[row] = tok
+        self._tokens_dev = None  # host mirrors are authoritative again
         s = req.sampler
         self._temps[row] = s.temperature or 0.0
         self._topks[row] = s.top_k or 0
@@ -577,6 +595,7 @@ class ContinuousBatcher:
         self._starts[row] = 0
         self._active[row] = True
         self._tokens[row] = tok
+        self._tokens_dev = None  # host mirrors are authoritative again
         self._temps[row] = s.temperature or 0.0
         self._topks[row] = s.top_k or 0
         self._topps[row] = s.top_p if s.top_p is not None else 1.0
@@ -691,38 +710,78 @@ class ContinuousBatcher:
 
     def _decode(self) -> List[TokenEvent]:
         if self._spec_eligible():
-            return self._decode_spec()
+            events = list(self._drain_inflight())
+            if not self.running:
+                return events
+            events.extend(self._decode_spec())
+            self._tokens_dev = None
+            return events
         events: List[TokenEvent] = []
         n_steps = max(1, self.sc.decode_quantum)
         safe = self._ensure_blocks(n_steps)
-        for row, m in list(safe.items()):
-            if m <= 0:
-                req = self.running[row]
-                req.finished = True
-                req.finish_reason = "length"
-                events.append(TokenEvent(req.request_id, None, True,
-                                         "length"))
-                self.release(req)
-                safe.pop(row)
+        if any(m <= 0 for m in safe.values()):
+            # pool exhausted for some rows: their pending tokens must be
+            # delivered before finishing them (and drains may free blocks)
+            events.extend(self._drain_inflight())
+            safe = self._ensure_blocks(n_steps)
+            for row, m in list(safe.items()):
+                if m <= 0 and row in self.running:
+                    req = self.running[row]
+                    req.finished = True
+                    req.finish_reason = "length"
+                    events.append(TokenEvent(req.request_id, None, True,
+                                             "length"))
+                    self.release(req)
+                    safe.pop(row)
         if not self.running:
+            events.extend(self._drain_inflight())
             return events
         self._sync_state_meta()
         self._key, k = jax.random.split(self._key)
-        # .copy(): these mirrors are mutated below while the dispatch may
-        # still be in flight (see _sync_state_meta)
         rows_live = list(self.running.keys())
         all_greedy = bool(np.all(self._temps[rows_live] == 0.0))
+        # chained input tokens stay ON DEVICE between pipelined quanta
+        tok_in = (self._tokens_dev if self._tokens_dev is not None
+                  else self._put(self._tokens.copy()))
+        # .copy(): these mirrors are mutated below while the dispatch may
+        # still be in flight (see _sync_state_meta)
         toks_seq, self.state = self._decode_fn(
-            self.params, self.state, self._put(self._tokens.copy()),
+            self.params, self.state, tok_in,
             self._put(self._temps.copy()), self._put(self._topks.copy()),
             self._put(self._topps.copy()), self._put(self._minps.copy()),
             self._put(k), n_steps=n_steps, all_greedy=all_greedy,
         )
         was_active = self._active.copy()
         self._lengths[was_active] += n_steps
+        snapshot = {row: (self.running[row], safe.get(row, 0))
+                    for row in rows_live}
+        prev, self._inflight = self._inflight, (toks_seq, n_steps,
+                                                snapshot)
+        self._tokens_dev = toks_seq[-1]
+        if prev is not None:
+            # sync the PREVIOUS quantum while this one executes
+            events.extend(self._process_quantum(prev))
+        if not self.sc.pipeline_quanta:
+            events.extend(self._drain_inflight())
+        return events
+
+    def _drain_inflight(self) -> List[TokenEvent]:
+        if self._inflight is None:
+            return []
+        prev, self._inflight = self._inflight, None
+        return self._process_quantum(prev)
+
+    def _process_quantum(self, inflight) -> List[TokenEvent]:
+        """Sync one issued quantum's tokens and emit its events. Rows
+        released here may have been written by an ALREADY-ISSUED next
+        quantum — harmless: the device stream is ordered, so any later
+        admission's prefill overwrites those slots after the stale
+        writes, and registered prefix blocks are never written by decode
+        (slots >= prompt length land in later blocks)."""
+        toks_seq, n_steps, snapshot = inflight
+        events: List[TokenEvent] = []
         toks_host = np.asarray(toks_seq)  # [n_steps, B]
-        for row, req in list(self.running.items()):
-            m = safe.get(row, 0)
+        for row, (req, m) in snapshot.items():
             for step in range(n_steps):
                 if req.finished:
                     break
