@@ -317,16 +317,28 @@ class ContinuousBatcher:
                 if self.running:
                     events.extend(self._decode())
                 return events
-            if self._try_admit(req):
-                self.waiting.pop(0)
-                events.extend(self._emit(req, req._pending_token))
-                req._pending_token = None
-                return events
-            if req.finished:  # rejected outright (too long for the pool)
-                self.waiting.pop(0)
-                events.append(TokenEvent(
-                    req.request_id, None, True, req.finish_reason
-                ))
+            admitted: List[Request] = []
+            while self.waiting and self.free_rows:
+                req = self.waiting[0]
+                if self._try_admit(req):
+                    self.waiting.pop(0)
+                    admitted.append(req)
+                    continue
+                if req.finished:  # rejected outright (too long)
+                    self.waiting.pop(0)
+                    events.append(TokenEvent(
+                        req.request_id, None, True, req.finish_reason
+                    ))
+                    continue
+                break  # no memory yet — stay queued
+            if admitted:
+                # one sync point for the whole admission burst
+                for req in admitted:
+                    tok = int(np.asarray(req._pending_token)[0])
+                    req._pending_token = None
+                    if req.row >= 0:
+                        self._tokens[req.row] = tok
+                    events.extend(self._emit(req, tok))
                 return events
         if self.running:
             events.extend(self._decode())
@@ -475,15 +487,17 @@ class ContinuousBatcher:
         if sc.enable_prefix_cache:
             for j in range(p_blk, len(hashes)):
                 self.allocator.register_prefix(hashes[j], req.blocks[j])
-        tok = int(np.asarray(tok_dev)[0])
 
-        # host bookkeeping: trailing padding ⇒ starts = 0, length = S
+        # host bookkeeping: trailing padding ⇒ starts = 0, length = S.
+        # The first token stays a DEVICE array: step() admits every
+        # waiting request back-to-back and syncs afterwards, so the
+        # ~25 ms fetch round trips overlap the later admissions' prefill
+        # compute instead of serializing with it.
         self._tables[row] = 0
         self._tables[row, : len(req.blocks)] = req.blocks
         self._lengths[row] = S
         self._starts[row] = 0
         self._active[row] = True
-        self._tokens[row] = tok
         self._tokens_dev = None  # host mirrors are authoritative again
         s = req.sampler
         self._temps[row] = s.temperature or 0.0
@@ -491,7 +505,7 @@ class ContinuousBatcher:
         self._topps[row] = s.top_p if s.top_p is not None else 1.0
         self._minps[row] = s.min_p or 0.0
         self._sync_state_meta()
-        req._pending_token = tok
+        req._pending_token = tok_dev  # device [1] — synced in step()
         return True
 
     # -- chunked admission --------------------------------------------------
