@@ -400,7 +400,11 @@ def decode_steps(
     # also needs lane/sublane-aligned tiles).
     T = cache.k.shape[3]
     use_kernel = (
-        attn_impl == "pallas_frozen"
+        (attn_impl == "pallas_frozen"
+         # large batches: the XLA merge path's whole-chunk K transpose
+         # duplicates cache.k in HBM (OOMs Mistral-7B int4 at b16); the
+         # kernel reads the stacked cache directly and measures ~parity
+         or (attn_impl == "pallas" and B >= 8))
         and D % 128 == 0
         and T % 128 == 0
         and n_steps % 16 == 0
