@@ -1,0 +1,317 @@
+"""Phase-by-phase profile of the flagship INT4 decode step.
+
+The axon TPU backend has no working profiler hooks (block_until_ready is
+a no-op, trace capture doesn't survive the tunnel), so this measures by
+ABLATION: each phase of the decode step is rebuilt as its own scanned
+program (same lax.scan structure over layers x steps as
+causal_lm.decode_steps, same kernels, same shapes) and timed with the
+np.asarray fence. The sum of phases vs the full step exposes glue; each
+phase's measured ms vs its ideal HBM-bytes time exposes per-phase
+overhead. Output: a JSON table used to decide what to attack
+(VERDICT round 2: "the optimization is currently unguided").
+
+Phases:
+  ceiling  - HBM streaming ceiling (read+write of a 1.9 GB array)
+  mm       - the 4 fused dequant matmuls x L x n_steps, chained
+  mm_qkv/mm_o/mm_gateup/mm_down - each matmul alone x L x n_steps
+  attn     - rope + in-flight update + frozen-merge attention x L x steps
+  head     - final norm + int4 lm_head + argmax + embed x steps
+  full     - the real causal_lm.decode_steps (the bench number)
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+B = 4
+N_STEPS = 32
+T = 1024
+
+
+def fence_time(fn, *args, reps=3):
+    out = fn(*args)
+    np.asarray(jax.tree.leaves(out)[0])  # compile + first
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        np.asarray(jax.tree.leaves(out)[0])
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phases", default="ceiling,mm,mm_qkv,mm_o,"
+                    "mm_gateup,mm_down,attn,head,full")
+    ap.add_argument("--group", type=int, default=64)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+    phases = args.phases.split(",")
+
+    import tinygpt_tpu
+
+    tinygpt_tpu.ensure_compile_cache()
+    global jax
+    import jax
+    import jax.numpy as jnp
+
+    from benches.flagship_bench import build_flagship
+    from tinygpt_tpu.engine.kv_cache import create_kv_cache
+    from tinygpt_tpu.models import causal_lm
+    from tinygpt_tpu.ops.attention import sdpa_decode_frozen
+    from tinygpt_tpu.ops.norms import rms_norm
+    from tinygpt_tpu.ops.quant import matmul_any
+    from tinygpt_tpu.ops.quant_kernels import (
+        matmul_dequant_int4_stacked_fused as mm_fused,
+    )
+    from tinygpt_tpu.ops.rope import apply_rope
+
+    results = {}
+
+    def report(name, secs, ideal_bytes, per="step"):
+        div = N_STEPS if per == "step" else 1
+        ms = secs / div * 1e3
+        gbs = ideal_bytes / 1e9 / (secs / div) if ideal_bytes else 0
+        results[name] = {
+            "ms_per_step": round(ms, 3),
+            "ideal_gb": round(ideal_bytes / 1e9, 3),
+            "eff_gb_s": round(gbs, 0),
+        }
+        print(f"{name:10s} {ms:8.3f} ms/step   ideal "
+              f"{ideal_bytes/1e9:6.3f} GB -> {gbs:5.0f} GB/s",
+              file=sys.stderr)
+
+    # -- ceiling -----------------------------------------------------------
+    if "ceiling" in phases:
+        big = jnp.ones((950, 1024, 1024), jnp.bfloat16)  # 1.99 GB
+
+        @jax.jit
+        def stream(x):
+            return x * 1.0001 + 0.5
+
+        secs = fence_time(stream, big, reps=args.reps)
+        nbytes = 2 * big.size * 2  # read + write
+        report("ceiling", secs, nbytes, per="one")
+        results["ceiling"]["ms_per_step"] = round(secs * 1e3, 3)
+        del big
+
+    cfg, params, nbytes = build_flagship(bits=4, group=args.group)
+    L, H, D = cfg.num_hidden_layers, cfg.hidden_size, cfg.head_dim
+    Nq, Nk, I = (cfg.num_attention_heads, cfg.num_kv_heads,
+                 cfg.intermediate_size)
+    V = cfg.vocab_size
+    q_dim = Nq * D
+    lyr = params["layers"]
+    eps = cfg.rms_norm_eps
+
+    def qbytes(qt):
+        return qt.data.size + qt.scales.size * qt.scales.dtype.itemsize
+
+    w_bytes = {k: qbytes(lyr[k]) for k in
+               ("qkv_w", "o_w", "gate_up_w", "down_w")}
+    ln_bytes = 2 * L * H * 2
+
+    x0 = jnp.ones((B, H), jnp.bfloat16) * 0.01
+    ls = jnp.arange(L, dtype=jnp.int32)
+
+    def invrms(v2):
+        vf32 = v2.astype(jnp.float32)
+        return jax.lax.rsqrt(jnp.mean(vf32 * vf32, axis=-1, keepdims=True)
+                             + eps)
+
+    ln_in = lyr["input_ln"][:, None, :]
+    ln_post = lyr["post_ln"][:, None, :]
+
+    def scan_steps(layer_body, nm):
+        """Build jit program: n_steps x (scan over L of layer_body)."""
+
+        @jax.jit
+        def prog(x):
+            def step(x, _):
+                def lf(x, l):
+                    return layer_body(x, l), None
+
+                x, _ = jax.lax.scan(lf, x, ls)
+                return x, None
+
+            x, _ = jax.lax.scan(step, x, None, length=N_STEPS)
+            return x
+
+        return prog
+
+    # -- mm: the 4 fused matmuls chained ----------------------------------
+    if "mm" in phases:
+        def body(x, l):
+            qt = lyr["qkv_w"]
+            qkv = mm_fused(x, qt.data, qt.scales, l, group=qt.group_size,
+                           ln=ln_in, invrms=invrms(x))
+            a = qkv[:, :q_dim]
+            qt = lyr["o_w"]
+            x2 = mm_fused(a, qt.data, qt.scales, l, group=qt.group_size,
+                          res=x)
+            qt = lyr["gate_up_w"]
+            gu = mm_fused(x2, qt.data, qt.scales, l, group=qt.group_size,
+                          ln=ln_post, invrms=invrms(x2))
+            qt = lyr["down_w"]
+            return mm_fused(gu, qt.data, qt.scales, l, group=qt.group_size,
+                            silu=True, res=x2)
+
+        secs = fence_time(scan_steps(body, "mm"), x0, reps=args.reps)
+        report("mm", secs, (sum(w_bytes.values()) + ln_bytes))
+
+    # -- individual matmuls ------------------------------------------------
+    singles = {
+        "mm_qkv": ("qkv_w", lambda out, x: out[:, :H] * 1e-3 + x),
+        "mm_o": ("o_w", lambda out, x: out + x),
+        "mm_gateup": ("gate_up_w", lambda out, x: out[:, :H] * 1e-3 + x),
+        "mm_down": ("down_w", None),  # in = [B, I]
+    }
+    for nm in ("mm_qkv", "mm_o", "mm_gateup"):
+        if nm not in phases:
+            continue
+        key, fold = singles[nm]
+
+        def body(x, l, key=key, fold=fold):
+            qt = lyr[key]
+            out = mm_fused(x, qt.data, qt.scales, l, group=qt.group_size)
+            return fold(out, x)
+
+        secs = fence_time(scan_steps(body, nm), x0, reps=args.reps)
+        report(nm, secs, w_bytes[key])
+    if "mm_down" in phases:
+        xI = jnp.ones((B, I), jnp.bfloat16) * 0.01
+
+        def body(x, l):
+            qt = lyr["down_w"]
+            out = mm_fused(x[:, :I], qt.data, qt.scales, l,
+                           group=qt.group_size)
+            return x + jnp.pad(out, ((0, 0), (0, I - H))) * 1e-3
+
+        secs = fence_time(scan_steps(body, "mm_down"), xI, reps=args.reps)
+        report("mm_down", secs, w_bytes["down_w"])
+
+    # -- attn: rope + in-flight + frozen merge ----------------------------
+    if "attn" in phases:
+        cache = create_kv_cache(cfg, B, T, dtype=jnp.bfloat16)
+        cache = cache._replace(
+            k=jnp.ones_like(cache.k) * 0.01,
+            v=jnp.ones_like(cache.v) * 0.01,
+            kv_pos=jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None],
+                                    (B, T)),
+            valid=jnp.ones((B, T), bool),
+        )
+        cos, sin = params["rope_cos"], params["rope_sin"]
+
+        @jax.jit
+        def prog(x, k_frozen, v_frozen, kv_pos, valid):
+            kT = jnp.swapaxes(k_frozen, 3, 4)
+            infl_k0 = jnp.zeros((L, B, Nk, N_STEPS, D), jnp.bfloat16)
+            infl_v0 = jnp.zeros_like(infl_k0)
+
+            def step(carry, step_i):
+                x, ik_all, iv_all = carry
+                positions = jnp.full((B, 1), 64 + step_i, jnp.int32)
+
+                def lf(x, scanned):
+                    ik, iv, l = scanned
+                    kf = jax.lax.dynamic_index_in_dim(kT, l, 0,
+                                                      keepdims=False)
+                    vf = jax.lax.dynamic_index_in_dim(v_frozen, l, 0,
+                                                      keepdims=False)
+                    q = x.reshape(B, 1, Nq, D)
+                    k = (x[:, : Nk * D]).reshape(B, 1, Nk, D)
+                    v = (x[:, Nk * D : 2 * Nk * D]).reshape(B, 1, Nk, D)
+                    q, k = apply_rope(q, k, cos, sin, positions)
+                    ik = jax.lax.dynamic_update_slice(
+                        ik, k.transpose(0, 2, 1, 3).astype(ik.dtype),
+                        (0, 0, step_i, 0))
+                    iv = jax.lax.dynamic_update_slice(
+                        iv, v.transpose(0, 2, 1, 3).astype(iv.dtype),
+                        (0, 0, step_i, 0))
+                    attn = sdpa_decode_frozen(
+                        q, kf, vf, kv_pos, valid, ik, iv, step_i,
+                        positions, sliding_window=cfg.sliding_window,
+                        k_transposed=True)
+                    return attn.reshape(B, q_dim).astype(x.dtype), (ik, iv)
+
+                x, (ik_all, iv_all) = jax.lax.scan(
+                    lf, x, (ik_all, iv_all, ls))
+                return (x, ik_all, iv_all), None
+
+            (x, _, _), _ = jax.lax.scan(
+                step, (x, infl_k0, infl_v0),
+                jnp.arange(N_STEPS, dtype=jnp.int32))
+            return x
+
+        secs = fence_time(prog, x0, cache.k, cache.v, cache.kv_pos,
+                          cache.valid, reps=args.reps)
+        kv_read = L * B * Nk * T * D * 2 * 2  # K + V, bf16
+        # + the once-per-chunk transpose (read+write), amortized
+        kT_amort = 2 * (L * B * Nk * T * D * 2) / N_STEPS
+        report("attn", secs, kv_read + kT_amort)
+
+    # -- head: final norm + lm_head + argmax + embed ----------------------
+    if "head" in phases:
+        head_qt = params["lm_head"]
+
+        @jax.jit
+        def prog(tok):
+            def step(tok, _):
+                x = params["embed"][tok]  # [B, H]
+                x = rms_norm(x, params["final_ln"], eps)
+                logits = matmul_any(x, head_qt)
+                nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+                return nxt, None
+
+            tok, _ = jax.lax.scan(step, tok, None, length=N_STEPS)
+            return tok
+
+        secs = fence_time(prog, jnp.zeros((B,), jnp.int32),
+                          reps=args.reps)
+        report("head", secs, qbytes(head_qt))
+
+    # -- full --------------------------------------------------------------
+    if "full" in phases:
+        cache = create_kv_cache(cfg, B, T, dtype=jnp.bfloat16)
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def decode_n(p, tok, c, pos0):
+            keys = jax.random.split(jax.random.PRNGKey(0), N_STEPS)
+            return causal_lm.decode_steps(
+                p, cfg, tok, c, pos0, keys,
+                lambda lg, k: jnp.argmax(lg, -1).astype(jnp.int32),
+                attn_impl="pallas"
+                if jax.devices()[0].platform == "tpu" else "xla",
+            )
+
+        tok = jnp.zeros((B,), jnp.int32)
+        pos0 = jnp.full((B, 1), 64, jnp.int32)
+        toks, cache = decode_n(params, tok, cache, pos0)
+        np.asarray(toks)
+        best = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            toks, cache = decode_n(params, tok, cache, pos0)
+            np.asarray(toks)
+            best = min(best, time.perf_counter() - t0)
+        hot = nbytes - params["embed"].size * 2
+        kv_read = L * B * Nk * T * D * 2 * 2
+        report("full", best, hot + kv_read)
+
+    print(json.dumps({"metric": "flagship_phase_profile", "b": B,
+                      "t": T, "n_steps": N_STEPS, "group": args.group,
+                      "phases": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -145,12 +145,18 @@ def measure(model_dir: str, eval_text: str, *, max_tokens=120_000,
     out = {"eval_tokens": len(ids)}
     base = perplexity(model, cfg, params, ids, window=window, stride=stride)
     out["ppl_f32"] = round(float(base), 4)
-    for bits, name in ((8, "int8"), (4, "int4")):
-        qp = quantize_params(params, bits=bits, group_size=128)
+    # int8 g128 and int4 g64 are the SHIPPED defaults
+    # (engine.resolve_quant_group); int4 g128 is kept on the record as the
+    # config that fails the bar (round-2 finding).
+    for bits, gs, name in ((8, 128, "int8_g128"), (4, 128, "int4_g128"),
+                           (4, 64, "int4_g64")):
+        qp = quantize_params(params, bits=bits, group_size=gs)
         p = perplexity(model, cfg, qp, ids, window=window, stride=stride)
         out[f"ppl_{name}"] = round(float(p), 4)
         out[f"dppl_{name}"] = round(float(p - base), 4)
-        log(f"{name}: ppl {p:.4f} (delta {p - base:+.4f})")
+        out[f"rel_dppl_{name}"] = round(float((p - base) / base), 6)
+        log(f"{name}: ppl {p:.4f} (delta {p - base:+.4f}, "
+            f"{(p - base) / base * 100:+.3f}%)")
     p8 = perplexity(model, cfg, params, ids, window=window, stride=stride,
                     kv_dtype=jnp.float8_e4m3fn)
     out["ppl_fp8kv"] = round(float(p8), 4)
@@ -177,8 +183,17 @@ def main():
                     n_layer=args.layers, n_embd=args.hidden)
     res = measure(args.dir, eval_text, max_tokens=args.eval_tokens)
     res["metric"] = "quantization_ppl_gate"
-    res["pass_int8"] = res["dppl_int8"] <= 0.1
-    res["pass_int4"] = res["dppl_int4"] <= 0.5
+    # The gate must hold at BOTH scales: the absolute BASELINE bar
+    # (<=0.1 int8 / <=0.5 int4, written for real-model ppl ~10-30) AND a
+    # relative bar derived from it at ppl 15 (0.1/15 ~ 0.67%, 0.5/15 ~
+    # 3.3%) — a ppl-170 gate model can't over-accept through either.
+    # pass_* gate the SHIPPED defaults (int8 g128, int4 g64).
+    res["pass_int8"] = (res["dppl_int8_g128"] <= 0.1
+                        and res["rel_dppl_int8_g128"] <= 0.1 / 15)
+    res["pass_int4"] = (res["dppl_int4_g64"] <= 0.5
+                        and res["rel_dppl_int4_g64"] <= 0.5 / 15)
+    res["pass_int4_g128"] = (res["dppl_int4_g128"] <= 0.5
+                             and res["rel_dppl_int4_g128"] <= 0.5 / 15)
     print(json.dumps(res))
 
 

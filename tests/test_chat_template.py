@@ -221,6 +221,73 @@ FEATURES = [
     ("{% for m in messages %}{% if m.tool_calls %}HAS{% else %}NO"
      "{% endif %}{% endfor %}", "NONO", U2, {}),
     ("{% if tools %}HAS{% else %}NO{% endif %}", "NO", [], {}),
+    # -- slicing corners (reference: method_split_negative_index,
+    #    negative_index, message_list_index et al.) ----------------------
+    ("{{ 'abcdef'[1:4] }}", "bcd", [], {}),
+    ("{{ 'abcdef'[:2] }}", "ab", [], {}),
+    ("{{ 'abcdef'[-2:] }}", "ef", [], {}),
+    ("{{ 'abcdef'[:-1] }}", "abcde", [], {}),
+    ("{{ 'abcdef'[::2] }}", "ace", [], {}),
+    ("{{ 'abcdef'[10:20] }}", "", [], {}),   # out-of-range slice is empty
+    ("{% for m in messages[1:] %}{{ m.content }}{% endfor %}", "B", U2, {}),
+    ("{% for m in messages[:-1] %}{{ m.content }}{% endfor %}", "A", U2, {}),
+    ("{% for m in messages[::-1] %}{{ m.content }}{% endfor %}",
+     "BA", U2, {}),
+    ("{{ messages[-2].content }}", "A", U2, {}),
+    ("{{ 'a-b-c-d'.split('-')[1:3] | join(',') }}", "b,c", [], {}),
+    # -- namespace mutation across nested loops --------------------------
+    ("{% set ns = namespace(s='') %}{% for m in messages %}"
+     "{% for c in m.content %}{% set ns.s = ns.s ~ c %}{% endfor %}"
+     "{% endfor %}{{ ns.s }}", "AB", U2, {}),
+    ("{% set ns = namespace(n=0, t='') %}{% for m in messages %}"
+     "{% set ns.n = ns.n + 1 %}{% set ns.t = ns.t ~ ns.n %}{% endfor %}"
+     "{{ ns.n }}|{{ ns.t }}", "2|12", U2, {}),
+    # namespace survives an if inside the loop (qwen-template idiom)
+    ("{% set ns = namespace(found=false) %}{% for m in messages %}"
+     "{% if m.role == 'user' %}{% set ns.found = true %}{% endif %}"
+     "{% endfor %}{{ ns.found }}", "True", U2, {}),
+    # multi-field namespace mutated at different nesting depths
+    ("{% set ns = namespace(a=0, b=0) %}{% for m in messages %}"
+     "{% set ns.a = ns.a + 1 %}{% for c in m.content %}"
+     "{% set ns.b = ns.b + 1 %}{% endfor %}{% endfor %}"
+     "{{ ns.a }}{{ ns.b }}", "22", U2, {}),
+    # -- `is` test variants ----------------------------------------------
+    ("{% if 'x' is string %}S{% endif %}", "S", [], {}),
+    ("{% if 1 is number %}N{% endif %}", "N", [], {}),
+    ("{% if messages is iterable %}I{% endif %}", "I", U2, {}),
+    ("{% if messages is sequence %}Q{% endif %}", "Q", U2, {}),
+    ("{% if messages[0] is mapping %}M{% endif %}", "M", U2, {}),
+    ("{% if 4 is even and 3 is odd %}EO{% endif %}", "EO", [], {}),
+    ("{% if true is boolean %}B{% endif %}", "B", [], {}),
+    ("{% if 'a' is eq 'a' and 1 is ne 2 %}EQ{% endif %}", "EQ", [], {}),
+    # -- whitespace-control edge combos ----------------------------------
+    ("  {%- set x = 1 -%}  \n  {{- x -}}  ", "1", [], {}),
+    # `-%}` eats the newline+indent after for-open; `{%-` eats the one
+    # before endfor — nothing survives but the contents
+    ("{% for m in messages -%}\n  {{ m.content }}\n{%- endfor %}",
+     "AB", U2, {}),
+    # `{%-` strips a\n's newline; trim_blocks eats the newline after
+    # `%}`; `-%}` on endif strips through to c
+    ("a\n{%- if true %}\nb\n{% endif -%}\nc", "ab\nc", [], {}),
+    ("{{ 'x' }}  {{- 'y' }}", "xy", [], {}),
+    # comment blocks with trim markers
+    ("a  {#- comment -#}  b", "ab", [], {}),
+    # -- string-method matrix --------------------------------------------
+    ("{{ 'a,b,,c'.split(',') | length }}", "4", [], {}),
+    ("{{ 'aXbXc'.replace('X', '-') }}", "a-b-c", [], {}),
+    ("{{ 'Title case'.title() }}", "Title Case", [], {}),
+    ("{{ 'MiXeD'.swapcase() }}", "mIxEd", [], {}),
+    ("{{ 'abc'.upper().lower() }}", "abc", [], {}),   # chained methods
+    ("{{ ' x '.strip().upper() }}", "X", [], {}),
+    ("{{ 'hello world'.find('world') }}", "6", [], {}),
+    ("{{ 'aaa'.count('a') }}", "3", [], {}),
+    ("{{ '%s=%d' % ('k', 7) }}", "k=7", [], {}),
+    ("{{ 'abc'.capitalize() }}", "Abc", [], {}),
+    ("{{ '1,2'.split(',') | map('int') | sum }}", "3", [], {}),
+    # -- int/arith corners ------------------------------------------------
+    ("{{ 7 // 2 }}|{{ 2 ** 3 }}|{{ -5 % 3 }}", "3|8|1", [], {}),
+    ("{{ (1 + 2) * 3 }}", "9", [], {}),
+    ("{{ 10 / 4 }}", "2.5", [], {}),
 ]
 
 
@@ -455,6 +522,128 @@ def test_deepseek_r1_production_template():
         "<｜User｜>Hi<｜Assistant｜>Hello!<｜end▁of▁sentence｜>"
         "<｜User｜>What is 2+2?<｜Assistant｜><think>\n"
     )
+
+
+# -- tools-array production template (Qwen2.5/Hermes-style tool calling:
+# tools rendered into the system turn via tojson, assistant tool_calls
+# re-serialized into <tool_call> blocks, tool results wrapped) ------------
+
+TOOLS_TPL = (
+    "{%- if tools %}"
+    "{{- '<|im_start|>system\n' }}"
+    "{%- if messages[0]['role'] == 'system' %}"
+    "{{- messages[0]['content'] }}"
+    "{%- else %}{{- 'You are a helpful assistant.' }}{%- endif %}"
+    "{{- '\n\n# Tools\n\n<tools>' }}"
+    "{%- for tool in tools %}{{- '\n' }}{{- tool | tojson }}{%- endfor %}"
+    "{{- '\n</tools><|im_end|>\n' }}"
+    "{%- endif %}"
+    "{%- for message in messages %}"
+    "{%- if message.role == 'user' or "
+    "(message.role == 'system' and not loop.first) %}"
+    "{{- '<|im_start|>' + message.role + '\n' + message.content "
+    "+ '<|im_end|>\n' }}"
+    "{%- elif message.role == 'assistant' %}"
+    "{{- '<|im_start|>assistant' }}"
+    "{%- if message.content %}{{- '\n' + message.content }}{%- endif %}"
+    "{%- if message.tool_calls %}"
+    "{%- for tool_call in message.tool_calls %}"
+    "{%- if tool_call.function is defined %}"
+    "{%- set tool_call = tool_call.function %}{%- endif %}"
+    "{{- '\n<tool_call>\n{\"name\": \"' }}{{- tool_call.name }}"
+    "{{- '\", \"arguments\": ' }}{{- tool_call.arguments | tojson }}"
+    "{{- '}\n</tool_call>' }}"
+    "{%- endfor %}{%- endif %}"
+    "{{- '<|im_end|>\n' }}"
+    "{%- elif message.role == 'tool' %}"
+    "{{- '<|im_start|>user\n<tool_response>\n' + message.content "
+    "+ '\n</tool_response><|im_end|>\n' }}"
+    "{%- endif %}"
+    "{%- endfor %}"
+    "{%- if add_generation_prompt %}{{- '<|im_start|>assistant\n' }}"
+    "{%- endif %}"
+)
+
+WEATHER_TOOL = {
+    "type": "function",
+    "function": {
+        "name": "get_weather",
+        "description": "Get the weather",
+        "parameters": {
+            "type": "object",
+            "properties": {"city": {"type": "string"}},
+            "required": ["city"],
+        },
+    },
+}
+
+
+def test_tools_template_full_round():
+    """Full tool-calling round: tools advertised, model calls, tool
+    responds, generation prompt re-opened."""
+    import json as _json
+
+    msgs = [
+        {"role": "user", "content": "Weather in Paris?"},
+        {"role": "assistant", "content": "",
+         "tool_calls": [{"type": "function", "function": {
+             "name": "get_weather", "arguments": {"city": "Paris"}}}]},
+        {"role": "tool", "content": '{"temp": 21}'},
+    ]
+    out = ChatTemplate(TOOLS_TPL).render(
+        msgs, add_generation_prompt=True, tools=[WEATHER_TOOL])
+    tool_json = _json.dumps(WEATHER_TOOL, separators=(", ", ": "))
+    assert out == (
+        "<|im_start|>system\nYou are a helpful assistant.\n\n# Tools\n\n"
+        "<tools>\n" + tool_json + "\n</tools><|im_end|>\n"
+        "<|im_start|>user\nWeather in Paris?<|im_end|>\n"
+        "<|im_start|>assistant\n<tool_call>\n"
+        '{"name": "get_weather", "arguments": {"city": "Paris"}}'
+        "\n</tool_call><|im_end|>\n"
+        "<|im_start|>user\n<tool_response>\n{\"temp\": 21}"
+        "\n</tool_response><|im_end|>\n"
+        "<|im_start|>assistant\n"
+    )
+
+
+def test_tools_template_system_override_and_no_tools():
+    msgs = [{"role": "system", "content": "Be terse."},
+            {"role": "user", "content": "Hi"}]
+    out = ChatTemplate(TOOLS_TPL).render(
+        msgs, add_generation_prompt=False, tools=[WEATHER_TOOL])
+    assert out.startswith("<|im_start|>system\nBe terse.\n\n# Tools")
+    # the system message is consumed by the tools header, not re-emitted
+    assert out.count("Be terse.") == 1
+    # without tools the template renders plain ChatML turns
+    out2 = ChatTemplate(TOOLS_TPL).render(msgs, add_generation_prompt=True)
+    assert out2 == ("<|im_start|>user\nHi<|im_end|>\n"
+                    "<|im_start|>assistant\n")
+
+
+def test_tools_template_multiple_tools_and_calls():
+    calc = {"type": "function", "function": {
+        "name": "calc", "description": "Calculator",
+        "parameters": {"type": "object",
+                       "properties": {"expr": {"type": "string"}}}}}
+    msgs = [
+        {"role": "user", "content": "weather and math"},
+        {"role": "assistant", "content": "Sure.",
+         "tool_calls": [
+             {"function": {"name": "get_weather",
+                           "arguments": {"city": "Tokyo"}}},
+             {"function": {"name": "calc",
+                           "arguments": {"expr": "2+2"}}},
+         ]},
+    ]
+    out = ChatTemplate(TOOLS_TPL).render(
+        msgs, add_generation_prompt=False, tools=[WEATHER_TOOL, calc])
+    assert out.count("<tool_call>") == 2
+    assert out.index('"get_weather"') < out.index('"calc"')
+    # assistant content precedes the tool calls
+    assert out.index("Sure.") < out.index("<tool_call>")
+    # both tool signatures advertised, in order
+    assert out.index('"description": "Get the weather"') \
+        < out.index('"description": "Calculator"')
 
 
 # -- template -> tokenizer roundtrip (cpp:739-775; the Qwen/DeepSeek asset

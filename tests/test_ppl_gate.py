@@ -27,6 +27,8 @@ def test_quantization_ppl_relative_gate(tmp_path):
     # int8 must be ~lossless; int4 bounded; fp8-KV near-lossless. All
     # relative (tiny undertrained models sit at high absolute ppl where
     # the BASELINE absolute thresholds are not meaningful).
-    assert abs(res["dppl_int8"]) / base < 0.005, res
+    assert abs(res["dppl_int8_g128"]) / base < 0.005, res
     assert abs(res["dppl_fp8kv"]) / base < 0.005, res
-    assert res["dppl_int4"] / base < 0.02, res
+    # int4 gated at the SHIPPED default (g64); g128 is looser on record
+    assert res["dppl_int4_g64"] / base < 0.01, res
+    assert res["dppl_int4_g128"] / base < 0.02, res

@@ -230,6 +230,94 @@ def test_llama3_style_pipeline_parity(tmp_path):
     assert ours.encode("hi", add_special_tokens=False)[0] != 50256
 
 
+# -- synthetic Qwen2-style pipeline ----------------------------------------
+#
+# Qwen2/2.5/3 share the Llama-3 pipeline shape but split digits ONE at a
+# time (\p{N}, not \p{N}{1,3}) — the native matcher kind 3
+# (csrc/tokenizer.cpp match_piece_llama3 with max_digits=1). Reference
+# pins Qwen2.5/Qwen3 golden ids (test/test_tokenizer.cpp:86-232); with no
+# fetchable Qwen vocab offline, this synthesizes the pipeline over the
+# real 50k gpt2 vocab, same as the Llama-3-style test above.
+
+QWEN2_PATTERN = (
+    r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}"
+    r"| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+"
+)
+
+
+def _make_qwen2_style_tokenizer(tmp_path):
+    src = reference_asset("gpt2")
+    with open(f"{src}/tokenizer.json") as f:
+        tj = json.load(f)
+    tj["pre_tokenizer"] = {
+        "type": "Sequence",
+        "pretokenizers": [
+            {"type": "Split", "pattern": {"Regex": QWEN2_PATTERN},
+             "behavior": "Isolated", "invert": False},
+            {"type": "ByteLevel", "add_prefix_space": False,
+             "use_regex": False, "trim_offsets": False},
+        ],
+    }
+    path = tmp_path / "tokenizer.json"
+    with open(path, "w") as f:
+        json.dump(tj, f)
+    return str(path)
+
+
+def test_qwen2_style_pipeline_parity(tmp_path):
+    """Full-vocab golden parity for the Qwen pipeline shape, through BOTH
+    the native (kind 3) and pure-Python paths."""
+    path = _make_qwen2_style_tokenizer(tmp_path)
+    ours = Tokenizer.from_files(path)
+    assert ours.native_encoder is not None, "qwen fast path inactive"
+    py = Tokenizer.from_files(path)
+    py._native_tried = True
+    py._native = None
+    golden = hf_tokenizers.Tokenizer.from_file(path)
+    digit_cases = CASES + [
+        "1234567890", "pi=3.14159", "v2.5-72B", "2024-07-01 12:34:56",
+        " 42", "١٢٣ arabic digits ٤٥", "no1no22no333no4444",
+    ]
+    for text in digit_cases:
+        want = golden.encode(text).ids
+        assert ours.encode(text) == want, repr(text)
+        assert py.encode(text) == want, repr(text)
+
+
+def test_qwen2_style_pipeline_fuzz(tmp_path):
+    path = _make_qwen2_style_tokenizer(tmp_path)
+    ours = Tokenizer.from_files(path)
+    assert ours.native_encoder is not None
+    py = Tokenizer.from_files(path)
+    py._native_tried = True
+    py._native = None
+    golden = hf_tokenizers.Tokenizer.from_file(path)
+    rng = random.Random(99)
+
+    def rand_text(n):
+        out = []
+        for _ in range(n):
+            r = rng.random()
+            if r < 0.35:
+                out.append(chr(rng.randint(32, 126)))
+            elif r < 0.55:
+                out.append(rng.choice("0123456789١٢٣４５６"))
+            elif r < 0.7:
+                out.append(chr(rng.randint(0x4E00, 0x4FFF)))
+            elif r < 0.85:
+                out.append(rng.choice("🌍🚀😀é阿ü\t\r\n '"))
+            else:
+                out.append(rng.choice(["'s", "'T", "12", "1234", "  ",
+                                       " the"]))
+        return "".join(out)
+
+    for _ in range(200):
+        text = rand_text(rng.randint(0, 80))
+        want = golden.encode(text).ids
+        assert ours.encode(text) == want, repr(text)
+        assert py.encode(text) == want, repr(text)
+
+
 def test_added_token_roundtrip():
     ours, _ = _load_pair("Mistral-7B-v0.3")
     ids = ours.encode("[INST] hello [/INST]")

@@ -59,7 +59,8 @@ def main(argv=None) -> int:
     ap.add_argument("--quantization", default=None,
                     choices=["int8", "int4"],
                     help="weight-only quantization")
-    ap.add_argument("--quant-group-size", type=int, default=128)
+    ap.add_argument("--quant-group-size", type=int, default=None,
+                    help="default: 64 for int4, 128 for int8")
     ap.add_argument("--mesh", default=None, metavar="DP,SP,TP",
                     help="shard over a device mesh, e.g. 1,1,8")
     ap.add_argument("--speculative", default=None, choices=["ngram"],

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass, field
-from typing import Callable, Dict, List, Optional, Sequence, Set
+from typing import Callable, Dict, List, Optional, Sequence, Set, Union
 
 import jax
 import jax.numpy as jnp
@@ -114,8 +114,10 @@ class Request:
     generated: List[int] = field(default_factory=list)
     finished: bool = False
     finish_reason: str = ""
-    # device-side pending first token from prefill
-    _pending_token: Optional[int] = None
+    # pending first token from prefill: burst admissions store a DEVICE
+    # [1] jax array here (synced lazily by step() via np.asarray — don't
+    # int() it at store time, that would serialize the burst)
+    _pending_token: Optional[Union[int, "jax.Array"]] = None
     # chunked-admission progress (tokens already in the pool) + hashes
     _chunk_pos: int = 0
     _hashes: List[int] = field(default_factory=list)

@@ -113,7 +113,8 @@ def main(argv: Optional[list] = None) -> int:
                     help="truncate the eval stream (0 = all)")
     ap.add_argument("--quantization", default=None,
                     choices=["int8", "int4"])
-    ap.add_argument("--quant-group-size", type=int, default=128)
+    ap.add_argument("--quant-group-size", type=int, default=None,
+                    help="default: 64 for int4, 128 for int8")
     args = ap.parse_args(argv)
 
     from tinygpt_tpu.hf.loader import load_model_dir
@@ -123,9 +124,12 @@ def main(argv: Optional[list] = None) -> int:
     if args.quantization:
         from tinygpt_tpu.ops.quant import quantize_params
 
+        from tinygpt_tpu.engine.engine import resolve_quant_group
+
         bits = {"int8": 8, "int4": 4}[args.quantization]
-        params = quantize_params(params, bits=bits,
-                                 group_size=args.quant_group_size)
+        params = quantize_params(
+            params, bits=bits,
+            group_size=resolve_quant_group(bits, args.quant_group_size))
     with open(args.text, "r", encoding="utf-8") as f:
         text = f.read()
     ids = ctx.tokenizer.encode(text)

@@ -46,7 +46,7 @@ class ServerConfig:
     chat_template_file: Optional[str] = None
     web_dir: Optional[str] = None
     quantization: Optional[str] = None  # None | "int8" | "int4"
-    quant_group_size: int = 128
+    quant_group_size: Optional[int] = None  # None = auto (64 int4 / 128 int8)
     mesh_shape: Optional[tuple] = None  # (dp, sp, tp) device mesh
     speculative: bool = False  # n-gram spec decode quanta (greedy rows)
     # "continuous" = paged continuous batching; "sequential" = the
@@ -339,7 +339,8 @@ def main(argv=None) -> None:
     ap.add_argument("--web-dir", default=None)
     ap.add_argument("--quantization", default=None,
                     choices=["int8", "int4"])
-    ap.add_argument("--quant-group-size", type=int, default=128)
+    ap.add_argument("--quant-group-size", type=int, default=None,
+                    help="default: 64 for int4, 128 for int8")
     ap.add_argument("--mesh", default=None, metavar="DP,SP,TP",
                     help="shard the engine over a device mesh, e.g. 1,1,8")
     ap.add_argument("--scheduler", default="continuous",
