@@ -201,12 +201,29 @@ def _dense_logits(cfg, model, params, token_ids):
     return np.asarray(logits[0, -1])
 
 
-def test_scheduler_matches_dense_greedy(llama):
+@pytest.fixture(scope="module")
+def gpt2(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tiny_gpt2_paged")
+    build_tiny_model_dir("gpt2", str(d), seed=22)
+    cfg = load_model_config(str(d))
+    model = get_model(cfg.model_type)
+    params = model.load_params(cfg, load_safetensors_dir(str(d)),
+                               dtype=jnp.float32)
+    return cfg, model, params
+
+
+@pytest.mark.parametrize("family", ["llama", "gpt2"])
+def test_scheduler_matches_dense_greedy(family, request):
     """Every token the batched/paged path emits must be the dense model's
     greedy choice under teacher forcing (ties within float-reduction noise
     are accepted — XLA CPU reduction order is thread-timing dependent on
-    near-tie logits of a tiny random model)."""
-    cfg, model, params = llama
+    near-tie logits of a tiny random model). Parametrized over llama AND
+    gpt2: the reference serves GPT-2 through the same uniform engine
+    (/root/reference/src/huggingface/ModelLoader.cpp:50-68), so gpt2 must
+    ride the same frozen-quantum continuous-batching architecture here."""
+    cfg, model, params = request.getfixturevalue(family)
+    # both families must take the FAST path (frozen-pool quanta)
+    assert hasattr(model, "decode_paged_steps")
     rng = np.random.default_rng(3)
     prompts = [list(rng.integers(2, cfg.vocab_size, n)) for n in (5, 9, 3)]
     n_new = 6

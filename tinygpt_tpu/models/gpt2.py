@@ -170,6 +170,199 @@ def forward(
     return logits.astype(jnp.float32), new_cache
 
 
+def decode_steps(
+    params: Dict,
+    cfg: ModelConfig,
+    tok0: jnp.ndarray,   # [B] first input token of the chunk
+    cache: KVCache,
+    pos0: jnp.ndarray,   # [B, 1] logical position of tok0
+    keys: jnp.ndarray,   # [n_steps, ...] per-step sampler keys
+    sample_fn,           # (logits [B, V], key) -> tok [B] int32
+    attn_impl: str = "xla",
+) -> Tuple[jnp.ndarray, KVCache]:
+    """n_steps single-token decode steps as ONE scanned program with the
+    KV cache FROZEN — the GPT-2 variant of causal_lm.decode_steps
+    (learned wpe instead of RoPE, LayerNorm biases, GELU MLP, Nk == Nq).
+    The reference decodes GPT-2 through the same uniform engine loop as
+    every family (/root/reference/src/engine/GPTEngine.cpp:154-174)."""
+    from tinygpt_tpu.ops.attention import sdpa_decode_frozen
+
+    B = tok0.shape[0]
+    n_steps = keys.shape[0]
+    L = cfg.num_hidden_layers
+    N, D, H = cfg.num_attention_heads, cfg.head_dim, cfg.hidden_size
+    slot0 = cache.length
+
+    infl_k0 = jnp.zeros((L, B, N, n_steps, D), cache.k.dtype)
+    infl_v0 = jnp.zeros((L, B, N, n_steps, D), cache.v.dtype)
+    # one whole-chunk K transpose for the scores dot (see causal_lm)
+    kT = jnp.swapaxes(cache.k, 3, 4)
+
+    def one_step(tok, positions, infl_k, infl_v, step):
+        x = params["wte"][tok[:, None]] + params["wpe"][positions]
+
+        def layer_fn(x, scanned):
+            lp, ik, iv = scanned
+            h = layer_norm(x, lp["ln1_w"], lp["ln1_b"],
+                           cfg.layer_norm_epsilon)
+            qkv = matmul_any(h, lp["qkv_w"]) + lp["qkv_b"]
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(B, 1, N, D)
+            k = k.reshape(B, 1, N, D)
+            v = v.reshape(B, 1, N, D)
+            ik = jax.lax.dynamic_update_slice(
+                ik, k.transpose(0, 2, 1, 3).astype(ik.dtype),
+                (0, 0, step, 0))
+            iv = jax.lax.dynamic_update_slice(
+                iv, v.transpose(0, 2, 1, 3).astype(iv.dtype),
+                (0, 0, step, 0))
+            lix = lp["_l"]
+            kfz = jax.lax.dynamic_index_in_dim(kT, lix, 0, keepdims=False)
+            vfz = jax.lax.dynamic_index_in_dim(cache.v, lix, 0,
+                                               keepdims=False)
+            attn = sdpa_decode_frozen(
+                q, kfz, vfz, cache.kv_pos, cache.valid, ik, iv, step,
+                positions, k_transposed=True)
+            x = x + matmul_any(attn.reshape(B, 1, H), lp["o_w"]) \
+                + lp["o_b"]
+            h = layer_norm(x, lp["ln2_w"], lp["ln2_b"],
+                           cfg.layer_norm_epsilon)
+            h = jax.nn.gelu(matmul_any(h, lp["fc_w"]) + lp["fc_b"],
+                            approximate=True)
+            x = x + matmul_any(h, lp["proj_w"]) + lp["proj_b"]
+            return x, (ik, iv)
+
+        lyrs = dict(params["layers"])
+        lyrs["_l"] = jnp.arange(L, dtype=jnp.int32)
+        x, (infl_k, infl_v) = jax.lax.scan(
+            layer_fn, x, (lyrs, infl_k, infl_v))
+        x = layer_norm(x, params["lnf_w"], params["lnf_b"],
+                       cfg.layer_norm_epsilon)
+        logits = x @ params["wte"].T
+        return logits.astype(jnp.float32), infl_k, infl_v
+
+    def body(carry, key_step):
+        tok, pos, infl_k, infl_v, step = carry
+        logits, infl_k, infl_v = one_step(tok, pos, infl_k, infl_v, step)
+        nxt = sample_fn(logits[:, -1, :], key_step).astype(jnp.int32)
+        return (nxt, pos + 1, infl_k, infl_v, step + 1), nxt
+
+    (tok, pos, infl_k, infl_v, _), toks = jax.lax.scan(
+        body, (tok0.astype(jnp.int32), pos0, infl_k0, infl_v0,
+               jnp.asarray(0, jnp.int32)), keys)
+
+    k = jax.lax.dynamic_update_slice(
+        cache.k, infl_k.astype(cache.k.dtype), (0, 0, 0, slot0, 0))
+    v = jax.lax.dynamic_update_slice(
+        cache.v, infl_v.astype(cache.v.dtype), (0, 0, 0, slot0, 0))
+    win_pos = pos0 + jnp.arange(n_steps, dtype=jnp.int32)[None, :]
+    kv_pos = jax.lax.dynamic_update_slice(cache.kv_pos, win_pos, (0, slot0))
+    valid = jax.lax.dynamic_update_slice(
+        cache.valid, jnp.ones((B, n_steps), jnp.bool_), (0, slot0))
+    new_cache = KVCache(k=k, v=v, kv_pos=kv_pos, valid=valid,
+                        length=slot0 + n_steps)
+    return toks, new_cache
+
+
+def decode_paged_steps(
+    params: Dict,
+    cfg: ModelConfig,
+    tok0: jnp.ndarray,   # [B]
+    state,               # PagedKVState
+    keys: jnp.ndarray,   # [n_steps, ...]
+    sample_fn,
+    attn_impl: str = "xla",
+):
+    """n_steps paged decode steps with the block POOLS frozen — the GPT-2
+    variant of causal_lm.decode_paged_steps (same frozen-quantum serving
+    architecture as every other family; learned wpe, no RoPE/GQA)."""
+    from tinygpt_tpu.ops.paged_attention import paged_decode_frozen
+
+    B = tok0.shape[0]
+    n_steps = keys.shape[0]
+    L = cfg.num_hidden_layers
+    N, D, H = cfg.num_attention_heads, cfg.head_dim, cfg.hidden_size
+    bs = state.block_size
+    lengths0, starts = state.lengths, state.starts
+    tables, active = state.block_tables, state.active
+    act_i = active.astype(jnp.int32)
+
+    infl_k0 = jnp.zeros((L, B, N, n_steps, D), state.k_pool.dtype)
+    infl_v0 = jnp.zeros((L, B, N, n_steps, D), state.v_pool.dtype)
+
+    def one_step(tok, infl_k, infl_v, step, kp, vp):
+        lengths_t = lengths0 + step * act_i
+        positions = (lengths_t - starts)[:, None]
+        x = params["wte"][tok[:, None]] + params["wpe"][positions]
+
+        def layer_fn(x, scanned):
+            lp, ik, iv = scanned
+            h = layer_norm(x, lp["ln1_w"], lp["ln1_b"],
+                           cfg.layer_norm_epsilon)
+            qkv = matmul_any(h, lp["qkv_w"]) + lp["qkv_b"]
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(B, 1, N, D)
+            k = k.reshape(B, 1, N, D)
+            v = v.reshape(B, 1, N, D)
+            ik = jax.lax.dynamic_update_slice(
+                ik, k.transpose(0, 2, 1, 3).astype(ik.dtype),
+                (0, 0, step, 0))
+            iv = jax.lax.dynamic_update_slice(
+                iv, v.transpose(0, 2, 1, 3).astype(iv.dtype),
+                (0, 0, step, 0))
+            attn = paged_decode_frozen(
+                q[:, 0], kp, vp, tables, lengths0, starts, ik, iv,
+                lp["_l"], step, scale=D ** -0.5, kernel=attn_impl)
+            x = x + matmul_any(attn.reshape(B, 1, H), lp["o_w"]) \
+                + lp["o_b"]
+            h = layer_norm(x, lp["ln2_w"], lp["ln2_b"],
+                           cfg.layer_norm_epsilon)
+            h = jax.nn.gelu(matmul_any(h, lp["fc_w"]) + lp["fc_b"],
+                            approximate=True)
+            x = x + matmul_any(h, lp["proj_w"]) + lp["proj_b"]
+            return x, (ik, iv)
+
+        lyrs = dict(params["layers"])
+        lyrs["_l"] = jnp.arange(L, dtype=jnp.int32)
+        x, (infl_k, infl_v) = jax.lax.scan(
+            layer_fn, x, (lyrs, infl_k, infl_v))
+        x = layer_norm(x, params["lnf_w"], params["lnf_b"],
+                       cfg.layer_norm_epsilon)
+        logits = x[:, 0] @ params["wte"].T
+        return logits.astype(jnp.float32), infl_k, infl_v
+
+    def body(carry, key_step):
+        tok, infl_k, infl_v, kp, vp, step = carry
+        logits, infl_k, infl_v = one_step(tok, infl_k, infl_v, step,
+                                          kp, vp)
+        nxt = sample_fn(logits, key_step).astype(jnp.int32)
+        return (nxt, infl_k, infl_v, kp, vp, step + 1), nxt
+
+    (tok, infl_k, infl_v, kp_out, vp_out, _), toks = jax.lax.scan(
+        body, (tok0.astype(jnp.int32), infl_k0, infl_v0,
+               state.k_pool, state.v_pool, jnp.asarray(0, jnp.int32)),
+        keys)
+
+    steps = jnp.arange(n_steps, dtype=jnp.int32)
+    slot_t = lengths0[None, :] + steps[:, None] * act_i[None, :]
+    rows = jnp.arange(B)
+    blk = tables[rows[None, :], slot_t // bs]
+    blk = jnp.where(active[None, :], blk, 0)
+    off = slot_t % bs
+    blkf, offf = blk.reshape(-1), off.reshape(-1)
+    vals_k = infl_k.transpose(3, 1, 0, 2, 4).reshape(
+        n_steps * B, L, N, D).astype(state.k_pool.dtype)
+    vals_v = infl_v.transpose(3, 1, 0, 2, 4).reshape(
+        n_steps * B, L, N, D).astype(state.v_pool.dtype)
+    k_pool = kp_out.at[:, blkf, :, offf, :].set(vals_k, mode="drop")
+    v_pool = vp_out.at[:, blkf, :, offf, :].set(vals_v, mode="drop")
+    new_state = state._replace(
+        k_pool=k_pool, v_pool=v_pool,
+        lengths=lengths0 + n_steps * act_i,
+    )
+    return toks, new_state
+
+
 def forward_paged(
     params: Dict,
     cfg: ModelConfig,
