@@ -548,6 +548,83 @@ def test_scheduler_tp_sharded_matches_single(llama):
         )
 
 
+def test_scheduler_dp_tp_sharded_matches_single(llama):
+    """Row-parallel continuous batching: a dp2 x tp2 mesh (rows, pools
+    and allocators partitioned over dp via shard_map; tp automatic) must
+    match the single-device scheduler's greedy streams, modulo near-tie
+    flips between the differently-compiled programs. More requests than
+    capacity, so rows recycle across dp shards."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    cfg, model, params = llama
+    rng = np.random.default_rng(37)
+    prompts = [list(int(x) for x in rng.integers(2, cfg.vocab_size, n))
+               for n in (4, 9, 18, 6, 21, 3)]
+
+    def run(mesh_shape):
+        batcher = ContinuousBatcher(
+            model, cfg, params, eos_ids=set(),
+            config=SchedulerConfig(
+                batch_capacity=4, block_size=16, n_blocks=64,
+                max_blocks_per_seq=8, prefill_bucket=16, dtype="float32",
+                mesh_shape=mesh_shape,
+            ),
+        )
+        for i, p in enumerate(prompts):
+            batcher.add_request(Request(request_id=i, prompt_ids=p,
+                                        max_new_tokens=6))
+        got = {i: [] for i in range(len(prompts))}
+        _drain(batcher, got)
+        return got
+
+    single = run(None)
+    sharded = run((2, 1, 2))
+    for rid in single:
+        a, b = single[rid], sharded[rid]
+        assert len(a) == len(b) == 6
+        if a == b:
+            continue
+        i = next(j for j in range(len(a)) if a[j] != b[j])
+        context = prompts[rid] + a[:i]
+        logits = _dense_logits(cfg, model, params, context)
+        top = float(logits.max())
+        assert top - logits[a[i]] < 1e-3 and top - logits[b[i]] < 1e-3, (
+            f"request {rid} diverges at {i} without a near-tie: "
+            f"{a[i]} vs {b[i]}"
+        )
+
+
+def test_scheduler_dp_prefix_cache_shard_local(llama):
+    """Prefix caching under dp: shared prefixes reuse blocks only within
+    a shard; streams must still match the no-cache run exactly."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 virtual devices")
+    cfg, model, params = llama
+    rng = np.random.default_rng(41)
+    system = [int(x) for x in rng.integers(2, cfg.vocab_size, 32)]
+    prompts = [system + [int(x) for x in rng.integers(2, cfg.vocab_size, n)]
+               for n in (5, 9, 7, 11)]
+
+    def run(cache_on):
+        batcher = ContinuousBatcher(
+            model, cfg, params, eos_ids=set(),
+            config=SchedulerConfig(
+                batch_capacity=4, block_size=16, n_blocks=64,
+                max_blocks_per_seq=8, prefill_bucket=16, dtype="float32",
+                mesh_shape=(2, 1, 1), enable_prefix_cache=cache_on,
+            ),
+        )
+        for i, p in enumerate(prompts):
+            batcher.add_request(Request(request_id=i, prompt_ids=p,
+                                        max_new_tokens=5))
+        got = {i: [] for i in range(len(prompts))}
+        _drain(batcher, got)
+        return got
+
+    a, b = run(True), run(False)
+    assert a == b
+
+
 def _drain(batcher, got=None):
     steps = 0
     while batcher.has_work and steps < 200:

@@ -156,9 +156,11 @@ class ContinuousBatcher:
             self.kv_dtype = jnp.float8_e4m3fn
         else:
             self.kv_dtype = resolve_dtype(sc.kv_cache_dtype)
-        # mesh / sharding (tp-only serving; see SchedulerConfig.mesh_shape)
+        # mesh / sharding (dp x tp serving; see SchedulerConfig.mesh_shape)
         self._mesh = None
         self._pool_spec = None
+        self._dp = 1
+        self._meta_spec = None  # PartitionSpec for row-indexed metadata
         if sc.mesh_shape is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from tinygpt_tpu.parallel.sharding import (
@@ -172,20 +174,37 @@ class ContinuousBatcher:
                 dp, sp, tp = shape[0], 1, shape[1]
             else:
                 dp, sp, tp = shape
-            if dp != 1 or sp != 1:
-                raise ValueError(
-                    "continuous batching shards tp only (dp=sp=1)"
-                )
-            self._mesh = make_mesh(n_devices=tp, dp=1, sp=1, tp=tp)
+            if sp != 1:
+                raise ValueError("continuous batching: sp must be 1")
+            if dp > 1:
+                # row-parallel serving: rows, pools and allocators are
+                # PARTITIONED over dp shards (shard_map with dp manual,
+                # tp automatic) — the decode quantum needs zero cross-
+                # shard collectives beyond tp's own all-reduces
+                if sc.batch_capacity % dp:
+                    raise ValueError("batch_capacity must divide by dp")
+                if sc.n_blocks % dp:
+                    raise ValueError("n_blocks must divide by dp")
+                if sc.prefill_chunk_tokens > 0:
+                    raise ValueError(
+                        "chunked prefill with dp serving not implemented"
+                    )
+                if not hasattr(self.model, "decode_paged_steps"):
+                    raise ValueError("dp serving needs the frozen-quantum "
+                                     "model path (decode_paged_steps)")
+            self._dp = dp
+            self._mesh = make_mesh(n_devices=dp * tp, dp=dp, sp=1, tp=tp)
             self.params = shard_params(
                 self.params, self._mesh,
                 param_pspecs(model_config, self.params),
             )
             kv_tp = ("tp" if model_config.num_kv_heads % tp == 0 and tp > 1
                      else None)
-            self._pool_spec = P(None, None, kv_tp, None, None)
-            log.info("scheduler sharded over tp=%d (kv heads %s)",
-                     tp, "sharded" if kv_tp else "replicated")
+            dp_ax = "dp" if dp > 1 else None
+            self._pool_spec = P(None, dp_ax, kv_tp, None, None)
+            self._meta_spec = P(dp_ax) if dp > 1 else None
+            log.info("scheduler sharded over dp=%d tp=%d (kv heads %s)",
+                     dp, tp, "sharded" if kv_tp else "replicated")
         self.state: PagedKVState = create_paged_state(
             model_config, sc.n_blocks, sc.block_size, sc.batch_capacity,
             sc.max_blocks_per_seq, dtype=self.kv_dtype,
@@ -200,17 +219,24 @@ class ContinuousBatcher:
                 v_pool=jax.device_put(
                     self.state.v_pool,
                     NamedSharding(self._mesh, self._pool_spec)),
-                block_tables=self._put(self.state.block_tables),
-                lengths=self._put(self.state.lengths),
-                starts=self._put(self.state.starts),
-                active=self._put(self.state.active),
+                block_tables=self._put(self.state.block_tables,
+                                       self._meta_spec),
+                lengths=self._put(self.state.lengths, self._meta_spec),
+                starts=self._put(self.state.starts, self._meta_spec),
+                active=self._put(self.state.active, self._meta_spec),
             )
         # block bookkeeping + prefix index: native (csrc/kvpool.cpp) when
         # available, pure-Python otherwise — identical semantics and
-        # allocation order
+        # allocation order. Under dp serving each shard owns its OWN
+        # allocator over n_blocks/dp LOCAL block ids (each shard's local
+        # block 0 is its null block); tables store shard-local ids and the
+        # prefix cache shares only within a shard.
         from tinygpt_tpu.engine.native_pool import create_pool_index
 
-        self.allocator = create_pool_index(sc.n_blocks)
+        self._rows_per_shard = sc.batch_capacity // self._dp
+        self.allocators = [create_pool_index(sc.n_blocks // self._dp)
+                           for _ in range(self._dp)]
+        self.allocator = self.allocators[0]  # dp=1 compat alias
         self.waiting: List[Request] = []
         self._admitting: Optional[Request] = None  # chunked prefill
         self.running: Dict[int, Request] = {}  # row -> Request
@@ -238,7 +264,13 @@ class ContinuousBatcher:
         # parallel-reduction splits vary with load, which would make
         # numerics differ between otherwise identical batchers)
         use_frozen = hasattr(self.model, "decode_paged_steps")
-        if use_frozen:
+        if self._dp > 1:
+            # row-parallel quantum: shard_map over dp, tp automatic
+            self._decode_fn = _make_dp_decode_frozen(
+                self._mesh, self.model.decode_paged_steps, self.cfg,
+                self.sc.attn_impl,
+            )
+        elif use_frozen:
             # frozen-pool quantum: pools are loop invariants, one scatter
             # per quantum (see causal_lm.decode_paged_steps)
             self._decode_fn = functools.partial(
@@ -251,11 +283,18 @@ class ContinuousBatcher:
                 _decode_quantum, forward_paged=self.model.forward_paged,
                 cfg=self.cfg, attn_impl=self.sc.attn_impl,
             )
+        self._admit_dp = None
+        if self._dp > 1:
+            self._admit_dp = _make_dp_admit(
+                self._mesh, self.model.forward, self.cfg, sc.attn_impl,
+                sc.block_size, jnp.dtype(self.kv_dtype).name,
+            )
         self._spec_fn = None
         if (
             sc.speculative == "ngram"
             and hasattr(self.model, "decode_paged_spec_steps")
             and model_config.sliding_window is None
+            and self._dp == 1  # spec quanta not yet shard-mapped over dp
         ):
             self._spec_fn = functools.partial(
                 _decode_quantum_spec,
@@ -276,6 +315,12 @@ class ContinuousBatcher:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         return jax.device_put(x, NamedSharding(self._mesh, spec or P()))
+
+    def _shard_of(self, row: int) -> int:
+        return row // self._rows_per_shard
+
+    def _alloc_of(self, row: int):
+        return self.allocators[self._shard_of(row)]
 
     # -- public API -------------------------------------------------------
 
@@ -350,9 +395,9 @@ class ContinuousBatcher:
         if req.row >= 0:
             # blocks registered in the prefix cache survive as idle-cached
             # (reclaimed LRU when the pool runs dry)
-            keep = [b for b in req.blocks
-                    if self.allocator.is_registered(b)]
-            self.allocator.release(req.blocks, keep_cached=keep)
+            alloc = self._alloc_of(req.row)
+            keep = [b for b in req.blocks if alloc.is_registered(b)]
+            alloc.release(req.blocks, keep_cached=keep)
             req.blocks = []
             self._active[req.row] = False
             self.running.pop(req.row, None)
@@ -422,35 +467,45 @@ class ContinuousBatcher:
             req.finish_reason = "length"
             return False
 
-        # longest cached block prefix, leaving >= 1 token to prefill.
-        # share() PINS the looked-up blocks immediately: alloc()'s LRU
-        # reclaim may otherwise evict an idle-cached prefix block we just
-        # found and hand it back as this request's private suffix block
-        # (same physical block twice in the table -> silent corruption).
+        # pick a target row/shard: under dp, rows and blocks live in
+        # per-shard partitions — try each shard that has a free row until
+        # one can hold the prompt (prefix reuse is shard-local)
         hashes = self._block_hashes(req.prompt_ids)
         n_shareable = min(len(hashes), (S - 1) // bs)
-        shared: List[int] = []
-        if sc.enable_prefix_cache:
-            for j in range(n_shareable):
-                b = self.allocator.lookup_prefix(hashes[j])
-                if b is None:
-                    break
-                shared.append(b)
-        self.allocator.share(shared)
-        p_blk = len(shared)
-        p_len = p_blk * bs
-        suffix = req.prompt_ids[p_len:]
-        S_suf = len(suffix)
+        row = None
+        for cand in reversed(self.free_rows):  # pop order
+            alloc = self._alloc_of(cand)
+            # longest cached block prefix, leaving >= 1 token to prefill.
+            # share() PINS the looked-up blocks immediately: alloc()'s LRU
+            # reclaim may otherwise evict an idle-cached prefix block we
+            # just found and hand it back as this request's private suffix
+            # block (same physical block twice in the table -> silent
+            # corruption).
+            shared: List[int] = []
+            if sc.enable_prefix_cache:
+                for j in range(n_shareable):
+                    b = alloc.lookup_prefix(hashes[j])
+                    if b is None:
+                        break
+                    shared.append(b)
+            alloc.share(shared)
+            p_blk = len(shared)
+            p_len = p_blk * bs
+            suffix = req.prompt_ids[p_len:]
+            S_suf = len(suffix)
 
-        n_private = blocks_needed(S_suf, bs)
-        private = self.allocator.alloc(n_private)
-        if private is None:
-            # no memory yet — stay queued; unpin the prefix back to the
-            # idle-cached tier so it stays reclaimable
-            keep = [b for b in shared if self.allocator.is_registered(b)]
-            self.allocator.release(shared, keep_cached=keep)
+            n_private = blocks_needed(S_suf, bs)
+            private = alloc.alloc(n_private)
+            if private is not None:
+                row = cand
+                break
+            # no memory in this shard — unpin the prefix back to the
+            # idle-cached tier so it stays reclaimable; try another shard
+            keep = [b for b in shared if alloc.is_registered(b)]
+            alloc.release(shared, keep_cached=keep)
+        if row is None:
             return False
-        row = self.free_rows.pop()
+        self.free_rows.remove(row)
         req.row = row
         req.blocks = shared + private
         self.running[row] = req
@@ -469,7 +524,7 @@ class ContinuousBatcher:
 
         self._key, k = jax.random.split(self._key)
         s = req.sampler
-        tok_dev, self.state = _admit_program(
+        admit_args = (
             self.params, self.state,
             self._put(np.asarray(shared, np.int32)),
             self._put(np.asarray(private, np.int32)),
@@ -481,14 +536,24 @@ class ContinuousBatcher:
                                  np.float32)),
             self._put(np.asarray([s.min_p or 0.0], np.float32)),
             self._put(k),
-            forward=self.model.forward, cfg=self.cfg,
-            attn_impl=sc.attn_impl, block_size=bs,
-            kv_dtype=jnp.dtype(self.kv_dtype).name,
         )
+        if self._dp > 1:
+            owner = self._shard_of(row)
+            tok_dev, self.state = self._admit_dp(
+                *admit_args, self._put(np.asarray([owner], np.int32)))
+            tok_dev = tok_dev[owner : owner + 1]
+        else:
+            tok_dev, self.state = _admit_program(
+                *admit_args,
+                forward=self.model.forward, cfg=self.cfg,
+                attn_impl=sc.attn_impl, block_size=bs,
+                kv_dtype=jnp.dtype(self.kv_dtype).name,
+            )
         # register newly completed whole blocks for future reuse
         if sc.enable_prefix_cache:
             for j in range(p_blk, len(hashes)):
-                self.allocator.register_prefix(hashes[j], req.blocks[j])
+                self._alloc_of(row).register_prefix(hashes[j],
+                                                    req.blocks[j])
 
         # host bookkeeping: trailing padding ⇒ starts = 0, length = S.
         # The first token stays a DEVICE array: step() admits every
@@ -637,7 +702,7 @@ class ContinuousBatcher:
                 if blk_idx >= sc.max_blocks_per_seq:
                     break
                 if blk_idx >= len(req.blocks):
-                    got = self.allocator.alloc(1)
+                    got = self._alloc_of(row).alloc(1)
                     if got is None:
                         break
                     req.blocks.extend(got)
@@ -757,14 +822,17 @@ class ContinuousBatcher:
         rows_live = list(self.running.keys())
         all_greedy = bool(np.all(self._temps[rows_live] == 0.0))
         # chained input tokens stay ON DEVICE between pipelined quanta
+        ms = self._meta_spec
         tok_in = (self._tokens_dev if self._tokens_dev is not None
-                  else self._put(self._tokens.copy()))
+                  else self._put(self._tokens.copy(), ms))
         # .copy(): these mirrors are mutated below while the dispatch may
         # still be in flight (see _sync_state_meta)
         toks_seq, self.state = self._decode_fn(
             self.params, self.state, tok_in,
-            self._put(self._temps.copy()), self._put(self._topks.copy()),
-            self._put(self._topps.copy()), self._put(self._minps.copy()),
+            self._put(self._temps.copy(), ms),
+            self._put(self._topks.copy(), ms),
+            self._put(self._topps.copy(), ms),
+            self._put(self._minps.copy(), ms),
             self._put(k), n_steps=n_steps, all_greedy=all_greedy,
         )
         was_active = self._active.copy()
@@ -840,11 +908,12 @@ class ContinuousBatcher:
         are mutated right after the (async) dispatch — an aliased upload
         lets the in-flight program read post-mutation values (observed as
         K/V writes landing one slot too far, rarely and timing-dependent)."""
+        ms = self._meta_spec
         self.state = self.state._replace(
-            block_tables=self._put(self._tables.copy()),
-            lengths=self._put(self._lengths.copy()),
-            starts=self._put(self._starts.copy()),
-            active=self._put(self._active.copy()),
+            block_tables=self._put(self._tables.copy(), ms),
+            lengths=self._put(self._lengths.copy(), ms),
+            starts=self._put(self._starts.copy(), ms),
+            active=self._put(self._active.copy(), ms),
         )
 
 
@@ -1063,6 +1132,127 @@ def _seed_dense_from_pool(cache, state: PagedKVState, blocks,
         k=k, v=v, kv_pos=kv_pos, valid=valid,
         length=jnp.asarray(p_len, jnp.int32),
     )
+
+
+# -- dp (row-parallel) serving ----------------------------------------------
+#
+# Rows, pools and allocators are PARTITIONED over the mesh's dp axis:
+# shard s owns rows [s*B/dp, (s+1)*B/dp) and its own n_blocks/dp block
+# pool (tables hold shard-LOCAL block ids; each shard's local block 0 is
+# its null block). The decode quantum runs under jax.shard_map with ONLY
+# "dp" manual — inside, each shard executes the unmodified frozen-pool
+# quantum on its local rows/pool, so dp adds ZERO cross-shard collectives;
+# "tp" stays automatic and GSPMD inserts its usual all-reduces from the
+# params' NamedShardings (same partial-manual composition as
+# parallel/pipeline.py). Admission replicates the prefill compute across
+# dp shards (prompt-sized, cheap relative to idle) and masks the pool
+# scatter to the owner shard; non-owners write their local null block.
+
+
+def _dp_state_specs():
+    from jax.sharding import PartitionSpec as P
+
+    return PagedKVState(
+        k_pool=P(None, "dp"), v_pool=P(None, "dp"),
+        block_tables=P("dp"), lengths=P("dp"), starts=P("dp"),
+        active=P("dp"),
+    )
+
+
+def _make_dp_decode_frozen(mesh, decode_paged_steps, cfg, attn_impl):
+    from jax.sharding import PartitionSpec as P
+
+    st = _dp_state_specs()
+
+    @functools.partial(jax.jit, donate_argnums=(1,),
+                       static_argnames=("n_steps", "all_greedy"))
+    def fn(params, state, tokens, temps, topks, topps, minps, key, *,
+           n_steps, all_greedy=False):
+        def body(params, state, tokens, temps, topks, topps, minps, key):
+            keys = jax.random.split(key, n_steps)
+            if all_greedy:
+                sample_fn = lambda lg, k: jnp.argmax(lg, -1).astype(
+                    jnp.int32)
+            else:
+                sample_fn = lambda lg, k: sample_batched(
+                    lg, temps, topks, topps, minps, k)
+            return decode_paged_steps(
+                params, cfg, tokens, state, keys, sample_fn,
+                attn_impl=attn_impl,
+            )
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), st, P("dp"), P("dp"), P("dp"), P("dp"),
+                      P("dp"), P()),
+            out_specs=(P(None, "dp"), st),
+            axis_names={"dp"},
+        )(params, state, tokens, temps, topks, topps, minps, key)
+
+    return fn
+
+
+def _make_dp_admit(mesh, forward, cfg, attn_impl, block_size, kv_dtype):
+    from jax.sharding import PartitionSpec as P
+
+    st = _dp_state_specs()
+    bs = block_size
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def fn(params, state, shared, private, ids, positions, valid,
+           last_pos, temp, topk, topp, minp, key, owner):
+        def body(params, state, shared, private, ids, positions, valid,
+                 last_pos, temp, topk, topp, minp, key, owner):
+            # the prefill scan mixes replicated inputs (ids) with the
+            # dp-varying pool (prefix seed), so its carry would flip from
+            # invariant to varying mid-scan — cast the inputs to varying
+            # up front (vma typing, see shard_map docs)
+            ids, positions, valid = (
+                jax.lax.pcast(a, ("dp",), to="varying")
+                for a in (ids, positions, valid))
+            mine = jax.lax.axis_index("dp") == owner[0]
+            p_blk = shared.shape[0]
+            p_len = p_blk * bs
+            n_private = private.shape[0]
+            S_in = ids.shape[1]
+            T_dense = p_len + S_in
+
+            cache = create_kv_cache(cfg, 1, T_dense,
+                                    dtype=jnp.dtype(kv_dtype))
+            if p_blk:
+                # non-owners gather garbage from their local pool; their
+                # logits are discarded below
+                cache = _seed_dense_from_pool.__wrapped__(
+                    cache, state, shared, bs)
+            logits, cache = forward(
+                params, cfg, ids, cache, positions, valid, last_only=True,
+                attn_impl=attn_impl, last_pos=last_pos,
+            )
+            # owner scatters into its private blocks; non-owners dump
+            # into their local null block 0 (a write-only dumpster)
+            tgt = jnp.where(mine, private, jnp.zeros_like(private))
+            state = _scatter_prefill.__wrapped__(
+                state,
+                jax.lax.dynamic_slice_in_dim(
+                    cache.k[:, 0], p_len, n_private * bs, axis=2),
+                jax.lax.dynamic_slice_in_dim(
+                    cache.v[:, 0], p_len, n_private * bs, axis=2),
+                tgt, bs,
+            )
+            tok = sample_batched(logits[:, -1, :], temp, topk, topp, minp,
+                                 key)
+            return tok, state
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), st, P(), P(), P(), P(), P(), P(), P(), P(),
+                      P(), P(), P(), P()),
+            out_specs=(P("dp"), st),
+            axis_names={"dp"},
+        )(params, state, shared, private, ids, positions, valid,
+          last_pos, temp, topk, topp, minp, key, owner)
+
+    return fn
 
 
 @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(4,))

@@ -569,6 +569,17 @@ def decode_steps(
     return toks, new_cache
 
 
+def vary_like(x, ref):
+    """Give x the same varying-manual-axes type as ref (no-op outside
+    shard_map). Under the scheduler's row-parallel serving the decode
+    quantum runs inside shard_map with a manual dp axis; scan carries
+    that start as freshly-created zeros (invariant) but get dp-varying
+    writes must ENTER the scan already dp-varying or vma typing rejects
+    the loop."""
+    vma = getattr(jax.typeof(ref), "vma", frozenset())
+    return jax.lax.pcast(x, tuple(vma), to="varying") if vma else x
+
+
 def decode_paged_steps(
     params: Dict,
     cfg: ModelConfig,
@@ -613,8 +624,10 @@ def decode_paged_steps(
 
     infl_dt = jnp.bfloat16 if jnp.dtype(state.k_pool.dtype).itemsize < 2 \
         else state.k_pool.dtype
-    infl_k0 = jnp.zeros((L, B, Nk, n_steps, D), infl_dt)
-    infl_v0 = jnp.zeros((L, B, Nk, n_steps, D), infl_dt)
+    infl_k0 = vary_like(jnp.zeros((L, B, Nk, n_steps, D), infl_dt),
+                        state.k_pool)
+    infl_v0 = vary_like(jnp.zeros((L, B, Nk, n_steps, D), infl_dt),
+                        state.k_pool)
 
     def one_step(tok, infl_k, infl_v, step, kp, vp):
         lengths_t = lengths0 + step * act_i

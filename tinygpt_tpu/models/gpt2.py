@@ -287,8 +287,12 @@ def decode_paged_steps(
     tables, active = state.block_tables, state.active
     act_i = active.astype(jnp.int32)
 
-    infl_k0 = jnp.zeros((L, B, N, n_steps, D), state.k_pool.dtype)
-    infl_v0 = jnp.zeros((L, B, N, n_steps, D), state.v_pool.dtype)
+    from tinygpt_tpu.models.causal_lm import vary_like
+
+    infl_k0 = vary_like(jnp.zeros((L, B, N, n_steps, D),
+                                  state.k_pool.dtype), state.k_pool)
+    infl_v0 = vary_like(jnp.zeros((L, B, N, n_steps, D),
+                                  state.v_pool.dtype), state.k_pool)
 
     def one_step(tok, infl_k, infl_v, step, kp, vp):
         lengths_t = lengths0 + step * act_i
