@@ -1,12 +1,13 @@
 """Tokenizer encode-throughput benchmark.
 
-Mirrors the reference's methodology (/root/reference/benches/tokenizer.py:
-batch encode throughput with a thread sweep, correctness sanity assert
-before timing) without its network dependency: instead of downloading
-XNLI, a deterministic multilingual corpus is synthesized locally; instead
-of tiktoken (needs a network fetch for the BPE file) the comparison is
-tinygpt-native vs tinygpt-python vs HF `tokenizers` on the same
-tokenizer.json.
+Mirrors the reference's THREE-WAY methodology
+(/root/reference/benches/tokenizer.py: tinygpt vs HF tokenizers vs
+OpenAI tiktoken, with a correctness cross-check assert before timing)
+without its network dependencies: instead of downloading XNLI, a
+deterministic multilingual corpus is synthesized locally; instead of
+tiktoken's network-fetched BPE file, a tiktoken Encoding is constructed
+OFFLINE from the same local gpt2 tokenizer.json (byte-level vocab ranks
+ARE the mergeable ranks), so all three engines tokenize identically.
 
 Usage: python benches/tokenizer_bench.py [--model-dir DIR] [--mb 8]
 """
@@ -55,6 +56,42 @@ def make_corpus(target_mb: float, seed: int = 0):
     return texts, total
 
 
+def tiktoken_from_tokenizer_json(path: str):
+    """Build a tiktoken Encoding OFFLINE from a byte-level BPE
+    tokenizer.json: vocab tokens map through the ByteLevel unicode table
+    back to raw bytes, and their ids are the mergeable ranks (gpt2's
+    vocab is ordered by merge rank by construction). Returns None when
+    the file is not a plain byte-level BPE (tiktoken can't express it)."""
+    import json as _json
+
+    import tiktoken
+
+    from tinygpt_tpu.tokenizer.byte_level import unicode_str_to_bytes
+
+    with open(path) as f:
+        tj = _json.load(f)
+    # older exports omit model.type; require merges+vocab (BPE shape)
+    model = tj.get("model", {})
+    if model.get("type") not in (None, "BPE") or "merges" not in model:
+        return None
+    pre = tj.get("pre_tokenizer") or {}
+    if pre.get("type") != "ByteLevel":
+        return None
+    vocab = tj["model"]["vocab"]
+    specials = {t["content"]: t["id"] for t in tj.get("added_tokens", [])}
+    ranks = {}
+    for token, tid in vocab.items():
+        if token in specials:
+            continue
+        ranks[unicode_str_to_bytes(token)] = tid
+    pat = (r"""'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+|"""
+           r""" ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""")
+    return tiktoken.Encoding(
+        name="gpt2-local", pat_str=pat, mergeable_ranks=ranks,
+        special_tokens=specials,
+    )
+
+
 def bench(fn, texts, repeats=3):
     best = float("inf")
     for _ in range(repeats):
@@ -88,16 +125,28 @@ def main():
     except Exception:
         hf = None
 
+    try:
+        tk = tiktoken_from_tokenizer_json(
+            os.path.join(args.model_dir, "tokenizer.json"))
+    except Exception:
+        tk = None
+
     texts, total_bytes = make_corpus(args.mb)
     mb = total_bytes / 1e6
 
-    # correctness sanity before timing (reference: benches/tokenizer.py:79)
+    # correctness cross-check before timing: all engines must agree
+    # (reference: benches/tokenizer.py:67-80 asserts tinygpt == HF ==
+    # tiktoken on every text)
     sanity = "The quick brown fox! 你好 🌍 it's 1234"
     ours = tok.encode(sanity, add_special_tokens=False)
     assert ours == tok_py.encode(sanity, add_special_tokens=False)
     if hf is not None:
         assert ours == hf.encode(sanity, add_special_tokens=False).ids, \
             "sanity mismatch vs HF"
+    if tk is not None:
+        for t in [sanity] + texts[:50]:
+            assert tok.encode(t, add_special_tokens=False) == \
+                tk.encode(t), f"tiktoken cross-check mismatch on {t[:40]!r}"
 
     results = {}
     print(f"corpus: {len(texts)} texts, {mb:.1f} MB "
@@ -116,6 +165,14 @@ def main():
         dt = bench(lambda ts: [hf.encode(t) for t in ts], texts)
         results["hf_tokenizers_serial"] = mb / dt
         print(f"hf-tokenizers   serial      {mb / dt:8.1f} MB/s")
+    if tk is not None:
+        dt = bench(lambda ts: tk.encode_ordinary_batch(ts, num_threads=8),
+                   texts)
+        results["tiktoken_batch_t8"] = mb / dt
+        print(f"tiktoken        threads=8   {mb / dt:8.1f} MB/s")
+        dt = bench(lambda ts: [tk.encode_ordinary(t) for t in ts], texts)
+        results["tiktoken_serial"] = mb / dt
+        print(f"tiktoken        serial      {mb / dt:8.1f} MB/s")
 
     print(json.dumps({"metric": "tokenizer_encode_mb_s",
                       "results": {k: round(v, 1) for k, v in results.items()}}))
