@@ -132,12 +132,23 @@ def run(batch: int = 4, decode_steps: int = 32, bits: int = 4,
     toks, cache = decode_n(params, tok, cache, pos0)
     np.asarray(toks)
     print(f"compile+first: {time.perf_counter()-t0:.0f}s", file=sys.stderr)
+    # chain several chunk dispatches per fence: the tunneled backend's
+    # host sync costs ~25 ms per np.asarray round trip (measured,
+    # benches/flagship_profile.py "empty" phase) — a single-call timing
+    # would charge ~0.8 ms/step of pure host latency to the device. The
+    # engine and scheduler pipeline dispatches exactly like this
+    # (device-ahead-of-host / pipelined quanta), so the chained number is
+    # the honest steady-state decode rate. Token chaining keeps the calls
+    # data-dependent (no overlap-cheating): each chunk consumes the
+    # previous chunk's last token.
+    chain = 4
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        toks, cache = decode_n(params, tok, cache, pos0)
-        np.asarray(toks)  # timing fence (see bench.py)
-        best = min(best, time.perf_counter() - t0)
+        for _ in range(chain):
+            toks, cache = decode_n(params, toks[-1], cache, pos0)
+        np.asarray(toks)  # one fence per chain (see bench.py)
+        best = min(best, (time.perf_counter() - t0) / chain)
 
     hot = nbytes - params["embed"].size * 2  # embed gather is traffic-free
     res = {
@@ -152,8 +163,72 @@ def run(batch: int = 4, decode_steps: int = 32, bits: int = 4,
     if getattr(args, "serving", False):
         del cache
         gc.collect()
+        res.update(streaming_leg(cfg, params))
         res.update(serving_leg(cfg, params))
     return res
+
+
+def streaming_leg(cfg, params, max_new: int = 96, chunk: int = 8) -> dict:
+    """Inter-token cadence of the STREAMING decode path at the flagship
+    shape: the engine's generate_async runs decode in `stream_chunk`-step
+    dispatches with run-ahead (launch chunk k+1 before syncing chunk k),
+    so an SSE client sees a burst of `chunk` tokens every chunk-execution
+    interval. Reports client-perceived inter-token gap percentiles and
+    the steady streaming rate (same loop structure as
+    engine._prefill_and_loop, driven directly on the bench params)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from tinygpt_tpu.engine.kv_cache import create_kv_cache
+    from tinygpt_tpu.models import causal_lm
+
+    attn = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    cache = create_kv_cache(cfg, 1, 512, dtype=jnp.bfloat16)
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def chunk_fn(p, tok, c, pos0):
+        keys = jax.random.split(jax.random.PRNGKey(0), chunk)
+        return causal_lm.decode_steps(
+            p, cfg, tok, c, pos0, keys,
+            lambda lg, k: jnp.argmax(lg, -1).astype(jnp.int32),
+            attn_impl=attn,
+        )
+
+    tok = jnp.zeros((1,), jnp.int32)
+    step = 0
+    pos = 8
+
+    def launch(t):
+        nonlocal pos
+        out = chunk_fn(params, t, cache, jnp.full((1, 1), pos, jnp.int32))
+        pos += chunk
+        return out
+
+    nxt, cache = launch(tok)          # warm/compile
+    np.asarray(nxt)
+    arrivals = []
+    nxt, cache = launch(nxt[-1])
+    while step < max_new:
+        ahead = None
+        if step + chunk < max_new:
+            ahead, cache = launch(nxt[-1])
+        nh = np.asarray(nxt)          # sync; `ahead` runs meanwhile
+        now = time.perf_counter()
+        arrivals.extend([now] * len(nh))  # burst: all visible at once
+        step += len(nh)
+        if ahead is None:
+            break
+        nxt = ahead
+    gaps = np.diff(arrivals[chunk:]) * 1e3  # ms; skip first burst
+    span = arrivals[-1] - arrivals[chunk - 1]
+    return {
+        "stream_chunk": chunk,
+        "stream_itl_p50_ms": round(float(np.percentile(gaps, 50)), 2),
+        "stream_itl_p95_ms": round(float(np.percentile(gaps, 95)), 2),
+        "stream_tok_s": round((len(arrivals) - chunk) / span, 1),
+    }
 
 
 def serving_leg(cfg, params, n_requests: int = 16, prompt_len: int = 512,

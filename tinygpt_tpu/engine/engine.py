@@ -76,6 +76,12 @@ class GPTConfig:
     # TPU backends where per-call dispatch is expensive. 1 = per-token
     # dispatch (used by streaming).
     decode_chunk: int = 32
+    # decode steps per dispatch on the STREAMING path (generate_async):
+    # small, so SSE clients see near-per-token cadence instead of
+    # decode_chunk-sized bursts. Throughput holds because the run-ahead
+    # launch overlaps the ~25 ms host sync with the next chunk's device
+    # execution (sync < chunk execution time down to ~4 steps at 7B).
+    stream_chunk: int = 8
     # speculative decoding: None | "ngram" (prompt-lookup drafting — draft
     # tokens come from earlier occurrences of the current n-gram in the
     # context; one forward verifies draft_len+1 positions, which costs the
@@ -785,7 +791,8 @@ class GPTEngine:
                     return False
             return True
 
-        self._prefill_and_loop([text], self.config.max_tokens, on_token)
+        self._prefill_and_loop([text], self.config.max_tokens, on_token,
+                               decode_chunk=self.config.stream_chunk)
         tail = stream.flush()
         if not state["aborted"]:
             callback(tail, True)

@@ -176,11 +176,15 @@ class ContinuousBatcher:
                 dp, sp, tp = shape
             if sp != 1:
                 raise ValueError("continuous batching: sp must be 1")
-            if dp > 1:
+            procs = jax.process_count()
+            if dp > 1 or procs > 1:
                 # row-parallel serving: rows, pools and allocators are
                 # PARTITIONED over dp shards (shard_map with dp manual,
                 # tp automatic) — the decode quantum needs zero cross-
                 # shard collectives beyond tp's own all-reduces
+                if dp % procs:
+                    raise ValueError(
+                        f"dp={dp} must divide by process count {procs}")
                 if sc.batch_capacity % dp:
                     raise ValueError("batch_capacity must divide by dp")
                 if sc.n_blocks % dp:
@@ -193,18 +197,34 @@ class ContinuousBatcher:
                     raise ValueError("dp serving needs the frozen-quantum "
                                      "model path (decode_paged_steps)")
             self._dp = dp
-            self._mesh = make_mesh(n_devices=dp * tp, dp=dp, sp=1, tp=tp)
+            if procs > 1:
+                # multi-host serving: row shards span hosts over DCN (dp
+                # crosses slices, tp rides ICI within a slice). Every
+                # process runs the SAME scheduler host loop on the SAME
+                # request stream (SPMD serving — the multi-host contract,
+                # same as the dense engine's generate path); bookkeeping
+                # is deterministic so all hosts stay in lockstep.
+                from tinygpt_tpu.parallel.distributed import hybrid_mesh
+
+                self._mesh = hybrid_mesh(dcn_dp=procs, dp=dp // procs,
+                                         sp=1, tp=tp)
+                self._dp_axes = ("dcn_dp", "dp")
+            else:
+                self._mesh = make_mesh(n_devices=dp * tp, dp=dp, sp=1,
+                                       tp=tp)
+                self._dp_axes = ("dp",)
             self.params = shard_params(
                 self.params, self._mesh,
                 param_pspecs(model_config, self.params),
             )
             kv_tp = ("tp" if model_config.num_kv_heads % tp == 0 and tp > 1
                      else None)
-            dp_ax = "dp" if dp > 1 else None
+            dp_ax = self._dp_axes if dp > 1 else None
             self._pool_spec = P(None, dp_ax, kv_tp, None, None)
             self._meta_spec = P(dp_ax) if dp > 1 else None
-            log.info("scheduler sharded over dp=%d tp=%d (kv heads %s)",
-                     dp, tp, "sharded" if kv_tp else "replicated")
+            log.info("scheduler sharded over dp=%d tp=%d (%d processes, "
+                     "kv heads %s)", dp, tp, procs,
+                     "sharded" if kv_tp else "replicated")
         self.state: PagedKVState = create_paged_state(
             model_config, sc.n_blocks, sc.block_size, sc.batch_capacity,
             sc.max_blocks_per_seq, dtype=self.kv_dtype,
@@ -268,7 +288,7 @@ class ContinuousBatcher:
             # row-parallel quantum: shard_map over dp, tp automatic
             self._decode_fn = _make_dp_decode_frozen(
                 self._mesh, self.model.decode_paged_steps, self.cfg,
-                self.sc.attn_impl,
+                self.sc.attn_impl, axes=self._dp_axes,
             )
         elif use_frozen:
             # frozen-pool quantum: pools are loop invariants, one scatter
@@ -288,6 +308,7 @@ class ContinuousBatcher:
             self._admit_dp = _make_dp_admit(
                 self._mesh, self.model.forward, self.cfg, sc.attn_impl,
                 sc.block_size, jnp.dtype(self.kv_dtype).name,
+                axes=self._dp_axes,
             )
         self._spec_fn = None
         if (
@@ -318,6 +339,17 @@ class ContinuousBatcher:
 
     def _shard_of(self, row: int) -> int:
         return row // self._rows_per_shard
+
+    def _fetch(self, x) -> np.ndarray:
+        """Device values -> host numpy. Multi-process: row-sharded
+        outputs are not fully addressable on any one host — gather the
+        global value on every host (tokens are tiny; rides DCN)."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(
+                x, tiled=True))
+        return np.asarray(x)
 
     def _alloc_of(self, row: int):
         return self.allocators[self._shard_of(row)]
@@ -381,7 +413,7 @@ class ContinuousBatcher:
             if admitted:
                 # one sync point for the whole admission burst
                 for req in admitted:
-                    tok = int(np.asarray(req._pending_token)[0])
+                    tok = int(self._fetch(req._pending_token)[0])
                     req._pending_token = None
                     if req.row >= 0:
                         self._tokens[req.row] = tok
@@ -864,7 +896,7 @@ class ContinuousBatcher:
         (slots >= prompt length land in later blocks)."""
         toks_seq, n_steps, snapshot = inflight
         events: List[TokenEvent] = []
-        toks_host = np.asarray(toks_seq)  # [n_steps, B]
+        toks_host = self._fetch(toks_seq)  # [n_steps, B]
         for row, (req, m) in snapshot.items():
             for step in range(n_steps):
                 if req.finished:
@@ -1149,20 +1181,30 @@ def _seed_dense_from_pool(cache, state: PagedKVState, blocks,
 # scatter to the owner shard; non-owners write their local null block.
 
 
-def _dp_state_specs():
+def _dp_state_specs(axes=("dp",)):
     from jax.sharding import PartitionSpec as P
 
     return PagedKVState(
-        k_pool=P(None, "dp"), v_pool=P(None, "dp"),
-        block_tables=P("dp"), lengths=P("dp"), starts=P("dp"),
-        active=P("dp"),
+        k_pool=P(None, axes), v_pool=P(None, axes),
+        block_tables=P(axes), lengths=P(axes), starts=P(axes),
+        active=P(axes),
     )
 
 
-def _make_dp_decode_frozen(mesh, decode_paged_steps, cfg, attn_impl):
+def _dp_shard_index(axes):
+    """Global row-shard index inside shard_map: shards are ordered
+    major-to-minor over the manual axes (dcn_dp outer, dp inner)."""
+    idx = jnp.asarray(0, jnp.int32)
+    for ax in axes:
+        idx = idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
+    return idx
+
+
+def _make_dp_decode_frozen(mesh, decode_paged_steps, cfg, attn_impl,
+                           axes=("dp",)):
     from jax.sharding import PartitionSpec as P
 
-    st = _dp_state_specs()
+    st = _dp_state_specs(axes)
 
     @functools.partial(jax.jit, donate_argnums=(1,),
                        static_argnames=("n_steps", "all_greedy"))
@@ -1183,19 +1225,20 @@ def _make_dp_decode_frozen(mesh, decode_paged_steps, cfg, attn_impl):
 
         return jax.shard_map(
             body, mesh=mesh,
-            in_specs=(P(), st, P("dp"), P("dp"), P("dp"), P("dp"),
-                      P("dp"), P()),
-            out_specs=(P(None, "dp"), st),
-            axis_names={"dp"},
+            in_specs=(P(), st, P(axes), P(axes), P(axes), P(axes),
+                      P(axes), P()),
+            out_specs=(P(None, axes), st),
+            axis_names=set(axes),
         )(params, state, tokens, temps, topks, topps, minps, key)
 
     return fn
 
 
-def _make_dp_admit(mesh, forward, cfg, attn_impl, block_size, kv_dtype):
+def _make_dp_admit(mesh, forward, cfg, attn_impl, block_size, kv_dtype,
+                   axes=("dp",)):
     from jax.sharding import PartitionSpec as P
 
-    st = _dp_state_specs()
+    st = _dp_state_specs(axes)
     bs = block_size
 
     @functools.partial(jax.jit, donate_argnums=(1,))
@@ -1208,9 +1251,9 @@ def _make_dp_admit(mesh, forward, cfg, attn_impl, block_size, kv_dtype):
             # invariant to varying mid-scan — cast the inputs to varying
             # up front (vma typing, see shard_map docs)
             ids, positions, valid = (
-                jax.lax.pcast(a, ("dp",), to="varying")
+                jax.lax.pcast(a, axes, to="varying")
                 for a in (ids, positions, valid))
-            mine = jax.lax.axis_index("dp") == owner[0]
+            mine = _dp_shard_index(axes) == owner[0]
             p_blk = shared.shape[0]
             p_len = p_blk * bs
             n_private = private.shape[0]
@@ -1247,8 +1290,8 @@ def _make_dp_admit(mesh, forward, cfg, attn_impl, block_size, kv_dtype):
             body, mesh=mesh,
             in_specs=(P(), st, P(), P(), P(), P(), P(), P(), P(), P(),
                       P(), P(), P(), P()),
-            out_specs=(P("dp"), st),
-            axis_names={"dp"},
+            out_specs=(P(axes), st),
+            axis_names=set(axes),
         )(params, state, shared, private, ids, positions, valid,
           last_pos, temp, topk, topp, minp, key, owner)
 
