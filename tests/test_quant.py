@@ -142,6 +142,17 @@ def test_stacked_fused_kernel_matches_composition():
         )
         np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3,
                                    atol=2e-3, err_msg=f"silu l={l}")
+        # ln prologue + per-layer bias epilogue (qwen2 qkv path)
+        bias = rng.standard_normal((L, 1, OUT)).astype(np.float32)
+        inv = 1.0 / np.sqrt((x ** 2).mean(-1, keepdims=True) + 1e-6)
+        ref = (x * inv * ln[l]) @ wd[l] + bias[l]
+        got = matmul_dequant_int4_stacked_fused(
+            jnp.asarray(x), qt.data, qt.scales, li, group=G,
+            ln=jnp.asarray(ln), invrms=jnp.asarray(inv),
+            bias=jnp.asarray(bias), interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3,
+                                   atol=2e-3, err_msg=f"bias l={l}")
 
 
 def test_matmul_any_dispatch():
@@ -169,3 +180,47 @@ def test_quantized_tensor_is_pytree():
     # stackable for lax.scan (the model stacks per-layer weights)
     stacked = jax.tree.map(lambda a, b: jnp.stack([a, b]), qt, qt2)
     assert stacked.data.shape == (2, 64, 32)
+
+
+def test_mlp_mega_kernel_matches_composition():
+    """mlp_fused_int4_stacked (one-call gate_up+silu+down, interpret
+    mode) vs the explicit XLA/numpy composition through dequantized
+    weights, for each stacked layer."""
+    import jax
+
+    from tinygpt_tpu.ops.quant_kernels import (
+        mlp_fused_int4_stacked,
+        mlp_supported,
+    )
+
+    rng = np.random.default_rng(7)
+    L, H, I, M, G, BK = 2, 1024, 3072, 4, 64, 512
+    assert mlp_supported(H, I, G, bk=BK)
+    gu_w = rng.standard_normal((L, H, 2 * I)).astype(np.float32) * 0.05
+    dn_w = rng.standard_normal((L, I, H)).astype(np.float32) * 0.05
+    gu_qt = quantize_weight(gu_w, bits=4, group_size=G)
+    dn_qt = quantize_weight(dn_w, bits=4, group_size=G)
+    gu_d = [np.asarray(dequantize(
+        QuantizedTensor(gu_qt.data[i], gu_qt.scales[i], 4, G, H),
+        jnp.float32)) for i in range(L)]
+    dn_d = [np.asarray(dequantize(
+        QuantizedTensor(dn_qt.data[i], dn_qt.scales[i], 4, G, I),
+        jnp.float32)) for i in range(L)]
+    x = rng.standard_normal((M, H)).astype(np.float32)
+    ln = rng.standard_normal((L, 1, H)).astype(np.float32)
+    inv = 1.0 / np.sqrt((x ** 2).mean(-1, keepdims=True) + 1e-6)
+
+    def silu(v):
+        return v / (1 + np.exp(-v))
+
+    for l in range(L):
+        gu = (x * inv * ln[l]) @ gu_d[l]
+        ref = x + silu(gu[:, :I]) * gu[:, I:] @ dn_d[l]
+        got = mlp_fused_int4_stacked(
+            jnp.asarray(x), gu_qt.data, gu_qt.scales,
+            dn_qt.data, dn_qt.scales, jnp.asarray(ln),
+            jnp.asarray(inv), jnp.asarray(l, jnp.int32),
+            group=G, bk=BK, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3,
+                                   atol=2e-3, err_msg=f"layer {l}")

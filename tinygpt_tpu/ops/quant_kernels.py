@@ -38,15 +38,23 @@ def _pick_bk(total: int, group: int, target: int) -> int:
     """Largest multiple of `group` that divides `total` and is <= target.
     The contraction dim must tile EXACTLY: a padded tail block would feed
     unspecified values into the accumulator (M/OUT tails are safe — their
-    garbage rows/cols are sliced away by out_shape)."""
+    garbage rows/cols are sliced away by out_shape).
+
+    Prefers tiles whose scale-row count (bk/group) is a multiple of 8:
+    Mosaic requires a VMEM block's second-to-last dim be sublane-aligned
+    (8) or equal to the whole array dim, and the stacked kernels block
+    scales as [1, bk/group, bo] slices of the native [L, S, OUT] array.
+    When no aligned divisor exists (tiny models; IN=3072 at group 128),
+    fall back to ONE k-tile (bk == total) — the stacked int4 wrappers
+    then switch to full-scales blocks (see their full_scales flag)."""
     if total % group:
         raise ValueError(f"in_dim {total} not divisible by group {group}")
-    best = group
+    best = None
     for mult in range(1, total // group + 1):
         bk = group * mult
-        if total % bk == 0 and bk <= target:
+        if total % bk == 0 and bk <= target and (bk // group) % 8 == 0:
             best = bk
-    return best
+    return best if best is not None else total
 
 
 def _pick_bo(out: int, n_k: int, target: int = 4096) -> int:
@@ -375,7 +383,8 @@ def matmul_dequant_int8_stacked(
 
 
 def _int4_kernel_stacked(l_ref, x_lo_ref, x_hi_ref, w_ref, s_lo_ref,
-                         s_hi_ref, o_ref, acc_ref, *, n_k: int, group: int):
+                         s_hi_ref, o_ref, acc_ref, *, n_k: int, group: int,
+                         full_scales: bool = False):
     del l_ref
     k = pl.program_id(2)
 
@@ -391,8 +400,12 @@ def _int4_kernel_stacked(l_ref, x_lo_ref, x_hi_ref, w_ref, s_lo_ref,
 
     x_lo = x_lo_ref[:].astype(jnp.float32)
     x_hi = x_hi_ref[:].astype(jnp.float32)
+    # full_scales: n_k == 1 and both refs hold the whole [S, BO] scale
+    # plane pair; the hi rows sit at a static offset `rows` (a sub-8-row
+    # BLOCK is illegal in Mosaic, but static row indexing is fine).
     s_lo = s_lo_ref[0].astype(jnp.float32)
     s_hi = s_hi_ref[0].astype(jnp.float32)
+    hi_off = rows if full_scales else 0
     acc = acc_ref[:]
     for r in range(rows):
         sl = slice(r * group, (r + 1) * group)
@@ -402,7 +415,7 @@ def _int4_kernel_stacked(l_ref, x_lo_ref, x_hi_ref, w_ref, s_lo_ref,
             jnp.dot(x_lo[:, sl], lo[sl, :],
                     preferred_element_type=jnp.float32) - 8.0 * xs_lo
         )
-        acc = acc + s_hi[r][None, :] * (
+        acc = acc + s_hi[hi_off + r][None, :] * (
             jnp.dot(x_hi[:, sl], hi[sl, :],
                     preferred_element_type=jnp.float32) - 8.0 * xs_hi
         )
@@ -443,6 +456,18 @@ def matmul_dequant_int4_stacked(
     # rows for block k start at block-row k, the hi plane's at k + n_k
     # (half/group == n_k*rows exactly). No reshape/slice — those would
     # materialize a copy every layer inside a lax.scan body.
+    # rows % 8 != 0 (then n_k == 1, see _pick_bk): a [1, rows, bo] block
+    # is illegal in Mosaic — load the FULL scale dim and let the kernel
+    # index the hi plane at static offset `rows`.
+    full_scales = rows % 8 != 0
+    s_rows = scales.shape[1] if full_scales else rows
+
+    def s_lo_map(m, o, k, l):
+        return (l[0], 0 if full_scales else k, o)
+
+    def s_hi_map(m, o, k, l, _nk=n_k):
+        return (l[0], 0 if full_scales else k + _nk, o)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_m, n_o, n_k),
@@ -453,10 +478,9 @@ def matmul_dequant_int4_stacked(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bk, bo), lambda m, o, k, l: (l[0], k, o),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, bo), lambda m, o, k, l: (l[0], k, o),
+            pl.BlockSpec((1, s_rows, bo), s_lo_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, bo), lambda m, o, k, l, _nk=n_k:
-                         (l[0], k + _nk, o),
+            pl.BlockSpec((1, s_rows, bo), s_hi_map,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bo), lambda m, o, k, l: (m, o),
@@ -464,7 +488,8 @@ def matmul_dequant_int4_stacked(
         scratch_shapes=[pltpu.VMEM((bm, bo), jnp.float32)],
     )
     return pl.pallas_call(
-        functools.partial(_int4_kernel_stacked, n_k=n_k, group=group),
+        functools.partial(_int4_kernel_stacked, n_k=n_k, group=group,
+                          full_scales=full_scales),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((M, OUT), x.dtype),
         cost_estimate=pl.CostEstimate(
@@ -508,7 +533,9 @@ def matmul_dequant_stacked_tpu(x: jnp.ndarray, qt: "QuantizedTensor",
 
 
 def _int4_kernel_stacked_fused(*refs, n_k: int, group: int, has_ln: bool,
-                               has_silu: bool, has_res: bool):
+                               has_silu: bool, has_res: bool,
+                               has_bias: bool = False,
+                               full_scales: bool = False):
     it = iter(refs[1:])  # refs[0] = scalar prefetch (consumed by index_maps)
     if has_silu:
         g_lo_ref, g_hi_ref, u_lo_ref, u_hi_ref = (next(it) for _ in range(4))
@@ -518,6 +545,7 @@ def _int4_kernel_stacked_fused(*refs, n_k: int, group: int, has_ln: bool,
         ln_lo_ref, ln_hi_ref, inv_ref = (next(it) for _ in range(3))
     w_ref, s_lo_ref, s_hi_ref = next(it), next(it), next(it)
     res_ref = next(it) if has_res else None
+    bias_ref = next(it) if has_bias else None
     o_ref, acc_ref = next(it), next(it)
 
     k = pl.program_id(2)
@@ -547,8 +575,12 @@ def _int4_kernel_stacked_fused(*refs, n_k: int, group: int, has_ln: bool,
         x_lo = x_lo * inv * ln_lo_ref[0].astype(jnp.float32)
         x_hi = x_hi * inv * ln_hi_ref[0].astype(jnp.float32)
 
+    # full_scales: n_k == 1 and both refs hold the whole [S, BO] scale
+    # plane pair; hi rows sit at static offset `rows` (see
+    # _int4_kernel_stacked).
     s_lo = s_lo_ref[0].astype(jnp.float32)
     s_hi = s_hi_ref[0].astype(jnp.float32)
+    hi_off = rows if full_scales else 0
     acc = acc_ref[:]
     for r in range(rows):
         sl = slice(r * group, (r + 1) * group)
@@ -558,7 +590,7 @@ def _int4_kernel_stacked_fused(*refs, n_k: int, group: int, has_ln: bool,
             jnp.dot(x_lo[:, sl], lo[sl, :],
                     preferred_element_type=jnp.float32) - 8.0 * xs_lo
         )
-        acc = acc + s_hi[r][None, :] * (
+        acc = acc + s_hi[hi_off + r][None, :] * (
             jnp.dot(x_hi[:, sl], hi[sl, :],
                     preferred_element_type=jnp.float32) - 8.0 * xs_hi
         )
@@ -567,6 +599,8 @@ def _int4_kernel_stacked_fused(*refs, n_k: int, group: int, has_ln: bool,
     @pl.when(k == n_k - 1)
     def _():
         out = acc_ref[:]
+        if has_bias:
+            out = out + bias_ref[0].astype(jnp.float32)  # [1, BO]
         if has_res:
             out = out + res_ref[:].astype(jnp.float32)
         o_ref[:] = out.astype(o_ref.dtype)
@@ -585,6 +619,7 @@ def matmul_dequant_int4_stacked_fused(
     ln: jnp.ndarray = None,      # [L, 1, IN] norm weight (with invrms)
     invrms: jnp.ndarray = None,  # [M, 1] f32 per-row 1/rms
     res: jnp.ndarray = None,     # [M, OUT] residual added in the epilogue
+    bias: jnp.ndarray = None,    # [L, 1, OUT] per-layer bias epilogue
     silu: bool = False,          # x is gate||up; compute silu(g)*u
     bm: int = 256,
     bk: int = 1024,
@@ -600,6 +635,7 @@ def matmul_dequant_int4_stacked_fused(
     assert INP == half
     has_ln = ln is not None
     has_res = res is not None
+    has_bias = bias is not None
     bm = min(bm, _round_up(M, 8))
     bk = _pick_bk(INP, group, bk)
     if bo is None:  # see the bm<=32 note in matmul_dequant_int8
@@ -638,19 +674,34 @@ def matmul_dequant_int4_stacked_fused(
             pl.BlockSpec((bm, 1), lambda m, o, k, l: (m, 0),
                          memory_space=pltpu.VMEM),
         ])
+    # rows % 8 != 0 (then n_k == 1, see _pick_bk): sub-8-row scale blocks
+    # are illegal in Mosaic — load the full scale dim, static hi offset.
+    full_scales = rows % 8 != 0
+    s_rows = scales.shape[1] if full_scales else rows
+
+    def s_lo_map(m, o, k, l):
+        return (l[0], 0 if full_scales else k, o)
+
+    def s_hi_map(m, o, k, l, _nk=n_k):
+        return (l[0], 0 if full_scales else k + _nk, o)
+
     inputs.extend([data, scales, scales])
     in_specs.extend([
         pl.BlockSpec((1, bk, bo), lambda m, o, k, l: (l[0], k, o),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, rows, bo), lambda m, o, k, l: (l[0], k, o),
+        pl.BlockSpec((1, s_rows, bo), s_lo_map,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, rows, bo),
-                     lambda m, o, k, l, _nk=n_k: (l[0], k + _nk, o),
+        pl.BlockSpec((1, s_rows, bo), s_hi_map,
                      memory_space=pltpu.VMEM),
     ])
     if has_res:
         inputs.append(res)
         in_specs.append(pl.BlockSpec((bm, bo), lambda m, o, k, l: (m, o),
+                                     memory_space=pltpu.VMEM))
+    if has_bias:
+        inputs.append(bias)
+        in_specs.append(pl.BlockSpec((1, 1, bo),
+                                     lambda m, o, k, l: (l[0], 0, o),
                                      memory_space=pltpu.VMEM))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -664,7 +715,8 @@ def matmul_dequant_int4_stacked_fused(
     return pl.pallas_call(
         functools.partial(_int4_kernel_stacked_fused, n_k=n_k, group=group,
                           has_ln=has_ln, has_silu=has_silu,
-                          has_res=has_res),
+                          has_res=has_res, has_bias=has_bias,
+                          full_scales=full_scales),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((M, OUT), res.dtype if has_res
                                        else x.dtype),
@@ -675,3 +727,233 @@ def matmul_dequant_int4_stacked_fused(
         ),
         interpret=interpret,
     )(jnp.asarray(l, jnp.int32).reshape(1), *inputs)
+
+
+# -- MLP pair mega-kernel ------------------------------------------------------
+#
+# gate_up + silu + down as ONE pallas_call: a flat sequential grid runs
+# the gate_up tiles first (phase A, accumulating the [M, 2I] activation
+# into VMEM scratch), then the down tiles (phase B, reading silu(g)*u
+# straight from scratch). vs two fused calls this removes one per-layer
+# call's pipeline fill/drain (~8 us x L, measured in
+# benches/flagship_profile.py) and the gate_up HBM round trip, and lets
+# down's first weight DMA prefetch while gate_up is still computing.
+# Decode-shaped only (M <= bm): the whole activation must fit one M-tile.
+
+
+def _mlp_kernel_int4_stacked(*refs, na: int, nka: int, nkb: int,
+                             boa: int, bob: int, tw: int, group: int,
+                             n_i: int, n_h: int):
+    (x_lo_ref, ln_lo_ref, x_hi_ref, ln_hi_ref, inv_ref,
+     guw_ref, gus_lo_ref, gus_hi_ref,
+     dnw_ref, dns_lo_ref, dns_hi_ref,
+     res_ref, o_ref, gu_ref, acc_ref) = refs[1:]
+
+    i = pl.program_id(0)
+
+    def dot4(x_lo, x_hi, w_ref, s_lo, s_hi, acc):
+        packed = w_ref[0].astype(jnp.int32)
+        bkp, _ = packed.shape
+        rows = bkp // group
+        lo = (packed & 0x0F).astype(jnp.float32)
+        hi = ((packed >> 4) & 0x0F).astype(jnp.float32)
+        for r in range(rows):
+            sl = slice(r * group, (r + 1) * group)
+            xs_lo = jnp.sum(x_lo[:, sl], axis=1, keepdims=True)
+            xs_hi = jnp.sum(x_hi[:, sl], axis=1, keepdims=True)
+            acc = acc + s_lo[r][None, :] * (
+                jnp.dot(x_lo[:, sl], lo[sl, :],
+                        preferred_element_type=jnp.float32) - 8.0 * xs_lo
+            )
+            acc = acc + s_hi[r][None, :] * (
+                jnp.dot(x_hi[:, sl], hi[sl, :],
+                        preferred_element_type=jnp.float32) - 8.0 * xs_hi
+            )
+        return acc
+
+    @pl.when(i < na)
+    def _phase_a():
+        k = jax.lax.rem(i, nka)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[:, :boa] = jnp.zeros_like(acc_ref[:, :boa])
+
+        inv = inv_ref[:].astype(jnp.float32)  # [BM, 1]
+        x_lo = (x_lo_ref[:].astype(jnp.float32) * inv
+                * ln_lo_ref[0].astype(jnp.float32))
+        x_hi = (x_hi_ref[:].astype(jnp.float32) * inv
+                * ln_hi_ref[0].astype(jnp.float32))
+        acc_ref[:, :boa] = dot4(
+            x_lo, x_hi, guw_ref,
+            gus_lo_ref[0].astype(jnp.float32),
+            gus_hi_ref[0].astype(jnp.float32), acc_ref[:, :boa])
+
+        @pl.when(k == nka - 1)
+        def _():
+            o = jax.lax.div(i, nka)
+            for j in range(boa // tw):
+                gu_ref[o * (boa // tw) + j] = acc_ref[:, j * tw:(j + 1) * tw]
+
+    @pl.when(i >= na)
+    def _phase_b():
+        ib = i - na
+        k = jax.lax.rem(ib, nkb)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[:, :bob] = jnp.zeros_like(acc_ref[:, :bob])
+
+        def silu_mul(g_t, u_t):
+            g = gu_ref[g_t]
+            return g * jax.nn.sigmoid(g) * gu_ref[u_t]
+
+        # down's lo plane inputs are silu(g)*u cols [k*tw, +tw); the hi
+        # plane is offset by I/2 (= n_h tiles). gate tiles 0..n_i-1, up
+        # tiles n_i..2n_i-1 in scratch.
+        x_lo = silu_mul(k, n_i + k)
+        x_hi = silu_mul(n_h + k, n_i + n_h + k)
+        acc_ref[:, :bob] = dot4(
+            x_lo, x_hi, dnw_ref,
+            dns_lo_ref[0].astype(jnp.float32),
+            dns_hi_ref[0].astype(jnp.float32), acc_ref[:, :bob])
+
+        @pl.when(k == nkb - 1)
+        def _():
+            o_ref[:] = (acc_ref[:, :bob]
+                        + res_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def mlp_supported(H: int, I: int, group: int, bk: int = 1024) -> bool:
+    """Shape gate for mlp_fused_int4_stacked (see its tiling contract)."""
+    tw = bk
+    if H % (2 * group) or I % (2 * group):
+        return False
+    bka = _pick_bk(H // 2, group, bk)
+    bkb = _pick_bk(I // 2, group, bk)
+    if not ((bka // group) % 8 == 0 and (bkb // group) % 8 == 0):
+        return False
+    boa = _pick_bo(2 * I, (H // 2) // bka, target=4096)
+    return (
+        bkb == tw and (I // 2) % tw == 0
+        and boa % tw == 0
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group", "bm", "bk", "interpret")
+)
+def mlp_fused_int4_stacked(
+    x: jnp.ndarray,          # [M, H] residual stream (post-attention)
+    gu_data: jnp.ndarray,    # [L, H/2, 2I] packed int4
+    gu_scales: jnp.ndarray,  # [L, H/group, 2I]
+    dn_data: jnp.ndarray,    # [L, I/2, H]
+    dn_scales: jnp.ndarray,  # [L, I/group, H]
+    ln: jnp.ndarray,         # [L, 1, H] post-attention norm weight
+    invrms: jnp.ndarray,     # [M, 1] f32 per-row 1/rms of x
+    l: jnp.ndarray,          # traced layer index
+    group: int,
+    bm: int = 32,
+    bk: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x + down(silu(g)*u) with [g||u] = gate_up(rms(x)*ln), one call."""
+    M, H = x.shape
+    L, INPA, OUT2I = gu_data.shape
+    I = OUT2I // 2
+    _, INPB, OUTH = dn_data.shape
+    assert INPA == H // 2 and INPB == I // 2 and OUTH == H
+    assert M <= bm, "mega-kernel is decode-shaped: one M tile"
+    bm = _round_up(M, 8)
+    tw = bk
+    bka = _pick_bk(INPA, group, bk)
+    bkb = _pick_bk(INPB, group, bk)
+    assert bkb == tw and (I // 2) % tw == 0, "see mlp_supported"
+    nka = INPA // bka
+    nkb = INPB // bkb
+    boa = _pick_bo(OUT2I, nka, target=4096)
+    assert boa % tw == 0
+    bob = min(OUTH, 4096)
+    noa, nob = OUT2I // boa, OUTH // bob
+    na, nb = noa * nka, nob * nkb
+    rows_a, rows_b = bka // group, bkb // group
+    assert rows_a % 8 == 0 and rows_b % 8 == 0, "see mlp_supported"
+    n_i = I // tw        # up-plane tile offset in scratch
+    n_h = (I // 2) // tw  # down hi-plane tile offset
+
+    def a_idx(i):
+        """(k, o) of phase A, held at the last A block during B."""
+        ia = jnp.minimum(i, na - 1)
+        return jax.lax.rem(ia, nka), jax.lax.div(ia, nka)
+
+    def b_idx(i):
+        """(k, o) of phase B, held at the FIRST B block during A (it
+        prefetches while phase A computes)."""
+        ib = jnp.clip(i - na, 0, nb - 1)
+        return jax.lax.rem(ib, nkb), jax.lax.div(ib, nkb)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(na + nb,),
+        in_specs=[
+            # x lo/hi planes + ln rows + invrms (phase A prologue)
+            pl.BlockSpec((bm, bka), lambda i, l: (0, a_idx(i)[0]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bka), lambda i, l: (l[0], 0, a_idx(i)[0]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bka),
+                         lambda i, l, _n=nka: (0, a_idx(i)[0] + _n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bka),
+                         lambda i, l, _n=nka: (l[0], 0, a_idx(i)[0] + _n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            # gate_up weight + scale planes
+            pl.BlockSpec((1, bka, boa),
+                         lambda i, l: (l[0], a_idx(i)[0], a_idx(i)[1]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows_a, boa),
+                         lambda i, l: (l[0], a_idx(i)[0], a_idx(i)[1]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows_a, boa),
+                         lambda i, l, _n=nka:
+                         (l[0], a_idx(i)[0] + _n, a_idx(i)[1]),
+                         memory_space=pltpu.VMEM),
+            # down weight + scale planes
+            pl.BlockSpec((1, bkb, bob),
+                         lambda i, l: (l[0], b_idx(i)[0], b_idx(i)[1]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows_b, bob),
+                         lambda i, l: (l[0], b_idx(i)[0], b_idx(i)[1]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows_b, bob),
+                         lambda i, l, _n=nkb:
+                         (l[0], b_idx(i)[0] + _n, b_idx(i)[1]),
+                         memory_space=pltpu.VMEM),
+            # residual (phase B epilogue)
+            pl.BlockSpec((bm, bob), lambda i, l: (0, b_idx(i)[1]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bob), lambda i, l: (0, b_idx(i)[1]),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((OUT2I // tw, bm, tw), jnp.float32),  # gu
+            pltpu.VMEM((bm, max(boa, bob)), jnp.float32),    # acc
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_mlp_kernel_int4_stacked, na=na, nka=nka,
+                          nkb=nkb, boa=boa, bob=bob, tw=tw, group=group,
+                          n_i=n_i, n_h=n_h),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, H), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * (H * 2 * I + I * H),
+            bytes_accessed=(H * I + I * H // 2) + M * H * 4,
+            transcendentals=M * I,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(l, jnp.int32).reshape(1), x, ln, x, ln,
+      invrms.astype(jnp.float32), gu_data, gu_scales, gu_scales,
+      dn_data, dn_scales, dn_scales, x)
