@@ -44,7 +44,8 @@ from tinygpt_tpu.ops.quant import (
     matmul_any,
     matmul_dequant_stacked,
 )
-from tinygpt_tpu.ops.rope import apply_rope, compute_rope_freqs
+from tinygpt_tpu.ops.rope import (apply_rope, apply_rope_gathered,
+                                  compute_rope_freqs, gather_rope)
 
 
 def load_params(
@@ -225,6 +226,9 @@ def decoder_layer_step(
     attn_impl: str,
     quant: Optional[Dict] = None,  # stacked QuantizedTensors (full [L,...])
     l=None,                        # traced layer index for `quant`
+    rope_c=None,                   # [B, S, 1, D] pre-gathered rope rows —
+    rope_s=None,                   # callers inside a layer scan hoist the
+                                   # gather (gather_rope) out of the body
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One pre-norm decoder layer (attention + SwiGLU MLP) over the dense
     cache. Shared by the single-program forward below and the pipeline-
@@ -255,7 +259,9 @@ def decoder_layer_step(
     if cfg.qk_norm:
         q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
-    q, k = apply_rope(q, k, cos, sin, positions)
+    if rope_c is None:
+        rope_c, rope_s = gather_rope(cos, sin, positions)
+    q, k = apply_rope_gathered(q, k, rope_c, rope_s)
     # cache layout [B, Nk, T, D]
     k_cache = jax.lax.dynamic_update_slice(
         k_cache, k.transpose(0, 2, 1, 3).astype(k_cache.dtype),
@@ -317,13 +323,15 @@ def forward(
     rest = {k: v for k, v in params["layers"].items() if k not in quant}
     n_layers = cfg.num_hidden_layers
 
+    rope_c, rope_s = gather_rope(cos, sin, positions)
+
     def layer_fn(x, scanned):
         lp, k_cache, v_cache, l = scanned
         x, k_cache, v_cache = decoder_layer_step(
             lp, x, k_cache, v_cache,
             cfg=cfg, positions=positions, kv_pos=kv_pos, valid=valid,
             slot=slot, cos=cos, sin=sin, attn_impl=attn_impl,
-            quant=quant or None, l=l,
+            quant=quant or None, l=l, rope_c=rope_c, rope_s=rope_s,
         )
         return x, (k_cache, v_cache)
 
@@ -416,27 +424,41 @@ def decode_steps(
     kT = None if use_kernel else jnp.swapaxes(cache.k, 3, 4)
 
     # elementwise-fused int4 path: rms-norm prologue, silu(g)*u prologue
-    # and residual epilogue run inside the dequant matmuls (the XLA
+    # and residual/bias epilogues run inside the dequant matmuls (the XLA
     # per-op overhead of the [B, H]-sized chain costs ~1 ms/step at
-    # Mistral-7B b4). Engaged when every layer matmul is int4 and the
-    # family has no qkv bias / qk-norm (Llama/Mistral).
+    # Mistral-7B b4). Engaged when every layer matmul is int4; qkv bias
+    # (qwen2) rides the kernel's bias epilogue and per-head qk-norm
+    # (qwen3) stays as the small XLA ops between the fused matmuls.
     fuse = (
         all(k in quant and quant[k].bits == 4
             for k in ("qkv_w", "o_w", "gate_up_w", "down_w"))
-        and not cfg.qk_norm
-        and "qkv_b" not in params["layers"]
         and jax.devices()[0].platform == "tpu"
     )
     if fuse:
         from tinygpt_tpu.ops.quant_kernels import (
             matmul_dequant_int4_stacked_fused as mm_fused,
         )
+        from tinygpt_tpu.ops.quant_kernels import (
+            mlp_fused_int4_stacked,
+            mlp_supported,
+        )
 
         ln_in = params["layers"]["input_ln"][:, None, :]    # [L, 1, H]
         ln_post = params["layers"]["post_ln"][:, None, :]
+        qkv_bias = (params["layers"]["qkv_b"][:, None, :]
+                    if "qkv_b" in params["layers"] else None)
+        # whole-MLP mega-kernel (gate_up+silu+down one pallas call) when
+        # the tiling contract holds and the batch fits one M tile
+        mlp_mega = (
+            quant["gate_up_w"].group_size == quant["down_w"].group_size
+            and B <= 32
+            and mlp_supported(cfg.hidden_size, cfg.intermediate_size,
+                              quant["gate_up_w"].group_size)
+        )
 
     def one_step(tok, positions, infl_k, infl_v, step):
         x = params["embed"][tok[:, None]]  # [B, 1, H]
+        rope_c, rope_s = gather_rope(cos, sin, positions)
         if use_kernel:
             # frozen-slot mask (causal & valid & window), shared by layers
             t_pos = cache.kv_pos  # [B, T]
@@ -472,7 +494,8 @@ def decode_steps(
                 qt = quant["qkv_w"]
                 qkv = mm_fused(x2, qt.data, qt.scales, l,
                                group=qt.group_size, ln=ln_in,
-                               invrms=invrms(x2))[:, None, :]
+                               invrms=invrms(x2),
+                               bias=qkv_bias)[:, None, :]
             else:
                 h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
                 qkv = mm(h, "qkv_w")
@@ -484,7 +507,7 @@ def decode_steps(
             if cfg.qk_norm:
                 q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
                 k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
-            q, k = apply_rope(q, k, cos, sin, positions)
+            q, k = apply_rope_gathered(q, k, rope_c, rope_s)
             ik = jax.lax.dynamic_update_slice(
                 ik, k.transpose(0, 2, 1, 3).astype(ik.dtype),
                 (0, 0, step, 0),
@@ -512,13 +535,20 @@ def decode_steps(
                 qt = quant["o_w"]
                 x2 = mm_fused(attn.reshape(B, q_dim), qt.data, qt.scales,
                               l, group=qt.group_size, res=x[:, 0, :])
-                qt = quant["gate_up_w"]
-                gate_up = mm_fused(x2, qt.data, qt.scales, l,
-                                   group=qt.group_size, ln=ln_post,
-                                   invrms=invrms(x2))
-                qt = quant["down_w"]
-                x2 = mm_fused(gate_up, qt.data, qt.scales, l,
-                              group=qt.group_size, silu=True, res=x2)
+                if mlp_mega:
+                    gqt, dqt = quant["gate_up_w"], quant["down_w"]
+                    x2 = mlp_fused_int4_stacked(
+                        x2, gqt.data, gqt.scales, dqt.data, dqt.scales,
+                        ln_post, invrms(x2), l, group=gqt.group_size,
+                    )
+                else:
+                    qt = quant["gate_up_w"]
+                    gate_up = mm_fused(x2, qt.data, qt.scales, l,
+                                       group=qt.group_size, ln=ln_post,
+                                       invrms=invrms(x2))
+                    qt = quant["down_w"]
+                    x2 = mm_fused(gate_up, qt.data, qt.scales, l,
+                                  group=qt.group_size, silu=True, res=x2)
                 return x2[:, None, :], (ik, iv)
             x = x + mm(attn.reshape(B, 1, q_dim), "o_w")
             h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
@@ -629,10 +659,42 @@ def decode_paged_steps(
     infl_v0 = vary_like(jnp.zeros((L, B, Nk, n_steps, D), infl_dt),
                         state.k_pool)
 
+    # elementwise-fused int4 path + MLP mega-kernel, exactly as in
+    # decode_steps — the serving quantum pays the same ~1 ms/step of XLA
+    # per-op glue at 7B shapes otherwise. Shape gates use the ACTUAL
+    # tensor dims (under shard_map tp they are the per-shard dims).
+    fuse = (
+        all(k in quant and quant[k].bits == 4
+            for k in ("qkv_w", "o_w", "gate_up_w", "down_w"))
+        and jax.devices()[0].platform == "tpu"
+    )
+    if fuse:
+        from tinygpt_tpu.ops.quant_kernels import (
+            matmul_dequant_int4_stacked_fused as mm_fused,
+        )
+        from tinygpt_tpu.ops.quant_kernels import (
+            mlp_fused_int4_stacked,
+            mlp_supported,
+        )
+
+        ln_in = params["layers"]["input_ln"][:, None, :]
+        ln_post = params["layers"]["post_ln"][:, None, :]
+        qkv_bias = (params["layers"]["qkv_b"][:, None, :]
+                    if "qkv_b" in params["layers"] else None)
+        h_loc = 2 * quant["gate_up_w"].data.shape[1]
+        i_loc = 2 * quant["down_w"].data.shape[1]
+        mlp_mega = (
+            quant["gate_up_w"].group_size == quant["down_w"].group_size
+            and B <= 32
+            and mlp_supported(h_loc, i_loc,
+                              quant["gate_up_w"].group_size)
+        )
+
     def one_step(tok, infl_k, infl_v, step, kp, vp):
         lengths_t = lengths0 + step * act_i
         positions = (lengths_t - starts)[:, None]  # [B, 1] logical
         x = params["embed"][tok[:, None]]
+        rope_c, rope_s = gather_rope(cos, sin, positions)
 
         def layer_fn(x, scanned):
             lp, ik, iv, l = scanned
@@ -642,17 +704,32 @@ def decode_paged_steps(
                     return matmul_dequant_stacked(h, quant[key], l)
                 return matmul_any(h, lp[key])
 
-            h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
-            qkv = mm(h, "qkv_w")
-            if "qkv_b" in lp:
-                qkv = qkv + lp["qkv_b"]
+            def invrms(v2):
+                vf32 = v2.astype(jnp.float32)
+                return jax.lax.rsqrt(
+                    jnp.mean(vf32 * vf32, axis=-1, keepdims=True)
+                    + cfg.rms_norm_eps
+                )
+
+            if fuse:
+                x2 = x[:, 0, :]
+                qt = quant["qkv_w"]
+                qkv = mm_fused(x2, qt.data, qt.scales, l,
+                               group=qt.group_size, ln=ln_in,
+                               invrms=invrms(x2),
+                               bias=qkv_bias)[:, None, :]
+            else:
+                h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
+                qkv = mm(h, "qkv_w")
+                if "qkv_b" in lp:
+                    qkv = qkv + lp["qkv_b"]
             q = qkv[..., :q_dim].reshape(B, 1, Nq, D)
             k = qkv[..., q_dim : q_dim + Nk * D].reshape(B, 1, Nk, D)
             v = qkv[..., q_dim + Nk * D :].reshape(B, 1, Nk, D)
             if cfg.qk_norm:
                 q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
                 k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
-            q, k = apply_rope(q, k, cos, sin, positions)
+            q, k = apply_rope_gathered(q, k, rope_c, rope_s)
             ik = jax.lax.dynamic_update_slice(
                 ik, k.transpose(0, 2, 1, 3).astype(ik.dtype),
                 (0, 0, step, 0),
@@ -666,6 +743,25 @@ def decode_paged_steps(
                 starts, ik, iv, l, step, scale=D ** -0.5,
                 sliding_window=cfg.sliding_window, kernel=attn_impl,
             )
+            if fuse:
+                qt = quant["o_w"]
+                x2 = mm_fused(attn.reshape(B, q_dim), qt.data, qt.scales,
+                              l, group=qt.group_size, res=x[:, 0, :])
+                if mlp_mega:
+                    gqt, dqt = quant["gate_up_w"], quant["down_w"]
+                    x2 = mlp_fused_int4_stacked(
+                        x2, gqt.data, gqt.scales, dqt.data, dqt.scales,
+                        ln_post, invrms(x2), l, group=gqt.group_size,
+                    )
+                else:
+                    qt = quant["gate_up_w"]
+                    gate_up = mm_fused(x2, qt.data, qt.scales, l,
+                                       group=qt.group_size, ln=ln_post,
+                                       invrms=invrms(x2))
+                    qt = quant["down_w"]
+                    x2 = mm_fused(gate_up, qt.data, qt.scales, l,
+                                  group=qt.group_size, silu=True, res=x2)
+                return x2[:, None, :], (ik, iv)
             x = x + mm(attn.reshape(B, 1, q_dim), "o_w")
             h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
             gate_up = mm(h, "gate_up_w")
@@ -801,6 +897,7 @@ def decode_paged_spec_steps(
 
     def verify_forward(ids, positions, infl_k, infl_v, valid, r, kp, vp):
         x = params["embed"][ids]  # [B, S, H]
+        rope_c, rope_s = gather_rope(cos, sin, positions)
 
         def layer_fn(x, scanned):
             lp, ik, iv, l = scanned
@@ -820,7 +917,7 @@ def decode_paged_spec_steps(
             if cfg.qk_norm:
                 q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
                 k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
-            q, k = apply_rope(q, k, cos, sin, positions)
+            q, k = apply_rope_gathered(q, k, rope_c, rope_s)
             ik = jax.lax.dynamic_update_slice(
                 ik, k.transpose(0, 2, 1, 3).astype(ik.dtype),
                 (0, 0, r * S, 0),
@@ -959,6 +1056,7 @@ def forward_paged(
 
     x = params["embed"][input_ids[:, None]]  # [B, 1, H]
     cos, sin = params["rope_cos"], params["rope_sin"]
+    rope_c, rope_s = gather_rope(cos, sin, positions)
 
     quant = {k: v for k, v in params["layers"].items()
              if isinstance(v, QuantizedTensor)}
@@ -982,7 +1080,7 @@ def forward_paged(
         if cfg.qk_norm:
             q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
             k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
-        q, k = apply_rope(q, k, cos, sin, positions)
+        q, k = apply_rope_gathered(q, k, rope_c, rope_s)
         # scatter the new K/V into each row's current block/offset
         k_pool = k_pool.at[blk, :, off, :].set(
             k[:, 0].astype(k_pool.dtype), mode="drop"

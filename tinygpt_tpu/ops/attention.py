@@ -112,15 +112,25 @@ def sdpa_decode_frozen(
     if scale is None:
         scale = D ** -0.5
 
-    qg = q.reshape(B, 1, Nk, G, D).astype(jnp.float32)
+    # bf16 operands + f32 accumulation (preferred_element_type): the MXU
+    # runs bf16 natively; casting K to f32 would either materialize a
+    # 2x-sized copy or force half-rate f32 MXU passes. Scores/probs stay
+    # f32 throughout. An fp8 cache is upcast to bf16 inside the dot (the
+    # convert fuses); q/probs are never narrowed below bf16.
+    cdt = k_frozen.dtype
+    if jnp.dtype(cdt).itemsize < 2:
+        cdt = jnp.bfloat16
+    if jax.default_backend() != "tpu":
+        cdt = jnp.float32  # CPU XLA has no BF16xBF16=F32 dot thunk
+    qg = q.reshape(B, 1, Nk, G, D).astype(cdt)
     if k_transposed:
-        sf = jnp.einsum("bskgd,bkdt->bkgst", qg,
-                        k_frozen.astype(jnp.float32)) * scale
+        sf = jnp.einsum("bskgd,bkdt->bkgst", qg, k_frozen.astype(cdt),
+                        preferred_element_type=jnp.float32) * scale
     else:
-        sf = jnp.einsum("bskgd,bktd->bkgst", qg,
-                        k_frozen.astype(jnp.float32)) * scale
-    si = jnp.einsum("bskgd,bkjd->bkgsj", qg,
-                    k_infl.astype(jnp.float32)) * scale
+        sf = jnp.einsum("bskgd,bktd->bkgst", qg, k_frozen.astype(cdt),
+                        preferred_element_type=jnp.float32) * scale
+    si = jnp.einsum("bskgd,bkjd->bkgsj", qg, k_infl.astype(cdt),
+                    preferred_element_type=jnp.float32) * scale
 
     p = q_pos[:, :, None]                      # [B, 1, 1]
     t_pos = kv_pos[:, None, :]                 # [B, 1, T]
@@ -136,9 +146,12 @@ def sdpa_decode_frozen(
     s_all = jnp.concatenate([sf, si], axis=-1)
     probs = jax.nn.softmax(s_all, axis=-1)
     pf, pi = probs[..., :T], probs[..., T:]
-    out = jnp.einsum("bkgst,bktd->bskgd", pf, v_frozen.astype(jnp.float32))
-    out = out + jnp.einsum("bkgsj,bkjd->bskgd", pi,
-                           v_infl.astype(jnp.float32))
+    out = jnp.einsum("bkgst,bktd->bskgd", pf.astype(cdt),
+                     v_frozen.astype(cdt),
+                     preferred_element_type=jnp.float32)
+    out = out + jnp.einsum("bkgsj,bkjd->bskgd",
+                           pi.astype(cdt), v_infl.astype(cdt),
+                           preferred_element_type=jnp.float32)
     return out.reshape(B, 1, Nq, D).astype(q.dtype)
 
 

@@ -63,6 +63,31 @@ def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([-x2, x1], axis=-1)
 
 
+def gather_rope(
+    cos: jnp.ndarray,  # [P, D] table
+    sin: jnp.ndarray,
+    positions: jnp.ndarray,  # [B, S] absolute positions
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather the per-position rotation rows once. Layer scans should
+    hoist this OUT of the per-layer body (positions are layer-invariant;
+    the gather would otherwise run L times per step) and pass the result
+    to apply_rope_gathered."""
+    return cos[positions][:, :, None, :], sin[positions][:, :, None, :]
+
+
+def apply_rope_gathered(
+    q: jnp.ndarray,  # [B, S, Nq, D]
+    k: jnp.ndarray,  # [B, S, Nk, D]
+    c: jnp.ndarray,  # [B, S, 1, D] gathered rows (gather_rope)
+    s: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    q_out = qf * c + _rotate_half(qf) * s
+    k_out = kf * c + _rotate_half(kf) * s
+    return q_out.astype(q.dtype), k_out.astype(k.dtype)
+
+
 def apply_rope(
     q: jnp.ndarray,  # [B, S, Nq, D]
     k: jnp.ndarray,  # [B, S, Nk, D]
@@ -70,10 +95,5 @@ def apply_rope(
     sin: jnp.ndarray,
     positions: jnp.ndarray,  # [B, S] absolute positions
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    c = cos[positions][:, :, None, :]  # [B, S, 1, D]
-    s = sin[positions][:, :, None, :]
-    qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    q_out = qf * c + _rotate_half(qf) * s
-    k_out = kf * c + _rotate_half(kf) * s
-    return q_out.astype(q.dtype), k_out.astype(k.dtype)
+    c, s = gather_rope(cos, sin, positions)
+    return apply_rope_gathered(q, k, c, s)
