@@ -51,10 +51,14 @@ def fence_time(fn, *args, reps=3):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--phases", default="ceiling,mm,mm_qkv,mm_o,"
+    ap.add_argument("--phases", default="ceiling,empty,mm,mm_qkv,mm_o,"
                     "mm_gateup,mm_down,attn,head,full")
     ap.add_argument("--group", type=int, default=64)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--bk", type=int, default=None,
+                    help="override contraction tile for the mm_* singles")
+    ap.add_argument("--bo", type=int, default=None,
+                    help="override output tile for the mm_* singles")
     args = ap.parse_args()
     phases = args.phases.split(",")
 
@@ -92,18 +96,38 @@ def main():
               file=sys.stderr)
 
     # -- ceiling -----------------------------------------------------------
+    # Read ceiling via a full reduction: the program's OUTPUT is one
+    # scalar, so the fence transfers bytes-nothing over the tunnel (a
+    # streamed y = f(x) output would sync 2 GB back to host — minutes).
     if "ceiling" in phases:
         big = jnp.ones((950, 1024, 1024), jnp.bfloat16)  # 1.99 GB
 
         @jax.jit
         def stream(x):
-            return x * 1.0001 + 0.5
+            return jnp.sum(x, dtype=jnp.float32)
 
         secs = fence_time(stream, big, reps=args.reps)
-        nbytes = 2 * big.size * 2  # read + write
+        nbytes = big.size * 2  # read-only
         report("ceiling", secs, nbytes, per="one")
         results["ceiling"]["ms_per_step"] = round(secs * 1e3, 3)
         del big
+
+    # -- empty: the per-dispatch + scan floor ------------------------------
+    # A 32-step scan doing [B]-int work measures what one jitted call of
+    # the same shape costs with no HBM traffic: the axon dispatch round
+    # trip + scan machinery. Subtract from every other phase mentally.
+    if "empty" in phases:
+        @jax.jit
+        def prog(t):
+            def step(t, _):
+                return t + 1, None
+
+            t, _ = jax.lax.scan(step, t, None, length=N_STEPS)
+            return t
+
+        secs = fence_time(prog, jnp.zeros((B,), jnp.int32),
+                          reps=args.reps)
+        report("empty", secs, 0)
 
     cfg, params, nbytes = build_flagship(bits=4, group=args.group)
     L, H, D = cfg.num_hidden_layers, cfg.hidden_size, cfg.head_dim
@@ -133,13 +157,16 @@ def main():
     ln_post = lyr["post_ln"][:, None, :]
 
     def scan_steps(layer_body, nm):
-        """Build jit program: n_steps x (scan over L of layer_body)."""
+        """Build jit program: n_steps x (scan over L of layer_body).
+        `lyr` rides as an ARGUMENT pytree — closing over 3.9 GB of
+        weights would embed them as jit constants (re-serialized per
+        program through the tunnel)."""
 
         @jax.jit
-        def prog(x):
+        def prog(x, ly):
             def step(x, _):
                 def lf(x, l):
-                    return layer_body(x, l), None
+                    return layer_body(x, l, ly), None
 
                 x, _ = jax.lax.scan(lf, x, ls)
                 return x, None
@@ -147,22 +174,22 @@ def main():
             x, _ = jax.lax.scan(step, x, None, length=N_STEPS)
             return x
 
-        return prog
+        return lambda x: prog(x, lyr)
 
     # -- mm: the 4 fused matmuls chained ----------------------------------
     if "mm" in phases:
-        def body(x, l):
-            qt = lyr["qkv_w"]
+        def body(x, l, ly):
+            qt = ly["qkv_w"]
             qkv = mm_fused(x, qt.data, qt.scales, l, group=qt.group_size,
-                           ln=ln_in, invrms=invrms(x))
+                           ln=ly["input_ln"][:, None, :], invrms=invrms(x))
             a = qkv[:, :q_dim]
-            qt = lyr["o_w"]
+            qt = ly["o_w"]
             x2 = mm_fused(a, qt.data, qt.scales, l, group=qt.group_size,
                           res=x)
-            qt = lyr["gate_up_w"]
+            qt = ly["gate_up_w"]
             gu = mm_fused(x2, qt.data, qt.scales, l, group=qt.group_size,
-                          ln=ln_post, invrms=invrms(x2))
-            qt = lyr["down_w"]
+                          ln=ly["post_ln"][:, None, :], invrms=invrms(x2))
+            qt = ly["down_w"]
             return mm_fused(gu, qt.data, qt.scales, l, group=qt.group_size,
                             silu=True, res=x2)
 
@@ -181,9 +208,15 @@ def main():
             continue
         key, fold = singles[nm]
 
-        def body(x, l, key=key, fold=fold):
-            qt = lyr[key]
-            out = mm_fused(x, qt.data, qt.scales, l, group=qt.group_size)
+        def body(x, l, ly, key=key, fold=fold):
+            qt = ly[key]
+            kw = {}
+            if args.bk:
+                kw["bk"] = args.bk
+            if args.bo:
+                kw["bo"] = args.bo
+            out = mm_fused(x, qt.data, qt.scales, l, group=qt.group_size,
+                           **kw)
             return fold(out, x)
 
         secs = fence_time(scan_steps(body, nm), x0, reps=args.reps)
@@ -191,14 +224,38 @@ def main():
     if "mm_down" in phases:
         xI = jnp.ones((B, I), jnp.bfloat16) * 0.01
 
-        def body(x, l):
-            qt = lyr["down_w"]
+        def body(x, l, ly):
+            qt = ly["down_w"]
+            kw = {}
+            if args.bk:
+                kw["bk"] = args.bk
+            if args.bo:
+                kw["bo"] = args.bo
             out = mm_fused(x[:, :I], qt.data, qt.scales, l,
-                           group=qt.group_size)
+                           group=qt.group_size, **kw)
             return x + jnp.pad(out, ((0, 0), (0, I - H))) * 1e-3
 
         secs = fence_time(scan_steps(body, "mm_down"), xI, reps=args.reps)
         report("mm_down", secs, w_bytes["down_w"])
+
+    # -- mlp: the gate_up+silu+down MEGA-kernel (one pallas call) ---------
+    if "mlp" in phases:
+        from tinygpt_tpu.ops.quant_kernels import (
+            mlp_fused_int4_stacked,
+            mlp_supported,
+        )
+
+        assert mlp_supported(H, I, args.group)
+
+        def body(x, l, ly):
+            gqt, dqt = ly["gate_up_w"], ly["down_w"]
+            return mlp_fused_int4_stacked(
+                x, gqt.data, gqt.scales, dqt.data, dqt.scales,
+                ly["post_ln"][:, None, :], invrms(x), l,
+                group=gqt.group_size)
+
+        secs = fence_time(scan_steps(body, "mlp"), x0, reps=args.reps)
+        report("mlp", secs, w_bytes["gate_up_w"] + w_bytes["down_w"])
 
     # -- attn: rope + in-flight + frozen merge ----------------------------
     if "attn" in phases:
@@ -265,11 +322,11 @@ def main():
         head_qt = params["lm_head"]
 
         @jax.jit
-        def prog(tok):
+        def prog(tok, embed, fln, hq):
             def step(tok, _):
-                x = params["embed"][tok]  # [B, H]
-                x = rms_norm(x, params["final_ln"], eps)
-                logits = matmul_any(x, head_qt)
+                x = embed[tok]  # [B, H]
+                x = rms_norm(x, fln, eps)
+                logits = matmul_any(x, hq)
                 nxt = jnp.argmax(logits, -1).astype(jnp.int32)
                 return nxt, None
 
@@ -277,6 +334,7 @@ def main():
             return tok
 
         secs = fence_time(prog, jnp.zeros((B,), jnp.int32),
+                          params["embed"], params["final_ln"], head_qt,
                           reps=args.reps)
         report("head", secs, qbytes(head_qt))
 
