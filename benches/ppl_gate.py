@@ -58,10 +58,14 @@ def build_corpus(train_mb: float = 2.0, eval_mb: float = 0.6):
 
 def train_model(out_dir: str, train_text: str, *, n_layer=4, n_embd=256,
                 n_head=4, vocab=4096, seq_len=256, steps=600, batch=8,
-                lr=3e-4, seed=0, log=print):
-    """Train a small GPT-2-architecture LM with torch (CPU) and save an
-    HF model dir (config + tokenizer.json + safetensors) loadable by
-    tinygpt_tpu."""
+                lr=3e-4, seed=0, arch="llama", log=print):
+    """Train a small LM with torch (CPU) and save an HF model dir
+    (config + tokenizer.json + safetensors) loadable by tinygpt_tpu.
+
+    arch="llama" (default) matches the flagship family — GQA + SwiGLU +
+    RMSNorm — so the gate exercises the exact layer layout the shipped
+    int4 kernels and the AWQ folds run on; arch="gpt2" keeps the round-2
+    gate architecture available."""
     import torch
     from tokenizers import Tokenizer as HFTok
     from tokenizers import models as tok_models
@@ -85,11 +89,21 @@ def train_model(out_dir: str, train_text: str, *, n_layer=4, n_embd=256,
     ids = np.asarray(hf_tok.encode(train_text).ids, np.int64)
     log(f"corpus: {len(train_text)/1e6:.1f} MB -> {len(ids)} tokens")
 
-    cfg = transformers.GPT2Config(
-        vocab_size=vocab, n_positions=seq_len, n_embd=n_embd,
-        n_layer=n_layer, n_head=n_head, bos_token_id=0, eos_token_id=0,
-    )
-    model = transformers.GPT2LMHeadModel(cfg)
+    if arch == "llama":
+        cfg = transformers.LlamaConfig(
+            vocab_size=vocab, hidden_size=n_embd,
+            intermediate_size=2 * n_embd, num_hidden_layers=n_layer,
+            num_attention_heads=n_head, num_key_value_heads=n_head // 2,
+            max_position_embeddings=seq_len, rms_norm_eps=1e-5,
+            tie_word_embeddings=True, bos_token_id=0, eos_token_id=0,
+        )
+        model = transformers.LlamaForCausalLM(cfg)
+    else:
+        cfg = transformers.GPT2Config(
+            vocab_size=vocab, n_positions=seq_len, n_embd=n_embd,
+            n_layer=n_layer, n_head=n_head, bos_token_id=0, eos_token_id=0,
+        )
+        model = transformers.GPT2LMHeadModel(cfg)
     opt = torch.optim.AdamW(model.parameters(), lr=lr)
     sched = torch.optim.lr_scheduler.LinearLR(
         opt, start_factor=1.0, end_factor=0.1, total_iters=steps)
@@ -116,8 +130,11 @@ def train_model(out_dir: str, train_text: str, *, n_layer=4, n_embd=256,
 
 
 def measure(model_dir: str, eval_text: str, *, max_tokens=120_000,
-            window=256, stride=128, log=print) -> dict:
-    """ppl over the held-out stream for float32 / int8 / int4 / fp8-KV."""
+            window=256, stride=128, calib_text=None, log=print) -> dict:
+    """ppl over the held-out stream for float32 / int8 / int4 / fp8-KV,
+    plus AWQ int4 legs when `calib_text` is given and the model has the
+    causal_lm layout (calibration text must come from the TRAIN split —
+    never the eval stream)."""
     import jax
 
     if os.environ.get("JAX_PLATFORMS"):
@@ -157,6 +174,26 @@ def measure(model_dir: str, eval_text: str, *, max_tokens=120_000,
         out[f"rel_dppl_{name}"] = round(float((p - base) / base), 6)
         log(f"{name}: ppl {p:.4f} (delta {p - base:+.4f}, "
             f"{(p - base) / base * 100:+.3f}%)")
+    if calib_text is not None and "qkv_w" in params["layers"]:
+        from tinygpt_tpu.ops.awq import awq_quantize_params
+
+        calib = np.asarray(
+            tok.encode(calib_text, add_special_tokens=False)[:2048],
+            np.int32,
+        )
+        S = min(window, len(calib))
+        calib = calib[: (len(calib) // S) * S].reshape(-1, S)
+        for bits, gs, name in ((4, 128, "int4_g128_awq"),
+                               (4, 64, "int4_g64_awq")):
+            qp = awq_quantize_params(params, cfg, calib, bits=bits,
+                                     group_size=gs)
+            p = perplexity(model, cfg, qp, ids, window=window,
+                           stride=stride)
+            out[f"ppl_{name}"] = round(float(p), 4)
+            out[f"dppl_{name}"] = round(float(p - base), 4)
+            out[f"rel_dppl_{name}"] = round(float((p - base) / base), 6)
+            log(f"{name}: ppl {p:.4f} (delta {p - base:+.4f}, "
+                f"{(p - base) / base * 100:+.3f}%)")
     p8 = perplexity(model, cfg, params, ids, window=window, stride=stride,
                     kv_dtype=jnp.float8_e4m3fn)
     out["ppl_fp8kv"] = round(float(p8), 4)
@@ -174,15 +211,21 @@ def main():
     ap.add_argument("--eval-tokens", type=int, default=120_000)
     ap.add_argument("--reuse", action="store_true",
                     help="skip training if the model dir exists")
+    ap.add_argument("--arch", default="llama", choices=["llama", "gpt2"],
+                    help="gate-model architecture (llama = flagship "
+                         "family, enables the AWQ legs)")
     args = ap.parse_args()
 
     train_text, eval_text = build_corpus()
     if not (args.reuse and
             os.path.exists(os.path.join(args.dir, "model.safetensors"))):
         train_model(args.dir, train_text, steps=args.steps,
-                    n_layer=args.layers, n_embd=args.hidden)
-    res = measure(args.dir, eval_text, max_tokens=args.eval_tokens)
+                    n_layer=args.layers, n_embd=args.hidden,
+                    arch=args.arch)
+    res = measure(args.dir, eval_text, max_tokens=args.eval_tokens,
+                  calib_text=train_text)
     res["metric"] = "quantization_ppl_gate"
+    res["arch"] = args.arch
     # The gate must hold at BOTH scales: the absolute BASELINE bar
     # (<=0.1 int8 / <=0.5 int4, written for real-model ppl ~10-30) AND a
     # relative bar derived from it at ppl 15 (0.1/15 ~ 0.67%, 0.5/15 ~
@@ -194,6 +237,10 @@ def main():
                         and res["rel_dppl_int4_g64"] <= 0.5 / 15)
     res["pass_int4_g128"] = (res["dppl_int4_g128"] <= 0.5
                              and res["rel_dppl_int4_g128"] <= 0.5 / 15)
+    if "dppl_int4_g128_awq" in res:
+        res["pass_int4_g128_awq"] = (
+            res["dppl_int4_g128_awq"] <= 0.5
+            and res["rel_dppl_int4_g128_awq"] <= 0.5 / 15)
     print(json.dumps(res))
 
 

@@ -19,9 +19,9 @@ def test_quantization_ppl_relative_gate(tmp_path):
     d = str(tmp_path / "m")
     train_model(d, train_text, n_layer=2, n_embd=128, n_head=4,
                 vocab=2048, seq_len=128, steps=250, batch=8,
-                log=lambda *a: None)
+                arch="llama", log=lambda *a: None)
     res = measure(d, eval_text, max_tokens=30_000, window=128, stride=64,
-                  log=lambda *a: None)
+                  calib_text=train_text, log=lambda *a: None)
     base = res["ppl_f32"]
     assert res["eval_tokens"] >= 20_000
     # int8 must be ~lossless; int4 bounded; fp8-KV near-lossless. All
@@ -32,3 +32,8 @@ def test_quantization_ppl_relative_gate(tmp_path):
     # int4 gated at the SHIPPED default (g64); g128 is looser on record
     assert res["dppl_int4_g64"] / base < 0.01, res
     assert res["dppl_int4_g128"] / base < 0.02, res
+    # AWQ legs exist on the llama-arch gate model and must not make the
+    # same config meaningfully worse (they usually improve it; tiny
+    # models leave little headroom, so gate on no-regression)
+    assert res["dppl_int4_g128_awq"] / base < 0.02, res
+    assert res["dppl_int4_g64_awq"] / base < 0.01, res

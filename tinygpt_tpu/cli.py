@@ -61,6 +61,11 @@ def main(argv=None) -> int:
                     help="weight-only quantization")
     ap.add_argument("--quant-group-size", type=int, default=None,
                     help="default: 64 for int4, 128 for int8")
+    ap.add_argument("--awq", action="store_true",
+                    help="AWQ activation-aware scaling before "
+                         "quantization (ops/awq.py)")
+    ap.add_argument("--awq-calib", default=None, metavar="TEXT_FILE",
+                    help="calibration text for --awq (default: built-in)")
     ap.add_argument("--mesh", default=None, metavar="DP,SP,TP",
                     help="shard over a device mesh, e.g. 1,1,8")
     ap.add_argument("--speculative", default=None, choices=["ngram"],
@@ -79,6 +84,8 @@ def main(argv=None) -> int:
         ),
         quantization=args.quantization,
         quant_group_size=args.quant_group_size,
+        awq=args.awq,
+        awq_calib_path=args.awq_calib,
         mesh_shape=mesh_shape,
         speculative=args.speculative,
     ))

@@ -68,6 +68,14 @@ class GPTConfig:
     # the <=0.5 dppl bar, scales cost only ~3% extra traffic), 128 for
     # int8 (passes the gate with margin).
     quant_group_size: Optional[int] = None
+    # AWQ activation-aware scaling (ops/awq.py): calibrate per-channel
+    # scales on real activations and fold them into the weights before
+    # quantization — zero runtime cost, recovers most of the int4 g128
+    # quality gap (see PPL_GATE.json awq legs). causal_lm families only.
+    awq: bool = False
+    # calibration text file for AWQ; None = built-in sample corpus
+    awq_calib_path: Optional[str] = None
+    awq_calib_tokens: int = 2048  # total calibration tokens (batched)
     # KV cache storage dtype: "auto" (= compute dtype) | "fp8" | "bf16"
     kv_cache_dtype: str = "auto"
     # decode steps per device dispatch. >1 runs a lax.scan of whole steps
@@ -168,11 +176,33 @@ class GPTEngine:
 
             bits = {"int8": 8, "int4": 4}[cfg.quantization]
             group = resolve_quant_group(bits, cfg.quant_group_size)
-            self.ctx.params = quantize_params(
-                self.ctx.params, bits=bits, group_size=group,
-            )
-            log.info("quantized weights to %s (group %d)",
-                     cfg.quantization, group)
+            if cfg.awq and "qkv_w" in self.ctx.params["layers"]:
+                from tinygpt_tpu.ops.awq import (awq_quantize_params,
+                                                 default_calib_ids)
+                from tinygpt_tpu.utils.timer import timed
+
+                calib = default_calib_ids(
+                    self.ctx.tokenizer, cfg.awq_calib_tokens,
+                    path=cfg.awq_calib_path,
+                )
+                with timed() as t:
+                    self.ctx.params = awq_quantize_params(
+                        self.ctx.params, self.ctx.model_config, calib,
+                        bits=bits, group_size=group,
+                    )
+                log.info("AWQ-quantized weights to %s (group %d, %d "
+                         "calib tokens) in %.1fs", cfg.quantization,
+                         group, calib.size, t())
+            else:
+                if cfg.awq:
+                    log.warning("awq requested but %s has no causal_lm "
+                                "layer layout; plain quantization",
+                                self.ctx.model_config.model_type)
+                self.ctx.params = quantize_params(
+                    self.ctx.params, bits=bits, group_size=group,
+                )
+                log.info("quantized weights to %s (group %d)",
+                         cfg.quantization, group)
         self._collect_eos_ids()
         gen = self.ctx.generation_config
         if (

@@ -47,6 +47,8 @@ class ServerConfig:
     web_dir: Optional[str] = None
     quantization: Optional[str] = None  # None | "int8" | "int4"
     quant_group_size: Optional[int] = None  # None = auto (64 int4 / 128 int8)
+    awq: bool = False  # AWQ activation-aware scaling (ops/awq.py)
+    awq_calib_path: Optional[str] = None
     mesh_shape: Optional[tuple] = None  # (dp, sp, tp) device mesh
     speculative: bool = False  # n-gram spec decode quanta (greedy rows)
     # "continuous" = paged continuous batching; "sequential" = the
@@ -79,6 +81,7 @@ class TinyGPTServer:
             max_tokens=cfg.max_tokens, sampler=sampler,
             quantization=cfg.quantization,
             quant_group_size=cfg.quant_group_size,
+            awq=cfg.awq, awq_calib_path=cfg.awq_calib_path,
             mesh_shape=cfg.mesh_shape,
         ))
         self.engine.prepare()
@@ -341,6 +344,10 @@ def main(argv=None) -> None:
                     choices=["int8", "int4"])
     ap.add_argument("--quant-group-size", type=int, default=None,
                     help="default: 64 for int4, 128 for int8")
+    ap.add_argument("--awq", action="store_true",
+                    help="AWQ activation-aware scaling before "
+                         "quantization")
+    ap.add_argument("--awq-calib", default=None, metavar="TEXT_FILE")
     ap.add_argument("--mesh", default=None, metavar="DP,SP,TP",
                     help="shard the engine over a device mesh, e.g. 1,1,8")
     ap.add_argument("--scheduler", default="continuous",
@@ -381,6 +388,7 @@ def main(argv=None) -> None:
         quantization=args.quantization,
         speculative=args.speculative,
         quant_group_size=args.quant_group_size,
+        awq=args.awq, awq_calib_path=args.awq_calib,
         mesh_shape=(tuple(int(x) for x in args.mesh.split(","))
                     if args.mesh else None),
         scheduler=args.scheduler,
