@@ -389,6 +389,51 @@ def test_scheduler_speculative_matches_dense_greedy(llama):
     assert len(got2[0]) == 4
 
 
+def test_scheduler_speculative_sliding_window(llama):
+    """Speculative quanta on a sliding-window config must match dense
+    greedy decode with the same window. The window (8) binds well within
+    the prompt+generation length, and repeated phrases make drafts
+    accept — exercising the slot-space window masks for frozen, prior-
+    accepted in-flight, and own-round verify positions."""
+    import dataclasses
+
+    cfg, model, params = llama
+    cfg_w = dataclasses.replace(cfg, sliding_window=8)
+    rng = np.random.default_rng(53)
+    phrase = [int(x) for x in rng.integers(2, cfg.vocab_size, 5)]
+    prompts = [
+        phrase * 4,  # window shorter than the repetition period
+        [int(x) for x in rng.integers(2, cfg.vocab_size, 13)],
+    ]
+    n_new = 8
+
+    batcher = ContinuousBatcher(
+        model, cfg_w, params, eos_ids=set(),
+        config=SchedulerConfig(
+            batch_capacity=2, block_size=16, n_blocks=64,
+            max_blocks_per_seq=8, prefill_bucket=16, dtype="float32",
+            decode_quantum=8, speculative="ngram", spec_draft_len=3,
+            spec_ngram=2,
+        ),
+    )
+    assert batcher._spec_fn is not None  # the window gate is gone
+    for i, p in enumerate(prompts):
+        batcher.add_request(Request(request_id=i, prompt_ids=p,
+                                    max_new_tokens=n_new))
+    got = {i: [] for i in range(len(prompts))}
+    _drain(batcher, got)
+    for i, p in enumerate(prompts):
+        assert len(got[i]) == n_new, got
+        context = list(p)
+        for step_idx, tok in enumerate(got[i]):
+            logits = _dense_logits(cfg_w, model, params, context)
+            best = int(logits.argmax())
+            assert tok == best or logits[best] - logits[tok] < 1e-3, (
+                f"request {i} step {step_idx}: {tok} vs dense argmax {best}"
+            )
+            context.append(tok)
+
+
 def test_scheduler_eos_and_capacity(llama):
     cfg, model, params = llama
     rng = np.random.default_rng(4)

@@ -76,18 +76,18 @@ class SchedulerConfig:
     # chunks — long prompts no longer freeze running streams. Rounded up
     # to lcm(prefill_bucket, block_size).
     prefill_chunk_tokens: int = 0
-    # tensor-parallel serving: (dp, sp, tp) mesh shape. Params shard
-    # Megatron-style, the paged K/V pools shard over kv-heads on tp, and
-    # every jitted program (admit / chunk / decode quantum) runs under
-    # GSPMD on the mesh. dp/sp must be 1 (row-parallel serving needs
-    # per-row admission, future work); None = single device.
+    # (dp, sp, tp) serving mesh. Params shard Megatron-style on tp, the
+    # paged K/V pools shard kv-heads on tp and rows on dp, and every
+    # jitted program (admit / chunk / decode quantum) runs under GSPMD on
+    # the mesh; dp admission is per-shard. sp must be 1 (sequence
+    # parallelism serves the dense engine only); None = single device.
     mesh_shape: Optional[tuple] = None
     # speculative decoding IN THE SCHEDULER: None | "ngram". When every
-    # running row is greedy (and the model has no sliding window), the
-    # decode quantum becomes R rounds of device-resident n-gram drafting
-    # + gamma+1-token verification per row — each row's throughput
-    # multiplies by (1 + its mean accepted drafts). Rows with sampling
-    # knobs make the batch fall back to the plain quantum.
+    # running row is greedy, the decode quantum becomes R rounds of
+    # device-resident n-gram drafting + gamma+1-token verification per
+    # row — each row's throughput multiplies by (1 + its mean accepted
+    # drafts). Sliding-window models verify exactly (slot-space window
+    # masks). Rows with sampling knobs fall back to the plain quantum.
     speculative: Optional[str] = None
     spec_draft_len: int = 4
     spec_ngram: int = 3
@@ -314,7 +314,6 @@ class ContinuousBatcher:
         if (
             sc.speculative == "ngram"
             and hasattr(self.model, "decode_paged_spec_steps")
-            and model_config.sliding_window is None
             and self._dp == 1  # spec quanta not yet shard-mapped over dp
         ):
             self._spec_fn = functools.partial(

@@ -849,11 +849,14 @@ def decode_paged_spec_steps(
 
     Returns (toks [R, B, S], counts [R, B] emitted per round, cur [B]
     next input per row, advanced PagedKVState). Rows draft from their
-    OWN context; sliding windows unsupported (callers gate).
+    OWN context. Sliding windows are exact: verify positions carry their
+    prospective pool slots and accepted in-flight entries carry theirs,
+    so the windowed merge masks in slot space (slot deltas equal logical
+    deltas within a row) — the reference parses but ignores the window
+    entirely (/root/reference/src/model/ModelMistral.h).
     """
     from tinygpt_tpu.ops.paged_attention import paged_decode_spec
 
-    assert cfg.sliding_window is None, "spec quantum: no sliding window"
     B = tok0.shape[0]
     C = ctx_tokens.shape[1]
     S = gamma + 1
@@ -895,7 +898,8 @@ def decode_paged_spec_steps(
         vals = jnp.take_along_axis(ctx, jnp.clip(p, 0, C - 1), axis=1)
         return jnp.where(avail, vals, cur[:, None])  # [B, gamma]
 
-    def verify_forward(ids, positions, infl_k, infl_v, valid, r, kp, vp):
+    def verify_forward(ids, positions, infl_k, infl_v, valid, r, kp, vp,
+                       q_slots, infl_slots):
         x = params["embed"][ids]  # [B, S, H]
         rope_c, rope_s = gather_rope(cos, sin, positions)
 
@@ -929,7 +933,8 @@ def decode_paged_spec_steps(
             attn = paged_decode_spec(
                 q, kp, vp, tables, lengths0, starts,
                 ik, iv, valid, l, r * S, scale=D ** -0.5,
-                kernel=attn_impl,
+                kernel=attn_impl, sliding_window=cfg.sliding_window,
+                q_slots=q_slots, infl_slots=infl_slots,
             )
             x = x + mm(attn.reshape(B, S, q_dim), "o_w")
             h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
@@ -953,12 +958,16 @@ def decode_paged_spec_steps(
         return logits.astype(jnp.float32), infl_k, infl_v
 
     def round_fn(carry, r):
-        cur, infl_k, infl_v, valid, acc, ctx, clen, kp, vp = carry
+        (cur, infl_k, infl_v, valid, acc, ctx, clen, kp, vp,
+         infl_slots) = carry
         draft = draft_fn(ctx, clen, cur)                    # [B, gamma]
         ids = jnp.concatenate([cur[:, None], draft], axis=1)  # [B, S]
         positions = (lengths0 - starts + acc)[:, None] + iota_s[None, :]
+        # pool slot each verify position will occupy (windowed masking)
+        q_slots = (lengths0 + acc)[:, None] + iota_s[None, :]
         logits, infl_k, infl_v = verify_forward(
-            ids, positions, infl_k, infl_v, valid, r, kp, vp)
+            ids, positions, infl_k, infl_v, valid, r, kp, vp,
+            q_slots, infl_slots)
         preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, S]
         m = jnp.sum(jnp.cumprod(
             (preds[:, :gamma] == draft).astype(jnp.int32), axis=1), axis=1)
@@ -967,7 +976,12 @@ def decode_paged_spec_steps(
         # accept this round's slots 0..m into the in-flight validity
         pos_in = jnp.arange(N, dtype=jnp.int32)[None, :]
         this_round = (pos_in >= r * S) & (pos_in < (r + 1) * S)
-        valid = valid | (this_round & (pos_in - r * S <= m[:, None]))
+        accepted_now = this_round & (pos_in - r * S <= m[:, None])
+        valid = valid | accepted_now
+        # record the accepted entries' pool slots for later rounds' masks
+        infl_slots = jnp.where(
+            accepted_now,
+            (lengths0 + acc)[:, None] + (pos_in - r * S), infl_slots)
         # append the emitted tokens (preds[:, :m+1]) to the context
         idx2 = clen[:, None] + iota_s[None, :]
         old = jnp.take_along_axis(ctx, jnp.clip(idx2, 0, C - 1), axis=1)
@@ -976,7 +990,7 @@ def decode_paged_spec_steps(
         ctx = ctx.at[rows_b[:, None], jnp.clip(idx2, 0, C - 1)].set(newv)
         emitted = (m + 1) * act_i
         carry = (nxt, infl_k, infl_v, valid, acc + emitted, ctx,
-                 clen + emitted, kp, vp)
+                 clen + emitted, kp, vp, infl_slots)
         return carry, (preds, m + 1)
 
     infl_k0 = jnp.zeros((L, B, Nk, N, D), infl_dt)
@@ -986,8 +1000,9 @@ def decode_paged_spec_steps(
     # chain -> XLA aliases loop + final scatter; see decode_paged_steps)
     carry0 = (tok0.astype(jnp.int32), infl_k0, infl_v0, valid0,
               jnp.zeros((B,), jnp.int32), ctx_tokens,
-              ctx_lens.astype(jnp.int32), state.k_pool, state.v_pool)
-    (cur, infl_k, infl_v, valid, acc, _, _, kp_out, vp_out), \
+              ctx_lens.astype(jnp.int32), state.k_pool, state.v_pool,
+              jnp.zeros((B, N), jnp.int32))
+    (cur, infl_k, infl_v, valid, acc, _, _, kp_out, vp_out, _), \
         (toks, counts) = jax.lax.scan(
             round_fn, carry0, jnp.arange(n_rounds, dtype=jnp.int32)
         )

@@ -445,6 +445,11 @@ def paged_decode_spec_xla(
     infl_valid: jnp.ndarray,    # [B, N] bool — prior rounds' ACCEPTED slots
     base: jnp.ndarray,          # scalar int32 — own round's first slot
     scale: float,
+    sliding_window=None,
+    q_slots=None,              # [B, S] pool slot each verify position will
+                               # occupy (required with a window)
+    infl_slots=None,           # [B, N] pool slot per ACCEPTED in-flight
+                               # entry (required with a window)
 ) -> jnp.ndarray:
     k = paged_gather_dense(k_pool, block_tables)
     v = paged_gather_dense(v_pool, block_tables)
@@ -460,11 +465,25 @@ def paged_decode_spec_xla(
                     k_infl.astype(jnp.float32)) * scale
     t_idx = jnp.arange(T, dtype=jnp.int32)[None, :]
     mask_f = (t_idx < lengths0[:, None]) & (t_idx >= starts[:, None])
+    mask_f = mask_f[:, None, :]                                # [B, 1, T]
     j = jnp.arange(N, dtype=jnp.int32)[None, None, :]          # [1, 1, N]
     s_idx = jnp.arange(S, dtype=jnp.int32)[None, :, None]      # [1, S, 1]
     own = (j >= base) & (j <= base + s_idx)                    # [1, S, N]
     mask_i = infl_valid[:, None, :] | own                      # [B, S, N]
-    sf = jnp.where(mask_f[:, None, None, None, :], sf, NEG_INF)
+    if sliding_window is not None:
+        # slot deltas equal logical deltas within a row (frozen slot
+        # index IS the pool slot; accepted in-flight slots carry theirs
+        # in infl_slots; own-round slot j occupies q_slots[:, j - base])
+        w = sliding_window
+        qs = q_slots[:, :, None]                               # [B, S, 1]
+        mask_f = mask_f & (t_idx[:, None, :] > qs - w)
+        jidx = jnp.arange(N, dtype=jnp.int32)[None, :]         # [1, N]
+        own_slot = jnp.take_along_axis(
+            q_slots, jnp.clip(jidx - base, 0, S - 1), axis=1
+        )                                                      # [B, N]
+        slot_j = jnp.where(jidx >= base, own_slot, infl_slots)
+        mask_i = mask_i & (slot_j[:, None, :] > qs - w)
+    sf = jnp.where(mask_f[:, None, None, :, :], sf, NEG_INF)
     si = jnp.where(mask_i[:, None, None, :, :], si, NEG_INF)
     s_all = jnp.concatenate([sf, si], axis=-1)
     probs = jax.nn.softmax(s_all, axis=-1)
@@ -648,8 +667,11 @@ def paged_decode_spec_tpu(
 def paged_decode_spec(
     q, k_pools, v_pools, block_tables, lengths0, starts, k_infl, v_infl,
     infl_valid, l, base, scale, kernel: str = "xla",
+    sliding_window=None, q_slots=None, infl_slots=None,
 ) -> jnp.ndarray:
-    if kernel == "pallas":
+    # windowed verify rides the XLA path (the merge einsums fuse the
+    # extra slot masks for free; a kernel variant would re-derive them)
+    if kernel == "pallas" and sliding_window is None:
         return paged_decode_spec_tpu(
             q, k_pools, v_pools, block_tables, lengths0, starts,
             k_infl, v_infl, infl_valid, l, base, scale,
@@ -658,7 +680,8 @@ def paged_decode_spec(
     vp = jax.lax.dynamic_index_in_dim(v_pools, l, 0, keepdims=False)
     return paged_decode_spec_xla(
         q, kp, vp, block_tables, lengths0, starts, k_infl, v_infl,
-        infl_valid, base, scale,
+        infl_valid, base, scale, sliding_window=sliding_window,
+        q_slots=q_slots, infl_slots=infl_slots,
     )
 
 
