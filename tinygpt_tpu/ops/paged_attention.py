@@ -669,8 +669,16 @@ def paged_decode_spec(
     infl_valid, l, base, scale, kernel: str = "xla",
     sliding_window=None, q_slots=None, infl_slots=None,
 ) -> jnp.ndarray:
-    # windowed verify rides the XLA path (the merge einsums fuse the
-    # extra slot masks for free; a kernel variant would re-derive them)
+    # A window that cannot bind is no window: every key slot lives in
+    # [0, MB*bs) and every query slot below MB*bs, so window >= MB*bs
+    # masks nothing — the routine case for Mistral-7B (w=4096) serving
+    # at max_blocks_per_seq*block_size <= 4096, which keeps the fast
+    # kernel. A BINDING window rides the XLA path (the merge einsums
+    # fuse the slot masks for free; the kernel variant stays window-free).
+    if sliding_window is not None:
+        max_span = block_tables.shape[1] * k_pools.shape[3]
+        if sliding_window >= max_span:
+            sliding_window = None
     if kernel == "pallas" and sliding_window is None:
         return paged_decode_spec_tpu(
             q, k_pools, v_pools, block_tables, lengths0, starts,
