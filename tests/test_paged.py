@@ -593,6 +593,52 @@ def test_scheduler_tp_sharded_matches_single(llama):
         )
 
 
+def test_scheduler_sp_tp_sharded_matches_single(llama):
+    """Sequence-parallel admission: an sp2 x tp2 mesh shards the prefill
+    sequence dim under GSPMD (decode quanta and pools stay
+    sp-replicated); greedy streams must match the single-device
+    scheduler, modulo near-tie flips. Long prompts + chunked prefill so
+    the sp sharding actually spans chunks."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    cfg, model, params = llama
+    rng = np.random.default_rng(61)
+    prompts = [list(int(x) for x in rng.integers(2, cfg.vocab_size, n))
+               for n in (35, 9, 50)]
+
+    def run(mesh_shape, chunk=0):
+        batcher = ContinuousBatcher(
+            model, cfg, params, eos_ids=set(),
+            config=SchedulerConfig(
+                batch_capacity=3, block_size=16, n_blocks=64,
+                max_blocks_per_seq=8, prefill_bucket=16, dtype="float32",
+                mesh_shape=mesh_shape, prefill_chunk_tokens=chunk,
+            ),
+        )
+        for i, p in enumerate(prompts):
+            batcher.add_request(Request(request_id=i, prompt_ids=p,
+                                        max_new_tokens=5))
+        got = {i: [] for i in range(len(prompts))}
+        _drain(batcher, got)
+        return got
+
+    def check(a_map, b_map):
+        for rid in a_map:
+            a, b = a_map[rid], b_map[rid]
+            assert len(a) == len(b) == 5
+            if a == b:
+                continue
+            i = next(j for j in range(len(a)) if a[j] != b[j])
+            context = prompts[rid] + a[:i]
+            logits = _dense_logits(cfg, model, params, context)
+            top = float(logits.max())
+            assert top - logits[a[i]] < 1e-3 and top - logits[b[i]] < 1e-3
+
+    single = run(None)
+    check(single, run((1, 2, 2)))
+    check(single, run((1, 2, 2), chunk=16))  # sp x chunked prefill
+
+
 def test_scheduler_dp_tp_sharded_matches_single(llama):
     """Row-parallel continuous batching: a dp2 x tp2 mesh (rows, pools
     and allocators partitioned over dp via shard_map; tp automatic) must

@@ -77,10 +77,11 @@ class SchedulerConfig:
     # to lcm(prefill_bucket, block_size).
     prefill_chunk_tokens: int = 0
     # (dp, sp, tp) serving mesh. Params shard Megatron-style on tp, the
-    # paged K/V pools shard kv-heads on tp and rows on dp, and every
-    # jitted program (admit / chunk / decode quantum) runs under GSPMD on
-    # the mesh; dp admission is per-shard. sp must be 1 (sequence
-    # parallelism serves the dense engine only); None = single device.
+    # paged K/V pools shard kv-heads on tp and rows on dp, admission
+    # prefill shards its sequence dim on sp, and every jitted program
+    # (admit / chunk / decode quantum) runs under GSPMD on the mesh; dp
+    # admission is per-shard. sp composes with tp only (dp=1, single
+    # process); None = single device.
     mesh_shape: Optional[tuple] = None
     # speculative decoding IN THE SCHEDULER: None | "ngram". When every
     # running row is greedy, the decode quantum becomes R rounds of
@@ -160,7 +161,9 @@ class ContinuousBatcher:
         self._mesh = None
         self._pool_spec = None
         self._dp = 1
+        self._sp = 1
         self._meta_spec = None  # PartitionSpec for row-indexed metadata
+        self._seq_spec = None   # PartitionSpec for prefill sequence inputs
         if sc.mesh_shape is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from tinygpt_tpu.parallel.sharding import (
@@ -174,9 +177,13 @@ class ContinuousBatcher:
                 dp, sp, tp = shape[0], 1, shape[1]
             else:
                 dp, sp, tp = shape
-            if sp != 1:
-                raise ValueError("continuous batching: sp must be 1")
             procs = jax.process_count()
+            if sp != 1 and (dp > 1 or procs > 1):
+                # sp shards the admission prefill under GSPMD; the dp
+                # quantum runs shard_map-manual where a second auto axis
+                # would need threading through every program
+                raise ValueError("scheduler sp composes with tp only "
+                                 "(dp=1, single process)")
             if dp > 1 or procs > 1:
                 # row-parallel serving: rows, pools and allocators are
                 # PARTITIONED over dp shards (shard_map with dp manual,
@@ -210,8 +217,8 @@ class ContinuousBatcher:
                                          sp=1, tp=tp)
                 self._dp_axes = ("dcn_dp", "dp")
             else:
-                self._mesh = make_mesh(n_devices=dp * tp, dp=dp, sp=1,
-                                       tp=tp)
+                self._mesh = make_mesh(n_devices=dp * sp * tp, dp=dp,
+                                       sp=sp, tp=tp)
                 self._dp_axes = ("dp",)
             self.params = shard_params(
                 self.params, self._mesh,
@@ -222,8 +229,14 @@ class ContinuousBatcher:
             dp_ax = self._dp_axes if dp > 1 else None
             self._pool_spec = P(None, dp_ax, kv_tp, None, None)
             self._meta_spec = P(dp_ax) if dp > 1 else None
-            log.info("scheduler sharded over dp=%d tp=%d (%d processes, "
-                     "kv heads %s)", dp, tp, procs,
+            self._sp = sp
+            # admission prefill inputs shard their sequence dim on sp
+            # (GSPMD all-gathers K/V at the attention boundary, exactly
+            # the dense engine's data_pspecs(sp=True) layout); the decode
+            # quantum (S=1) and the pools stay sp-replicated
+            self._seq_spec = P(None, "sp") if sp > 1 else None
+            log.info("scheduler sharded over dp=%d sp=%d tp=%d (%d "
+                     "processes, kv heads %s)", dp, sp, tp, procs,
                      "sharded" if kv_tp else "replicated")
         self.state: PagedKVState = create_paged_state(
             model_config, sc.n_blocks, sc.block_size, sc.batch_capacity,
@@ -544,7 +557,7 @@ class ContinuousBatcher:
         # one jitted admission program: gather shared prefix -> suffix
         # prefill -> scatter into private blocks -> sample first token
         # (a single device dispatch; compiled per (p_blk, S_in) shape)
-        unit = math.lcm(sc.prefill_bucket, bs)
+        unit = math.lcm(sc.prefill_bucket, bs, self._sp)
         S_in = max(unit, -(-S_suf // unit) * unit)  # padded suffix input
         ids = np.zeros((1, S_in), np.int32)
         ids[0, :S_suf] = suffix
@@ -559,7 +572,9 @@ class ContinuousBatcher:
             self.params, self.state,
             self._put(np.asarray(shared, np.int32)),
             self._put(np.asarray(private, np.int32)),
-            self._put(ids), self._put(positions), self._put(valid),
+            self._put(ids, self._seq_spec),
+            self._put(positions, self._seq_spec),
+            self._put(valid, self._seq_spec),
             self._put(np.asarray([S_suf - 1], np.int32)),
             self._put(np.asarray([s.temperature or 0.0], np.float32)),
             self._put(np.asarray([s.top_k or 0], np.int32)),
@@ -646,7 +661,7 @@ class ContinuousBatcher:
         sc = self.sc
         bs = sc.block_size
         S = len(req.prompt_ids)
-        unit = math.lcm(sc.prefill_bucket, bs)
+        unit = math.lcm(sc.prefill_bucket, bs, self._sp)
         chunk_cap = max(unit, _round_to(sc.prefill_chunk_tokens, unit))
         pos0 = req._chunk_pos
         n_tok = min(chunk_cap, S - pos0)
@@ -675,7 +690,9 @@ class ContinuousBatcher:
             self.params, self.state,
             self._put(table), self._put(np.asarray(pos0, np.int32)),
             self._put(np.asarray(private, np.int32)),
-            self._put(ids), self._put(positions), self._put(valid),
+            self._put(ids, self._seq_spec),
+            self._put(positions, self._seq_spec),
+            self._put(valid, self._seq_spec),
             self._put(np.asarray([n_tok - 1], np.int32)),
             self._put(np.asarray([s.temperature or 0.0], np.float32)),
             self._put(np.asarray([s.top_k or 0], np.int32)),
