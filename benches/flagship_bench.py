@@ -24,10 +24,56 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_flagship(bits: int = 4, group: int = 64):
-    """Build the Mistral-7B-shape quantized params (random, layout/shape
-    exact). Returns (cfg, params, nbytes). Shared by the flagship bench
-    and the phase profiler (benches/flagship_profile.py)."""
+# BASELINE.json measurement-config shapes, architecture-exact (HF
+# configs of the published checkpoints; weights random).
+SHAPES = {
+    "mistral7b": {
+        "model_type": "mistral", "vocab_size": 32768, "hidden_size": 4096,
+        "num_hidden_layers": 32, "num_attention_heads": 32,
+        "num_key_value_heads": 8, "intermediate_size": 14336,
+        "max_position_embeddings": 32768, "rope_theta": 1000000.0,
+        "rms_norm_eps": 1e-5, "tie_word_embeddings": False,
+    },
+    "qwen25_05b": {  # Qwen2.5-0.5B (qkv bias, tied embeddings)
+        "model_type": "qwen2", "vocab_size": 151936, "hidden_size": 896,
+        "num_hidden_layers": 24, "num_attention_heads": 14,
+        "num_key_value_heads": 2, "intermediate_size": 4864,
+        "max_position_embeddings": 32768, "rope_theta": 1000000.0,
+        "rms_norm_eps": 1e-6, "tie_word_embeddings": True,
+    },
+    "llama32_1b": {  # Llama-3.2-1B (GQA, tied)
+        "model_type": "llama", "vocab_size": 128256, "hidden_size": 2048,
+        "num_hidden_layers": 16, "num_attention_heads": 32,
+        "num_key_value_heads": 8, "head_dim": 64,
+        "intermediate_size": 8192, "max_position_embeddings": 32768,
+        "rope_theta": 500000.0, "rms_norm_eps": 1e-5,
+        "tie_word_embeddings": True,
+    },
+    "llama32_3b": {  # Llama-3.2-3B
+        "model_type": "llama", "vocab_size": 128256, "hidden_size": 3072,
+        "num_hidden_layers": 28, "num_attention_heads": 24,
+        "num_key_value_heads": 8, "head_dim": 128,
+        "intermediate_size": 8192, "max_position_embeddings": 32768,
+        "rope_theta": 500000.0, "rms_norm_eps": 1e-5,
+        "tie_word_embeddings": True,
+    },
+    "qwen3_17b": {  # Qwen3-1.7B (qk-norm, tied)
+        "model_type": "qwen3", "vocab_size": 151936, "hidden_size": 2048,
+        "num_hidden_layers": 28, "num_attention_heads": 16,
+        "num_key_value_heads": 8, "head_dim": 128,
+        "intermediate_size": 6144, "max_position_embeddings": 32768,
+        "rope_theta": 1000000.0, "rms_norm_eps": 1e-6,
+        "tie_word_embeddings": True,
+    },
+}
+
+
+def build_flagship(bits: int = 4, group: int = 64,
+                   shape: str = "mistral7b"):
+    """Build architecture-exact quantized (or bf16 when bits=16) params
+    for a BASELINE measurement shape (random weights). Returns
+    (cfg, params, nbytes). Shared by the flagship bench and the phase
+    profiler (benches/flagship_profile.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -35,22 +81,19 @@ def build_flagship(bits: int = 4, group: int = 64):
     from tinygpt_tpu.ops.quant import quantize_weight
     from tinygpt_tpu.ops.rope import compute_rope_freqs
 
-    cfg = parse_model_config({
-        "model_type": "mistral", "vocab_size": 32768, "hidden_size": 4096,
-        "num_hidden_layers": 32, "num_attention_heads": 32,
-        "num_key_value_heads": 8, "intermediate_size": 14336,
-        "max_position_embeddings": 32768, "rope_theta": 1000000.0,
-        "rms_norm_eps": 1e-5, "tie_word_embeddings": False,
-    })
+    cfg = parse_model_config(SHAPES[shape])
     L, H, D = cfg.num_hidden_layers, cfg.hidden_size, cfg.head_dim
     Nq, Nk, I = cfg.num_attention_heads, cfg.num_kv_heads, \
         cfg.intermediate_size
     V = cfg.vocab_size
     key = jax.random.PRNGKey(0)
 
-    def qkey(shape, k):
-        """Generate bf16 on device, quantize, free the float copy."""
-        w = jax.random.normal(k, shape, jnp.bfloat16) * 0.02
+    def qkey(shp, k):
+        """Generate bf16 on device, quantize (bits<16), free the float
+        copy."""
+        w = jax.random.normal(k, shp, jnp.bfloat16) * 0.02
+        if bits == 16:
+            return w
         q = quantize_weight(w, bits=bits, group_size=group)
         jax.block_until_ready(q.data)
         del w
@@ -67,11 +110,18 @@ def build_flagship(bits: int = 4, group: int = 64):
         "gate_up_w": qkey((L, H, 2 * I), ks[2]),
         "down_w": qkey((L, I, H), ks[3]),
     }
+    if cfg.qkv_bias:
+        layers["qkv_b"] = jnp.zeros((L, (Nq + 2 * Nk) * D), jnp.bfloat16)
+    if cfg.qk_norm:
+        layers["q_norm"] = jnp.ones((L, D), jnp.bfloat16)
+        layers["k_norm"] = jnp.ones((L, D), jnp.bfloat16)
     cos, sin = compute_rope_freqs(D, 4096, cfg.rope_theta, None)
     params = {
         "embed": jax.random.normal(ks[4], (V, H), jnp.bfloat16) * 0.02,
         "layers": layers,
         "final_ln": jnp.ones((H,), jnp.bfloat16),
+        # tied checkpoints reuse the embedding as the head; the engine
+        # materializes a quantized transposed copy at load — mirror that
         "lm_head": qkey((H, V), ks[5]),
         "rope_cos": jnp.asarray(cos),
         "rope_sin": jnp.asarray(sin),
@@ -86,8 +136,9 @@ def build_flagship(bits: int = 4, group: int = 64):
 
 def run(batch: int = 4, decode_steps: int = 32, bits: int = 4,
         group: int = 64, context: int = 1024,
-        serving: bool = False, kv_dtype: str = "bf16") -> dict:
-    """Build the Mistral-7B-shape quantized model and measure decode
+        serving: bool = False, kv_dtype: str = "bf16",
+        shape: str = "mistral7b") -> dict:
+    """Build a BASELINE-shape quantized model and measure decode
     tokens/s/chip; returns the result dict (also used by bench.py as the
     driver's headline metric)."""
     import types
@@ -107,7 +158,8 @@ def run(batch: int = 4, decode_steps: int = 32, bits: int = 4,
     from tinygpt_tpu.engine.kv_cache import create_kv_cache
     from tinygpt_tpu.models import causal_lm
 
-    cfg, params, nbytes = build_flagship(bits=bits, group=group)
+    cfg, params, nbytes = build_flagship(bits=bits, group=group,
+                                         shape=shape)
 
     B, N = args.batch, args.decode_steps
     kv_dt = jnp.float8_e4m3fn if kv_dtype in ("fp8", "e4m3") \
@@ -151,8 +203,9 @@ def run(batch: int = 4, decode_steps: int = 32, bits: int = 4,
         best = min(best, (time.perf_counter() - t0) / chain)
 
     hot = nbytes - params["embed"].size * 2  # embed gather is traffic-free
+    prec = "bf16" if bits == 16 else f"int{bits}"
     res = {
-        "metric": f"decode_tokens_per_sec_mistral7b_int{args.bits}_b{B}"
+        "metric": f"decode_tokens_per_sec_{shape}_{prec}_b{B}"
                   + ("_fp8kv" if kv_dtype in ("fp8", "e4m3") else ""),
         "value": round(B * N / best, 1),
         "unit": "tokens/s",
@@ -327,17 +380,21 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--decode-steps", type=int, default=32)
-    ap.add_argument("--bits", type=int, default=4, choices=[4, 8])
+    ap.add_argument("--bits", type=int, default=4, choices=[4, 8, 16],
+                    help="16 = unquantized bf16")
     ap.add_argument("--group", type=int, default=64)
     ap.add_argument("--context", type=int, default=1024)
     ap.add_argument("--serving", action="store_true",
                     help="also measure TTFT/throughput under continuous "
                          "batching at the flagship shape")
     ap.add_argument("--kv-dtype", default="bf16", choices=["bf16", "fp8"])
+    ap.add_argument("--shape", default="mistral7b",
+                    choices=sorted(SHAPES),
+                    help="BASELINE measurement-config architecture")
     args = ap.parse_args()
     print(json.dumps(run(args.batch, args.decode_steps, args.bits,
                          args.group, args.context, serving=args.serving,
-                         kv_dtype=args.kv_dtype)))
+                         kv_dtype=args.kv_dtype, shape=args.shape)))
 
 
 if __name__ == "__main__":
