@@ -30,9 +30,12 @@ def main() -> None:
     tinygpt_tpu.ensure_compile_cache()
     from benches.flagship_bench import run
 
-    # group 64 = the shipped int4 default (the PPL_GATE-passing config;
-    # g128 missed the <=0.5 dppl bar — scales cost ~3% extra traffic)
-    res = run(batch=4, decode_steps=32, bits=4, group=64, context=1024,
+    # group 128 = the shipped int4 default. The quality gate passes via
+    # the engine's AWQ default (PPL_GATE.json: awq+g128 +1.8% rel vs the
+    # 3.33% bar; plain int4 fails at either group). AWQ only rescales
+    # weight VALUES — layout, bytes and kernels are identical — so this
+    # random-weight perf measurement is exactly the AWQ config's perf.
+    res = run(batch=4, decode_steps=32, bits=4, group=128, context=1024,
               serving=True)
     res["vs_baseline"] = round(res["value"] / BASELINE_TOKENS_PER_S, 3)
     print(json.dumps(res))

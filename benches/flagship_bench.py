@@ -68,7 +68,7 @@ SHAPES = {
 }
 
 
-def build_flagship(bits: int = 4, group: int = 64,
+def build_flagship(bits: int = 4, group: int = 128,
                    shape: str = "mistral7b"):
     """Build architecture-exact quantized (or bf16 when bits=16) params
     for a BASELINE measurement shape (random weights). Returns
@@ -135,7 +135,7 @@ def build_flagship(bits: int = 4, group: int = 64,
 
 
 def run(batch: int = 4, decode_steps: int = 32, bits: int = 4,
-        group: int = 64, context: int = 1024,
+        group: int = 128, context: int = 1024,
         serving: bool = False, kv_dtype: str = "bf16",
         shape: str = "mistral7b") -> dict:
     """Build a BASELINE-shape quantized model and measure decode
@@ -382,7 +382,7 @@ def main():
     ap.add_argument("--decode-steps", type=int, default=32)
     ap.add_argument("--bits", type=int, default=4, choices=[4, 8, 16],
                     help="16 = unquantized bf16")
-    ap.add_argument("--group", type=int, default=64)
+    ap.add_argument("--group", type=int, default=128)
     ap.add_argument("--context", type=int, default=1024)
     ap.add_argument("--serving", action="store_true",
                     help="also measure TTFT/throughput under continuous "

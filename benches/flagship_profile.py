@@ -53,7 +53,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--phases", default="ceiling,empty,mm,mm_qkv,mm_o,"
                     "mm_gateup,mm_down,attn,head,full")
-    ap.add_argument("--group", type=int, default=64)
+    ap.add_argument("--group", type=int, default=128)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--bk", type=int, default=None,
                     help="override contraction tile for the mm_* singles")

@@ -234,7 +234,10 @@ def main():
     # the relative bar alone — AND-ing the un-rescaled absolute bar there
     # double-counts scale (0.5 absolute at ppl 270 is 0.19% — 17x
     # stricter than the bar means at ppl 15); at real-model scale both
-    # bind. pass_* gate the SHIPPED defaults (int8 g128, int4 g64).
+    # bind. pass_* gate the SHIPPED defaults: int8 g128 plain, int4
+    # g128 + AWQ (engine.resolve_quant_group / GPTConfig.awq — plain
+    # int4 misses the relative bar at either group size, which is WHY
+    # awq is the int4 default).
     real_scale = res["ppl_f32"] <= 30.0
 
     def gate(name, bar):
@@ -245,9 +248,8 @@ def main():
 
     res["abs_bar_applied"] = real_scale
     res["pass_int8"] = gate("int8_g128", 0.1)
-    res["pass_int4"] = gate("int4_g64", 0.5)
-    res["pass_int4_g128"] = gate("int4_g128", 0.5)
-    for leg in ("int4_g128_awq", "int4_g64_awq"):
+    res["pass_int4"] = gate("int4_g128_awq", 0.5)  # the shipped default
+    for leg in ("int4_g128", "int4_g64", "int4_g128_awq", "int4_g64_awq"):
         if f"dppl_{leg}" in res:
             res[f"pass_{leg}"] = gate(leg, 0.5)
     print(json.dumps(res))

@@ -61,6 +61,15 @@ def tiny_hf_config(model_type: str):
             max_position_embeddings=128, rms_norm_eps=1e-5,
             sliding_window=None, bos_token_id=0, eos_token_id=1,
         )
+    if model_type == "mixtral":
+        return transformers.MixtralConfig(
+            vocab_size=503, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+            num_local_experts=4, num_experts_per_tok=2,
+            max_position_embeddings=128, rms_norm_eps=1e-5,
+            sliding_window=None, bos_token_id=0, eos_token_id=1,
+            router_jitter_noise=0.0,
+        )
     raise ValueError(model_type)
 
 

@@ -13,7 +13,8 @@ from tinygpt_tpu.hf.config import load_model_config
 from tinygpt_tpu.hf.safetensors_io import load_safetensors_dir
 from tinygpt_tpu.models import get_model
 
-FAMILIES = ["gpt2", "llama", "llama_scaled", "qwen2", "qwen3", "mistral"]
+FAMILIES = ["gpt2", "llama", "llama_scaled", "qwen2", "qwen3", "mistral",
+            "mixtral"]
 
 
 @pytest.fixture(scope="module")
@@ -91,7 +92,7 @@ def test_decode_matches_prefill(model_dirs, fam):
         )
 
 
-@pytest.mark.parametrize("fam", ["llama", "mistral", "qwen3"])
+@pytest.mark.parametrize("fam", ["llama", "mistral", "qwen3", "mixtral"])
 def test_decode_steps_matches_stepwise_forward(model_dirs, fam):
     """The frozen-cache chunked decode (decode_steps) must produce the
     same greedy tokens AND the same final cache contents as step-by-step

@@ -168,6 +168,17 @@ def llama(tmp_path_factory):
     return cfg, model, params
 
 
+@pytest.fixture(scope="module")
+def mixtral(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tiny_mixtral_paged")
+    build_tiny_model_dir("mixtral", str(d), seed=23)
+    cfg = load_model_config(str(d))
+    model = get_model(cfg.model_type)
+    params = model.load_params(cfg, load_safetensors_dir(str(d)),
+                               dtype=jnp.float32)
+    return cfg, model, params
+
+
 def _dense_greedy(cfg, model, params, prompt_ids, n_new):
     """Oracle: dense-cache greedy decode."""
     S = len(prompt_ids)
@@ -212,7 +223,7 @@ def gpt2(tmp_path_factory):
     return cfg, model, params
 
 
-@pytest.mark.parametrize("family", ["llama", "gpt2"])
+@pytest.mark.parametrize("family", ["llama", "gpt2", "mixtral"])
 def test_scheduler_matches_dense_greedy(family, request):
     """Every token the batched/paged path emits must be the dense model's
     greedy choice under teacher forcing (ties within float-reduction noise
@@ -220,7 +231,8 @@ def test_scheduler_matches_dense_greedy(family, request):
     near-tie logits of a tiny random model). Parametrized over llama AND
     gpt2: the reference serves GPT-2 through the same uniform engine
     (/root/reference/src/huggingface/ModelLoader.cpp:50-68), so gpt2 must
-    ride the same frozen-quantum continuous-batching architecture here."""
+    ride the same frozen-quantum continuous-batching architecture here —
+    and over mixtral, whose MoE MLP rides the same frozen quanta."""
     cfg, model, params = request.getfixturevalue(family)
     # both families must take the FAST path (frozen-pool quanta)
     assert hasattr(model, "decode_paged_steps")

@@ -61,9 +61,11 @@ def main(argv=None) -> int:
                     help="weight-only quantization")
     ap.add_argument("--quant-group-size", type=int, default=None,
                     help="default: 64 for int4, 128 for int8")
-    ap.add_argument("--awq", action="store_true",
+    ap.add_argument("--awq", action=argparse.BooleanOptionalAction,
+                    default=None,
                     help="AWQ activation-aware scaling before "
-                         "quantization (ops/awq.py)")
+                         "quantization (default: on for int4; "
+                         "--no-awq forces plain RTN)")
     ap.add_argument("--awq-calib", default=None, metavar="TEXT_FILE",
                     help="calibration text for --awq (default: built-in)")
     ap.add_argument("--mesh", default=None, metavar="DP,SP,TP",

@@ -64,15 +64,19 @@ class GPTConfig:
     max_context: Optional[int] = None  # default: model context size
     # weight-only quantization: None | "int8" | "int4"
     quantization: Optional[str] = None
-    # None = auto: 64 for int4 (the PPL_GATE-passing config; g128 missed
-    # the <=0.5 dppl bar, scales cost only ~3% extra traffic), 128 for
-    # int8 (passes the gate with margin).
+    # None = auto: 128 for both int4 and int8. The int4 default PASSES
+    # the quality gate only because AWQ is also on by default — plain
+    # int4 misses the relative-dppl bar at either group size on the
+    # round-3 gate model (PPL_GATE.json: plain +3.8-4.0% vs awq +1.7-1.8%
+    # against a 3.33% bar).
     quant_group_size: Optional[int] = None
     # AWQ activation-aware scaling (ops/awq.py): calibrate per-channel
     # scales on real activations and fold them into the weights before
-    # quantization — zero runtime cost, recovers most of the int4 g128
-    # quality gap (see PPL_GATE.json awq legs). causal_lm families only.
-    awq: bool = False
+    # quantization — zero runtime cost (identical layout/kernels; load
+    # pays a one-time calibrate+search pass). None = auto: ON for int4
+    # causal_lm models (the gate-passing shipped default), off for int8
+    # (which passes plain). False forces plain round-to-nearest.
+    awq: Optional[bool] = None
     # calibration text file for AWQ; None = built-in sample corpus
     awq_calib_path: Optional[str] = None
     awq_calib_tokens: int = 2048  # total calibration tokens (batched)
@@ -131,11 +135,14 @@ def _round_up(x: int, m: int) -> int:
 
 
 def resolve_quant_group(bits: int, group: Optional[int]) -> int:
-    """Default quant group size: 64 for int4, 128 for int8 (the shipped
-    defaults must pass the PPL_GATE Δppl bar — int4 g128 does not)."""
+    """Default quant group size: 128. The shipped int4 default passes
+    the PPL_GATE Δppl bar through the AWQ default (GPTConfig.awq), not
+    the group size — at gate-model scale plain int4 misses the relative
+    bar at g64 AND g128, while awq+g128 passes with margin and reads 3%
+    fewer scale bytes than g64."""
     if group is not None:
         return group
-    return 64 if bits == 4 else 128
+    return 128
 
 
 def ngram_draft(context: Sequence[int], n: int, k: int) -> List[int]:
@@ -176,7 +183,9 @@ class GPTEngine:
 
             bits = {"int8": 8, "int4": 4}[cfg.quantization]
             group = resolve_quant_group(bits, cfg.quant_group_size)
-            if cfg.awq and "qkv_w" in self.ctx.params["layers"]:
+            awq_on = (cfg.awq if cfg.awq is not None
+                      else bits == 4)  # int4 needs awq to pass the gate
+            if awq_on and "qkv_w" in self.ctx.params["layers"]:
                 from tinygpt_tpu.ops.awq import (awq_quantize_params,
                                                  default_calib_ids)
                 from tinygpt_tpu.utils.timer import timed
@@ -194,10 +203,14 @@ class GPTEngine:
                          "calib tokens) in %.1fs", cfg.quantization,
                          group, calib.size, t())
             else:
-                if cfg.awq:
+                if awq_on and cfg.awq:
                     log.warning("awq requested but %s has no causal_lm "
                                 "layer layout; plain quantization",
                                 self.ctx.model_config.model_type)
+                elif bits == 4 and not awq_on:
+                    log.warning("plain int4 (awq off) missed the ppl "
+                                "gate's relative bar on the gate model "
+                                "(PPL_GATE.json)")
                 self.ctx.params = quantize_params(
                     self.ctx.params, bits=bits, group_size=group,
                 )

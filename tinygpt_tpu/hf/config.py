@@ -29,6 +29,7 @@ MODEL_TYPE_LLAMA = "llama"
 MODEL_TYPE_QWEN2 = "qwen2"
 MODEL_TYPE_QWEN3 = "qwen3"
 MODEL_TYPE_MISTRAL = "mistral"
+MODEL_TYPE_MIXTRAL = "mixtral"
 
 SUPPORTED_MODEL_TYPES = (
     MODEL_TYPE_GPT2,
@@ -36,6 +37,7 @@ SUPPORTED_MODEL_TYPES = (
     MODEL_TYPE_QWEN2,
     MODEL_TYPE_QWEN3,
     MODEL_TYPE_MISTRAL,
+    MODEL_TYPE_MIXTRAL,
 )
 
 _TORCH_DTYPE_MAP = {
@@ -93,6 +95,9 @@ class ModelConfig:
     qkv_bias: bool = False  # qwen2: bias on qkv only
     qk_norm: bool = False  # qwen3: per-head RMSNorm on q/k
     sliding_window: Optional[int] = None  # mistral/qwen (parsed; applied in attn)
+    # MoE (mixtral): >0 experts turns the MLP into a routed top-k mixture
+    num_local_experts: int = 0
+    num_experts_per_tok: int = 2
     tie_word_embeddings: bool = False
     bos_token_id: Optional[int] = None
     eos_token_id: tuple = ()
@@ -208,6 +213,14 @@ def parse_model_config(cfg: dict) -> ModelConfig:
                 int(cfg["head_dim"]) if cfg.get("head_dim") is not None else None
             ),
             qk_norm=True,
+        )
+    if model_type == MODEL_TYPE_MIXTRAL:
+        # Mixtral: Mistral attention + block-sparse MoE MLP (top-k routed
+        # experts, full-softmax -> topk -> renormalize, HF semantics)
+        return ModelConfig(
+            **common,
+            num_local_experts=int(cfg.get("num_local_experts", 8)),
+            num_experts_per_tok=int(cfg.get("num_experts_per_tok", 2)),
         )
     # mistral
     return ModelConfig(**common)

@@ -15,6 +15,7 @@ _FAMILY = {
     "qwen2": causal_lm,
     "qwen3": causal_lm,
     "mistral": causal_lm,
+    "mixtral": causal_lm,  # Mistral attention + MoE MLP (config delta)
     "gpt2": gpt2,
 }
 

@@ -82,14 +82,20 @@ def load_params(
 
     has_bias = bool(cfg.qkv_bias or cfg.attention_bias)
 
+    E = cfg.num_local_experts
     shapes = {
         "input_ln": (H,),
         "qkv_w": (H, (Nq + 2 * Nk) * D),
         "o_w": (Nq * D, H),
         "post_ln": (H,),
-        "gate_up_w": (H, 2 * I),
-        "down_w": (I, H),
     }
+    if E:  # mixtral MoE MLP (router + stacked experts)
+        shapes["router_w"] = (H, E)
+        shapes["moe_gate_up_w"] = (E, H, 2 * I)
+        shapes["moe_down_w"] = (E, I, H)
+    else:
+        shapes["gate_up_w"] = (H, 2 * I)
+        shapes["down_w"] = (I, H)
     if has_bias:
         shapes["qkv_b"] = ((Nq + 2 * Nk) * D,)
     if cfg.qk_norm:
@@ -107,11 +113,22 @@ def load_params(
             ).astype(dt),
             "o_w": raw["o"].T.astype(dt),
             "post_ln": raw["post_ln"].astype(dt),
-            "gate_up_w": jnp.concatenate(
-                [raw["gate"].T, raw["up"].T], axis=1
-            ).astype(dt),
-            "down_w": raw["down"].T.astype(dt),
         }
+        if "router" in raw:
+            upd["router_w"] = raw["router"].T.astype(dt)
+            upd["moe_gate_up_w"] = jnp.stack([
+                jnp.concatenate(
+                    [raw[f"w1_{e}"].T, raw[f"w3_{e}"].T], axis=1
+                ) for e in range(E)
+            ]).astype(dt)
+            upd["moe_down_w"] = jnp.stack(
+                [raw[f"w2_{e}"].T for e in range(E)]
+            ).astype(dt)
+        else:
+            upd["gate_up_w"] = jnp.concatenate(
+                [raw["gate"].T, raw["up"].T], axis=1
+            ).astype(dt)
+            upd["down_w"] = raw["down"].T.astype(dt)
         if "qb" in raw:
             upd["qkv_b"] = jnp.concatenate(
                 [raw["qb"], raw["kb"], raw["vb"]]
@@ -130,10 +147,18 @@ def load_params(
             "v": g(p + "self_attn.v_proj.weight"),
             "o": g(p + "self_attn.o_proj.weight"),
             "post_ln": g(p + "post_attention_layernorm.weight"),
-            "gate": g(p + "mlp.gate_proj.weight"),
-            "up": g(p + "mlp.up_proj.weight"),
-            "down": g(p + "mlp.down_proj.weight"),
         }
+        if E:  # mixtral block_sparse_moe: gate (router) + experts w1/w2/w3
+            raw["router"] = g(p + "block_sparse_moe.gate.weight")
+            for e in range(E):
+                ep = p + f"block_sparse_moe.experts.{e}."
+                raw[f"w1_{e}"] = g(ep + "w1.weight")
+                raw[f"w2_{e}"] = g(ep + "w2.weight")
+                raw[f"w3_{e}"] = g(ep + "w3.weight")
+        else:
+            raw["gate"] = g(p + "mlp.gate_proj.weight")
+            raw["up"] = g(p + "mlp.up_proj.weight")
+            raw["down"] = g(p + "mlp.down_proj.weight")
         if has_bias:
             raw["qb"] = g(p + "self_attn.q_proj.bias")
             raw["kb"] = g(p + "self_attn.k_proj.bias")
@@ -188,9 +213,16 @@ def init_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16) -> Dict:
         "qkv_w": w(ks[0], L, H, (Nq + 2 * Nk) * D),
         "o_w": w(ks[1], L, Nq * D, H),
         "post_ln": jnp.ones((L, H), dtype),
-        "gate_up_w": w(ks[2], L, H, 2 * I),
-        "down_w": w(ks[3], L, I, H),
     }
+    E = cfg.num_local_experts
+    if E:
+        layers["router_w"] = w(ks[2], L, H, E)
+        ke1, ke2 = jax.random.split(ks[3])
+        layers["moe_gate_up_w"] = w(ke1, L, E, H, 2 * I)
+        layers["moe_down_w"] = w(ke2, L, E, I, H)
+    else:
+        layers["gate_up_w"] = w(ks[2], L, H, 2 * I)
+        layers["down_w"] = w(ks[3], L, I, H)
     if cfg.qkv_bias or cfg.attention_bias:
         layers["qkv_b"] = w(ks[4], L, (Nq + 2 * Nk) * D)
     if cfg.qk_norm:
@@ -208,6 +240,68 @@ def init_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16) -> Dict:
         "rope_cos": jnp.asarray(cos),
         "rope_sin": jnp.asarray(sin),
     }
+
+
+def moe_mlp(h: jnp.ndarray, lp: Dict, cfg: ModelConfig) -> jnp.ndarray:
+    """Mixtral block-sparse MoE MLP, HF semantics: full softmax over the
+    router logits -> top-k -> renormalize the selected weights -> weighted
+    sum of the selected experts' SwiGLU outputs.
+
+    Beyond-reference capability (the reference has no MoE family).
+    Compute is DENSE over experts — every expert's FFN runs on every
+    token, weighted by a (mostly zero) routing coefficient. The expert
+    dim stays WHOLE inside each einsum (never scanned over), which is
+    what lets GSPMD turn the expert contraction into expert parallelism
+    when the dim is sharded (parallel/sharding.py shards it over the
+    otherwise-idle-at-decode "sp" axis: each device computes only its
+    local experts and the weighted sum becomes a psum). Memory is
+    bounded by chunking the flattened token dim instead — decode (S=1)
+    is a single chunk. The sparse/ragged formulation (gather selected
+    experts per token) saves E/k of the FLOPs+reads but needs ragged
+    kernels; dense is exact and batch-size-robust.
+
+    h: [B, S, H] (post-norm). lp: router_w [H, E],
+    moe_gate_up_w [E, H, 2I], moe_down_w [E, I, H]. Returns [B, S, H].
+    """
+    k = cfg.num_experts_per_tok
+    E = cfg.num_local_experts
+    B, S, H = h.shape
+    logits = (h.astype(jnp.float32)
+              @ lp["router_w"].astype(jnp.float32))          # [B, S, E]
+    probs = jax.nn.softmax(logits, axis=-1)
+    w_top, idx = jax.lax.top_k(probs, k)                     # [B, S, k]
+    w_top = w_top / jnp.sum(w_top, axis=-1, keepdims=True)
+    # dense per-expert coefficient map: [B, S, E], zero off the top-k
+    we = jnp.sum(
+        jax.nn.one_hot(idx, E, dtype=jnp.float32) * w_top[..., None],
+        axis=-2,
+    )
+
+    gw, dw = lp["moe_gate_up_w"], lp["moe_down_w"]
+
+    def ffn_chunk(carry, args):
+        ht, wt = args  # [C, H], [C, E]
+        gate_up = jnp.einsum("ch,eho->ceo", ht, gw)     # [C, E, 2I]
+        gate, up = jnp.split(gate_up, 2, axis=-1)
+        act = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+        out = jnp.einsum("ce,cei,eih->ch", wt.astype(ht.dtype), act, dw)
+        return carry, out
+
+    T = B * S
+    C = min(T, 256)  # bounds the [C, E, 2I] activation
+    n_chunks = -(-T // C)
+    pad = n_chunks * C - T
+    hf = jnp.pad(h.reshape(T, H), ((0, pad), (0, 0)))
+    wf = jnp.pad(we.reshape(T, E), ((0, pad), (0, 0)))
+    if n_chunks == 1:
+        _, out = ffn_chunk(None, (hf, wf))
+    else:
+        _, out = jax.lax.scan(
+            ffn_chunk, None,
+            (hf.reshape(n_chunks, C, H), wf.reshape(n_chunks, C, E)),
+        )
+        out = out.reshape(n_chunks * C, H)
+    return out[:T].reshape(B, S, H)
 
 
 def decoder_layer_step(
@@ -278,12 +372,15 @@ def decoder_layer_step(
     )
     x = x + mm(attn.reshape(B, S, q_dim), "o_w")
     h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
-    gate_up = mm(h, "gate_up_w")
-    gate, up = jnp.split(gate_up, 2, axis=-1)
-    x = x + mm(
-        jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up,
-        "down_w",
-    )
+    if cfg.num_local_experts:
+        x = x + moe_mlp(h, lp, cfg)
+    else:
+        gate_up = mm(h, "gate_up_w")
+        gate, up = jnp.split(gate_up, 2, axis=-1)
+        x = x + mm(
+            jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up,
+            "down_w",
+        )
     return x, k_cache, v_cache
 
 
@@ -552,12 +649,16 @@ def decode_steps(
                 return x2[:, None, :], (ik, iv)
             x = x + mm(attn.reshape(B, 1, q_dim), "o_w")
             h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
-            gate_up = mm(h, "gate_up_w")
-            gate, up = jnp.split(gate_up, 2, axis=-1)
-            x = x + mm(
-                jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up,
-                "down_w",
-            )
+            if cfg.num_local_experts:
+                x = x + moe_mlp(h, lp, cfg)
+            else:
+                gate_up = mm(h, "gate_up_w")
+                gate, up = jnp.split(gate_up, 2, axis=-1)
+                x = x + mm(
+                    jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype)
+                    * up,
+                    "down_w",
+                )
             return x, (ik, iv)
 
         x, (infl_k, infl_v) = jax.lax.scan(
@@ -764,12 +865,16 @@ def decode_paged_steps(
                 return x2[:, None, :], (ik, iv)
             x = x + mm(attn.reshape(B, 1, q_dim), "o_w")
             h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
-            gate_up = mm(h, "gate_up_w")
-            gate, up = jnp.split(gate_up, 2, axis=-1)
-            x = x + mm(
-                jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up,
-                "down_w",
-            )
+            if cfg.num_local_experts:
+                x = x + moe_mlp(h, lp, cfg)
+            else:
+                gate_up = mm(h, "gate_up_w")
+                gate, up = jnp.split(gate_up, 2, axis=-1)
+                x = x + mm(
+                    jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype)
+                    * up,
+                    "down_w",
+                )
             return x, (ik, iv)
 
         x, (infl_k, infl_v) = jax.lax.scan(
@@ -938,12 +1043,16 @@ def decode_paged_spec_steps(
             )
             x = x + mm(attn.reshape(B, S, q_dim), "o_w")
             h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
-            gate_up = mm(h, "gate_up_w")
-            gate, up = jnp.split(gate_up, 2, axis=-1)
-            x = x + mm(
-                jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up,
-                "down_w",
-            )
+            if cfg.num_local_experts:
+                x = x + moe_mlp(h, lp, cfg)
+            else:
+                gate_up = mm(h, "gate_up_w")
+                gate, up = jnp.split(gate_up, 2, axis=-1)
+                x = x + mm(
+                    jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype)
+                    * up,
+                    "down_w",
+                )
             return x, (ik, iv)
 
         x, (infl_k, infl_v) = jax.lax.scan(
@@ -1110,12 +1219,15 @@ def forward_paged(
         )
         x = x + mm(attn.reshape(B, 1, q_dim), "o_w")
         h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
-        gate_up = mm(h, "gate_up_w")
-        gate, up = jnp.split(gate_up, 2, axis=-1)
-        x = x + mm(
-            jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up,
-            "down_w",
-        )
+        if cfg.num_local_experts:
+            x = x + moe_mlp(h, lp, cfg)
+        else:
+            gate_up = mm(h, "gate_up_w")
+            gate, up = jnp.split(gate_up, 2, axis=-1)
+            x = x + mm(
+                jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up,
+                "down_w",
+            )
         return x, (k_pool, v_pool)
 
     x, (new_k, new_v) = jax.lax.scan(

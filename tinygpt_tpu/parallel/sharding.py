@@ -91,6 +91,15 @@ def param_pspecs(cfg: ModelConfig, params: Dict) -> Dict:
         "down_w": P(None, "tp", None),
         "q_norm": P(),
         "k_norm": P(),
+        # MoE (mixtral): experts shard over the sp axis — idle during
+        # decode, so each device holds E/sp experts and GSPMD turns the
+        # dense expert contraction (causal_lm.moe_mlp) into expert
+        # parallelism (local experts + psum). Megatron tp inside each
+        # expert rides the last/middle dims as usual. shard_params drops
+        # any axis the dim doesn't divide, so odd E degrades gracefully.
+        "router_w": P(),
+        "moe_gate_up_w": P(None, "sp", None, "tp"),
+        "moe_down_w": P(None, "sp", "tp", None),
     }
     specs = {
         "embed": P("tp", None),

@@ -46,8 +46,8 @@ class ServerConfig:
     chat_template_file: Optional[str] = None
     web_dir: Optional[str] = None
     quantization: Optional[str] = None  # None | "int8" | "int4"
-    quant_group_size: Optional[int] = None  # None = auto (64 int4 / 128 int8)
-    awq: bool = False  # AWQ activation-aware scaling (ops/awq.py)
+    quant_group_size: Optional[int] = None  # None = auto (128)
+    awq: Optional[bool] = None  # AWQ scaling; None=auto (on for int4)
     awq_calib_path: Optional[str] = None
     mesh_shape: Optional[tuple] = None  # (dp, sp, tp) device mesh
     speculative: bool = False  # n-gram spec decode quanta (greedy rows)
@@ -344,9 +344,10 @@ def main(argv=None) -> None:
                     choices=["int8", "int4"])
     ap.add_argument("--quant-group-size", type=int, default=None,
                     help="default: 64 for int4, 128 for int8")
-    ap.add_argument("--awq", action="store_true",
-                    help="AWQ activation-aware scaling before "
-                         "quantization")
+    ap.add_argument("--awq", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="AWQ activation-aware scaling (default: on "
+                         "for int4; --no-awq forces plain RTN)")
     ap.add_argument("--awq-calib", default=None, metavar="TEXT_FILE")
     ap.add_argument("--mesh", default=None, metavar="DP,SP,TP",
                     help="shard the engine over a device mesh, e.g. 1,1,8")
