@@ -490,6 +490,17 @@ def decode_steps(
     rest = {k: v for k, v in params["layers"].items() if k not in quant}
     ls = jnp.arange(L, dtype=jnp.int32)
 
+    # MoE decode: the expert stacks stay OUT of the scan and reach the
+    # gathered-expert kernel whole, (layer, expert) indexed via scalar
+    # prefetch — a scan-xs slice of [L, E, H, 2I] would copy every
+    # layer's expert bytes across the custom-call boundary each step
+    # (the same trap the stacked dequant kernels avoid), and the kernel
+    # reads only the ROUTED k/E experts (ops/moe_kernels.py).
+    moe_stacks = None
+    if cfg.num_local_experts and jax.devices()[0].platform == "tpu":
+        moe_stacks = {k: rest.pop(k)
+                      for k in ("moe_gate_up_w", "moe_down_w")}
+
     # in-flight K/V stay bf16 even for narrower cache dtypes until the
     # final merge (free precision on the most recent tokens)
     infl_dt = jnp.bfloat16 if jnp.dtype(cache.k.dtype).itemsize < 2 \
@@ -650,7 +661,15 @@ def decode_steps(
             x = x + mm(attn.reshape(B, 1, q_dim), "o_w")
             h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
             if cfg.num_local_experts:
-                x = x + moe_mlp(h, lp, cfg)
+                if moe_stacks is not None:
+                    from tinygpt_tpu.ops.moe_kernels import moe_mlp_gathered
+
+                    x = x + moe_mlp_gathered(
+                        h, lp["router_w"], moe_stacks["moe_gate_up_w"],
+                        moe_stacks["moe_down_w"], l, cfg,
+                    )
+                else:
+                    x = x + moe_mlp(h, lp, cfg)
             else:
                 gate_up = mm(h, "gate_up_w")
                 gate, up = jnp.split(gate_up, 2, axis=-1)
@@ -752,6 +771,12 @@ def decode_paged_steps(
              if isinstance(v, QuantizedTensor)}
     rest = {k: v for k, v in params["layers"].items() if k not in quant}
     ls = jnp.arange(L, dtype=jnp.int32)
+
+    # MoE: routed experts via the gathered kernel (see decode_steps)
+    moe_stacks = None
+    if cfg.num_local_experts and jax.devices()[0].platform == "tpu":
+        moe_stacks = {k: rest.pop(k)
+                      for k in ("moe_gate_up_w", "moe_down_w")}
 
     infl_dt = jnp.bfloat16 if jnp.dtype(state.k_pool.dtype).itemsize < 2 \
         else state.k_pool.dtype
@@ -866,7 +891,15 @@ def decode_paged_steps(
             x = x + mm(attn.reshape(B, 1, q_dim), "o_w")
             h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
             if cfg.num_local_experts:
-                x = x + moe_mlp(h, lp, cfg)
+                if moe_stacks is not None:
+                    from tinygpt_tpu.ops.moe_kernels import moe_mlp_gathered
+
+                    x = x + moe_mlp_gathered(
+                        h, lp["router_w"], moe_stacks["moe_gate_up_w"],
+                        moe_stacks["moe_down_w"], l, cfg,
+                    )
+                else:
+                    x = x + moe_mlp(h, lp, cfg)
             else:
                 gate_up = mm(h, "gate_up_w")
                 gate, up = jnp.split(gate_up, 2, axis=-1)

@@ -1,0 +1,145 @@
+"""Pallas TPU kernels for MoE decode: gathered-expert matmul.
+
+The dense-over-experts formulation (causal_lm.moe_mlp) reads EVERY
+expert's weights each step — E/k more HBM traffic than the routing
+actually needs. Decode is HBM-bound, so for small batches (B*k < E)
+streaming only the ROUTED experts' weights multiplies throughput.
+
+The TPU-native trick is the same one the stacked dequant kernels use
+(ops/quant_kernels.py): the weights stay WHOLE in HBM as [L, E, IN, OUT]
+and the (layer, expert) indices arrive as PREFETCHED SCALARS consumed by
+the BlockSpec index_maps — each grid step's DMA fetches the selected
+expert's tile directly, no gather materialization, no scan-slice copy.
+
+Layout notes:
+- Every token-slot row (one (token, routed-expert) pair) is its own grid
+  row; rows are [R, 1, IN] with a singleton middle dim so the (1, bk)
+  block's sublane dim legally equals the array dim (Mosaic requires the
+  second-to-last block dim to divide 8 or equal the array dim).
+- M=1 GEMV tiles waste MXU rows, which is irrelevant here: decode is
+  bandwidth-bound and the weight stream dominates.
+
+`moe_mlp_gathered` is the routed-MLP wrapper (router + two gathered
+matmuls + weighted slot sum); `causal_lm.moe_mlp`'s dense path is its
+oracle, tested 1:1 in interpret mode (tests/test_moe_kernels.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cdiv(a: int, b: int) -> int:
+    return (a + b - 1) // b
+
+
+def _kernel(s_ref, x_ref, w_ref, o_ref, acc_ref, *, n_k: int):
+    """One (row-slot, out-tile, k-tile) step: acc += x[0] @ w[0, 0]."""
+    del s_ref
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[0].astype(jnp.float32)          # [1, bk]
+    w = w_ref[0, 0].astype(jnp.float32)       # [bk, bo]
+    acc_ref[0:1] += jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[0] = acc_ref[0:1].astype(o_ref.dtype)
+
+
+def moe_gather_matmul(
+    x: jnp.ndarray,      # [R, IN] — one row per (token, expert-slot)
+    w: jnp.ndarray,      # [L, E, IN, OUT] stacked expert weights (bf16)
+    l,                   # scalar int32 traced layer index
+    idx: jnp.ndarray,    # [R] int32 routed expert per row
+    bk: int = 512,
+    bo: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """out[r] = x[r] @ w[l, idx[r]] — expert selection via scalar
+    prefetch, weights streamed straight from HBM."""
+    R, IN = x.shape
+    L, E, _, OUT = w.shape
+    bk = min(bk, IN)
+    while IN % bk:
+        bk //= 2
+    bo = min(bo, OUT)
+    while OUT % bo:
+        bo //= 2
+    n_o, n_k = _cdiv(OUT, bo), IN // bk
+
+    scalars = jnp.concatenate(
+        [jnp.asarray(l, jnp.int32).reshape(1), idx.astype(jnp.int32)]
+    )  # [1 + R]: layer first, then per-row expert ids
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(R, n_o, n_k),
+        in_specs=[
+            pl.BlockSpec((1, 1, bk), lambda r, o, k, s: (r, 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, bo),
+                         lambda r, o, k, s: (s[0], s[1 + r], k, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bo), lambda r, o, k, s: (r, 0, o),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((8, bo), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, n_k=n_k),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((R, 1, OUT), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * R * IN * OUT,
+            bytes_accessed=R * (IN + OUT) * 2 + R * IN * OUT * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(scalars, x.reshape(R, 1, IN), w)
+    return out.reshape(R, OUT)
+
+
+def moe_mlp_gathered(
+    h: jnp.ndarray,          # [B, 1, H] or [B, H] post-norm activations
+    router_w: jnp.ndarray,   # [H, E] (this layer's router)
+    gate_up_w: jnp.ndarray,  # [L, E, H, 2I] STACKED
+    down_w: jnp.ndarray,     # [L, E, I, H] STACKED
+    l,                       # traced layer index
+    cfg,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Routed Mixtral MLP for decode: HF routing (full softmax -> top-k
+    -> renormalize) + two gathered-expert matmuls + weighted slot sum.
+    Reads k/E of the dense path's expert bytes."""
+    lead = h.shape[:-1]
+    H = h.shape[-1]
+    h2 = h.reshape(-1, H)                     # [B, H]
+    B = h2.shape[0]
+    k = cfg.num_experts_per_tok
+
+    logits = h2.astype(jnp.float32) @ router_w.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    w_top, idx = jax.lax.top_k(probs, k)      # [B, k]
+    w_top = w_top / jnp.sum(w_top, axis=-1, keepdims=True)
+
+    xr = jnp.repeat(h2, k, axis=0)            # [B*k, H] slot-major rows
+    idx_flat = idx.reshape(-1)
+    gate_up = moe_gather_matmul(xr, gate_up_w, l, idx_flat,
+                                interpret=interpret)      # [B*k, 2I]
+    gate, up = jnp.split(gate_up, 2, axis=-1)
+    act = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+    down = moe_gather_matmul(act, down_w, l, idx_flat,
+                             interpret=interpret)         # [B*k, H]
+    out = (w_top.reshape(-1, 1).astype(jnp.float32)
+           * down.astype(jnp.float32)).reshape(B, k, H).sum(axis=1)
+    return out.astype(h.dtype).reshape(*lead, H)
