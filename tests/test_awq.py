@@ -128,3 +128,26 @@ def test_awq_quantize_end_to_end(tmp_path):
     mse_rtn = float(np.mean((got_rtn - ref) ** 2))
     assert np.isfinite(mse_awq)
     assert mse_awq <= mse_rtn * 1.25, (mse_awq, mse_rtn)
+
+
+def test_awq_default_skips_moe_layout(tmp_path):
+    """int4's AWQ-on default must fall back to plain quantization for
+    layouts without a dense MLP (mixtral has qkv_w but routed experts) —
+    regression for the engine layout gate."""
+    from tests.fixtures import build_tiny_model_dir
+    from tinygpt_tpu.engine.engine import GPTConfig, GPTEngine
+
+    import shutil
+
+    d = str(tmp_path / "m")
+    build_tiny_model_dir("mixtral", d, seed=19)
+    for f in ("tokenizer.json", "tokenizer_config.json"):
+        shutil.copy(f"/root/reference/assets/tokenizer/gpt2/{f}", d)
+    eng = GPTEngine(GPTConfig(model_dir=d, dtype="float32", max_tokens=3,
+                              quantization="int4", quant_group_size=16,
+                              prefill_bucket=16))
+    eng.prepare()  # must not crash calibrating a MoE layout
+    from tinygpt_tpu.ops.quant import QuantizedTensor
+
+    assert isinstance(eng.ctx.params["layers"]["qkv_w"], QuantizedTensor)
+    assert "moe_gate_up_w" in eng.ctx.params["layers"]
