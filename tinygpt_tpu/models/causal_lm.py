@@ -242,6 +242,25 @@ def init_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16) -> Dict:
     }
 
 
+def _moe_layer_params(lp: Dict, quant, l) -> Dict:
+    """Per-layer MoE weights for the DENSE path. Quantized expert stacks
+    live in `quant` (kept out of scan xs like every QuantizedTensor);
+    the dense fallback/prefill dequantizes layer l's [E, in, out] slice
+    on the fly — the gathered decode kernels read the packed bytes
+    directly and never call this."""
+    if quant and "moe_gate_up_w" in quant:
+        from tinygpt_tpu.ops.quant import dequantize
+
+        lp = dict(lp)
+        for k in ("moe_gate_up_w", "moe_down_w"):
+            qt = quant[k]
+            lp[k] = dequantize(QuantizedTensor(
+                qt.data[l], qt.scales[l], qt.bits, qt.group_size,
+                qt.in_dim,
+            ))
+    return lp
+
+
 def moe_mlp(h: jnp.ndarray, lp: Dict, cfg: ModelConfig) -> jnp.ndarray:
     """Mixtral block-sparse MoE MLP, HF semantics: full softmax over the
     router logits -> top-k -> renormalize the selected weights -> weighted
@@ -373,7 +392,7 @@ def decoder_layer_step(
     x = x + mm(attn.reshape(B, S, q_dim), "o_w")
     h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
     if cfg.num_local_experts:
-        x = x + moe_mlp(h, lp, cfg)
+        x = x + moe_mlp(h, _moe_layer_params(lp, quant, l), cfg)
     else:
         gate_up = mm(h, "gate_up_w")
         gate, up = jnp.split(gate_up, 2, axis=-1)
@@ -498,8 +517,13 @@ def decode_steps(
     # reads only the ROUTED k/E experts (ops/moe_kernels.py).
     moe_stacks = None
     if cfg.num_local_experts and jax.devices()[0].platform == "tpu":
-        moe_stacks = {k: rest.pop(k)
-                      for k in ("moe_gate_up_w", "moe_down_w")}
+        src = quant if "moe_gate_up_w" in quant else rest
+        if ("moe_gate_up_w" not in quant
+                or quant["moe_gate_up_w"].bits == 4):
+            # bf16 or int4 experts ride the gathered kernels; int8 MoE
+            # stays on the dense path (no int8 gathered variant yet)
+            moe_stacks = {k: src.pop(k)
+                          for k in ("moe_gate_up_w", "moe_down_w")}
 
     # in-flight K/V stay bf16 even for narrower cache dtypes until the
     # final merge (free precision on the most recent tokens)
@@ -669,7 +693,8 @@ def decode_steps(
                         moe_stacks["moe_down_w"], l, cfg,
                     )
                 else:
-                    x = x + moe_mlp(h, lp, cfg)
+                    x = x + moe_mlp(h, _moe_layer_params(lp, quant, l),
+                                    cfg)
             else:
                 gate_up = mm(h, "gate_up_w")
                 gate, up = jnp.split(gate_up, 2, axis=-1)
@@ -775,8 +800,13 @@ def decode_paged_steps(
     # MoE: routed experts via the gathered kernel (see decode_steps)
     moe_stacks = None
     if cfg.num_local_experts and jax.devices()[0].platform == "tpu":
-        moe_stacks = {k: rest.pop(k)
-                      for k in ("moe_gate_up_w", "moe_down_w")}
+        src = quant if "moe_gate_up_w" in quant else rest
+        if ("moe_gate_up_w" not in quant
+                or quant["moe_gate_up_w"].bits == 4):
+            # bf16 or int4 experts ride the gathered kernels; int8 MoE
+            # stays on the dense path (no int8 gathered variant yet)
+            moe_stacks = {k: src.pop(k)
+                          for k in ("moe_gate_up_w", "moe_down_w")}
 
     infl_dt = jnp.bfloat16 if jnp.dtype(state.k_pool.dtype).itemsize < 2 \
         else state.k_pool.dtype
@@ -899,7 +929,8 @@ def decode_paged_steps(
                         moe_stacks["moe_down_w"], l, cfg,
                     )
                 else:
-                    x = x + moe_mlp(h, lp, cfg)
+                    x = x + moe_mlp(h, _moe_layer_params(lp, quant, l),
+                                    cfg)
             else:
                 gate_up = mm(h, "gate_up_w")
                 gate, up = jnp.split(gate_up, 2, axis=-1)
@@ -1077,7 +1108,7 @@ def decode_paged_spec_steps(
             x = x + mm(attn.reshape(B, S, q_dim), "o_w")
             h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
             if cfg.num_local_experts:
-                x = x + moe_mlp(h, lp, cfg)
+                x = x + moe_mlp(h, _moe_layer_params(lp, quant, l), cfg)
             else:
                 gate_up = mm(h, "gate_up_w")
                 gate, up = jnp.split(gate_up, 2, axis=-1)
@@ -1253,7 +1284,7 @@ def forward_paged(
         x = x + mm(attn.reshape(B, 1, q_dim), "o_w")
         h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
         if cfg.num_local_experts:
-            x = x + moe_mlp(h, lp, cfg)
+            x = x + moe_mlp(h, _moe_layer_params(lp, quant, l), cfg)
         else:
             gate_up = mm(h, "gate_up_w")
             gate, up = jnp.split(gate_up, 2, axis=-1)

@@ -109,6 +109,127 @@ def moe_gather_matmul(
     return out.reshape(R, OUT)
 
 
+def _int4_kernel_moe(s_ref, x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref,
+                     o_ref, acc_ref, *, n_k: int, group: int,
+                     full_scales: bool):
+    """Gathered-expert int4 dequant GEMV: one (row-slot, out, k) step of
+    the biased-nibble half-split math (quant_kernels._int4_kernel_stacked
+    adapted to single-row blocks with the expert dim indexed away by the
+    BlockSpec)."""
+    del s_ref
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    packed = w_ref[0, 0].astype(jnp.int32)   # [bk, bo]
+    bkp, bo = packed.shape
+    rows = bkp // group
+    lo = (packed & 0x0F).astype(jnp.float32)
+    hi = ((packed >> 4) & 0x0F).astype(jnp.float32)
+
+    x_lo = x_lo_ref[0].astype(jnp.float32)   # [1, bk]
+    x_hi = x_hi_ref[0].astype(jnp.float32)
+    s_lo = s_lo_ref[0, 0].astype(jnp.float32)
+    s_hi = s_hi_ref[0, 0].astype(jnp.float32)
+    hi_off = rows if full_scales else 0
+    acc = acc_ref[0:1]
+    for r in range(rows):
+        sl = slice(r * group, (r + 1) * group)
+        xs_lo = jnp.sum(x_lo[:, sl], axis=1, keepdims=True)
+        xs_hi = jnp.sum(x_hi[:, sl], axis=1, keepdims=True)
+        acc = acc + s_lo[r][None, :] * (
+            jnp.dot(x_lo[:, sl], lo[sl, :],
+                    preferred_element_type=jnp.float32) - 8.0 * xs_lo
+        )
+        acc = acc + s_hi[hi_off + r][None, :] * (
+            jnp.dot(x_hi[:, sl], hi[sl, :],
+                    preferred_element_type=jnp.float32) - 8.0 * xs_hi
+        )
+    acc_ref[0:1] = acc
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[0] = acc_ref[0:1].astype(o_ref.dtype)
+
+
+def moe_gather_matmul_int4(
+    x: jnp.ndarray,       # [R, IN]
+    data: jnp.ndarray,    # [L, E, IN/2, OUT] packed int8 (biased nibbles)
+    scales: jnp.ndarray,  # [L, E, IN/group, OUT]
+    l,                    # scalar int32 traced layer index
+    idx: jnp.ndarray,     # [R] int32 routed expert per row
+    group: int,
+    bk: int = 512,
+    bo: int = 2048,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """out[r] = x[r] @ dequant(data[l, idx[r]]) — int4 expert bytes are
+    the only weight traffic; selection via scalar prefetch."""
+    from tinygpt_tpu.ops.quant_kernels import _pick_bk
+
+    R, IN = x.shape
+    L, E, INP, OUT = data.shape
+    half = IN // 2
+    assert INP == half, "packed rows must be in/2"
+    bk = _pick_bk(INP, group, min(bk, INP))
+    bo = min(bo, OUT)
+    while OUT % bo:
+        bo //= 2
+    n_o, n_k = _cdiv(OUT, bo), INP // bk
+    rows = bk // group
+    full_scales = rows % 8 != 0
+    s_rows = scales.shape[2] if full_scales else rows
+
+    def s_lo_map(r, o, k, s):
+        return (s[0], s[1 + r], 0 if full_scales else k, o)
+
+    def s_hi_map(r, o, k, s, _nk=n_k):
+        return (s[0], s[1 + r], 0 if full_scales else k + _nk, o)
+
+    scalars = jnp.concatenate(
+        [jnp.asarray(l, jnp.int32).reshape(1), idx.astype(jnp.int32)]
+    )
+    x3 = x.reshape(R, 1, IN)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(R, n_o, n_k),
+        in_specs=[
+            # lo nibble rows pair with x[:half], hi with x[half:] — the
+            # two x views are block-k offsets into the same array
+            pl.BlockSpec((1, 1, bk), lambda r, o, k, s: (r, 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk),
+                         lambda r, o, k, s, _nk=n_k: (r, 0, k + _nk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, bo),
+                         lambda r, o, k, s: (s[0], s[1 + r], k, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s_rows, bo), s_lo_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s_rows, bo), s_hi_map,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bo), lambda r, o, k, s: (r, 0, o),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((8, bo), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_int4_kernel_moe, n_k=n_k, group=group,
+                          full_scales=full_scales),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((R, 1, OUT), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * R * IN * OUT,
+            bytes_accessed=R * (IN + OUT) * 2 + R * IN * OUT // 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(scalars, x3, x3, data, scales, scales)
+    return out.reshape(R, OUT)
+
+
 def moe_mlp_gathered(
     h: jnp.ndarray,          # [B, 1, H] or [B, H] post-norm activations
     router_w: jnp.ndarray,   # [H, E] (this layer's router)
@@ -134,12 +255,25 @@ def moe_mlp_gathered(
 
     xr = jnp.repeat(h2, k, axis=0)            # [B*k, H] slot-major rows
     idx_flat = idx.reshape(-1)
-    gate_up = moe_gather_matmul(xr, gate_up_w, l, idx_flat,
-                                interpret=interpret)      # [B*k, 2I]
+
+    def gmm(xx, w):
+        # int4-quantized expert stacks stream packed nibbles; bf16 stacks
+        # stream raw tiles (int8 MoE rides the dense XLA path — callers
+        # gate)
+        from tinygpt_tpu.ops.quant import QuantizedTensor
+
+        if isinstance(w, QuantizedTensor):
+            assert w.bits == 4, "gathered MoE kernel: int4 or bf16 only"
+            return moe_gather_matmul_int4(
+                xx, w.data, w.scales, l, idx_flat, group=w.group_size,
+                interpret=interpret,
+            )
+        return moe_gather_matmul(xx, w, l, idx_flat, interpret=interpret)
+
+    gate_up = gmm(xr, gate_up_w)                          # [B*k, 2I]
     gate, up = jnp.split(gate_up, 2, axis=-1)
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
-    down = moe_gather_matmul(act, down_w, l, idx_flat,
-                             interpret=interpret)         # [B*k, H]
+    down = gmm(act, down_w)                               # [B*k, H]
     out = (w_top.reshape(-1, 1).astype(jnp.float32)
            * down.astype(jnp.float32)).reshape(B, k, H).sum(axis=1)
     return out.astype(h.dtype).reshape(*lead, H)

@@ -146,13 +146,25 @@ def quantize_weight(
     )
 
 
+def _unpack_int4_lead(packed: jnp.ndarray) -> jnp.ndarray:
+    """unpack_int4 along axis -2, any leading dims."""
+    u = packed.astype(jnp.uint8)
+    lo = (u & 0x0F).astype(jnp.int8) - 8
+    hi = ((u >> 4) & 0x0F).astype(jnp.int8) - 8
+    return jnp.concatenate([lo, hi], axis=-2)
+
+
 def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
-    """Reference full dequantization (tests / CPU fallback)."""
-    data = qt.data if qt.bits == 8 else unpack_int4(qt.data)
+    """Reference full dequantization (tests / CPU fallback). Handles any
+    leading dims (stacked [L, ...] and MoE [L, E, ...] layouts)."""
+    data = qt.data if qt.bits == 8 else _unpack_int4_lead(qt.data)
     g = qt.group_size
-    w = data.astype(jnp.float32).reshape(qt.in_dim // g, g, qt.out_dim)
-    w = w * qt.scales.astype(jnp.float32)[:, None, :]
-    return w.reshape(qt.in_dim, qt.out_dim).astype(dtype)
+    lead = data.shape[:-2]
+    w = data.astype(jnp.float32).reshape(
+        *lead, qt.in_dim // g, g, qt.out_dim
+    )
+    w = w * qt.scales.astype(jnp.float32)[..., :, None, :]
+    return w.reshape(*lead, qt.in_dim, qt.out_dim).astype(dtype)
 
 
 # -- fused dequant matmul -----------------------------------------------------
@@ -219,6 +231,22 @@ def matmul_dequant_stacked(x: jnp.ndarray, qt: QuantizedTensor,
 # stacked per-layer matmul weights ([L, in, out]) eligible for weight-only
 # quantization, per model family
 _QUANT_KEYS = {"qkv_w", "o_w", "gate_up_w", "down_w", "fc_w", "proj_w"}
+# MoE expert stacks ([L, E, in, out]) — quantized via the flattened
+# [L*E, in, out] layout (groups run along `in`, so per-expert quant is
+# identical), reshaped back so the gathered kernels index (layer, expert)
+_QUANT_MOE_KEYS = {"moe_gate_up_w", "moe_down_w"}
+
+
+def _quantize_moe_stacked(w, bits: int,
+                          group_size: Optional[int]) -> QuantizedTensor:
+    L, E, in_dim, out_dim = w.shape
+    qt = quantize_weight(jnp.asarray(w).reshape(L * E, in_dim, out_dim),
+                         bits=bits, group_size=group_size)
+    return QuantizedTensor(
+        qt.data.reshape(L, E, -1, out_dim),
+        qt.scales.reshape(L, E, -1, out_dim),
+        bits=qt.bits, group_size=qt.group_size, in_dim=in_dim,
+    )
 
 
 def _quantize_stacked(w, bits: int, group_size: Optional[int]) -> QuantizedTensor:
@@ -248,6 +276,8 @@ def quantize_params(
     for key, w in layers.items():
         if key in _QUANT_KEYS:
             layers[key] = _quantize_stacked(w, bits, group_size)
+        elif key in _QUANT_MOE_KEYS:
+            layers[key] = _quantize_moe_stacked(w, bits, group_size)
     out["layers"] = layers
     head = params.get("lm_head")
     if quantize_lm_head:
