@@ -65,6 +65,17 @@ SHAPES = {
         "rope_theta": 1000000.0, "rms_norm_eps": 1e-6,
         "tie_word_embeddings": True,
     },
+    "moe_8x1b": {  # Mixtral-architecture 8-expert ~9B-total MoE (fits
+        # one chip at int4: ~3.3 GB experts) — exercises the gathered
+        # int4 expert kernel at scale
+        "model_type": "mixtral", "vocab_size": 32768, "hidden_size": 2048,
+        "num_hidden_layers": 16, "num_attention_heads": 32,
+        "num_key_value_heads": 8, "head_dim": 64,
+        "intermediate_size": 4096, "num_local_experts": 8,
+        "num_experts_per_tok": 2, "max_position_embeddings": 32768,
+        "rope_theta": 1000000.0, "rms_norm_eps": 1e-5,
+        "tie_word_embeddings": False,
+    },
 }
 
 
@@ -107,9 +118,42 @@ def build_flagship(bits: int = 4, group: int = 128,
         "post_ln": jnp.ones((L, H), jnp.bfloat16),
         "qkv_w": qkey((L, H, (Nq + 2 * Nk) * D), ks[0]),
         "o_w": qkey((L, Nq * D, H), ks[1]),
-        "gate_up_w": qkey((L, H, 2 * I), ks[2]),
-        "down_w": qkey((L, I, H), ks[3]),
     }
+    E = cfg.num_local_experts
+    if E:
+        from tinygpt_tpu.ops.quant import _quantize_moe_stacked
+
+        def qmoe(shp, k):
+            # per-layer to bound the bf16 transient ([1, E, ...] each)
+            outs = []
+            for i in range(L):
+                w = jax.random.normal(
+                    jax.random.fold_in(k, i), (1, *shp), jnp.bfloat16
+                ) * 0.02
+                q = (w if bits == 16 else
+                     _quantize_moe_stacked(w, bits=bits, group_size=group))
+                jax.block_until_ready(q.data if bits != 16 else q)
+                del w
+                gc.collect()
+                outs.append(q)
+            if bits == 16:
+                return jnp.concatenate(outs)
+            from tinygpt_tpu.ops.quant import QuantizedTensor
+
+            return QuantizedTensor(
+                jnp.concatenate([q.data for q in outs]),
+                jnp.concatenate([q.scales for q in outs]),
+                bits=outs[0].bits, group_size=outs[0].group_size,
+                in_dim=outs[0].in_dim,
+            )
+
+        layers["router_w"] = (jax.random.normal(ks[6], (L, H, E),
+                                                jnp.bfloat16) * 0.02)
+        layers["moe_gate_up_w"] = qmoe((E, H, 2 * I), ks[2])
+        layers["moe_down_w"] = qmoe((E, I, H), ks[3])
+    else:
+        layers["gate_up_w"] = qkey((L, H, 2 * I), ks[2])
+        layers["down_w"] = qkey((L, I, H), ks[3])
     if cfg.qkv_bias:
         layers["qkv_b"] = jnp.zeros((L, (Nq + 2 * Nk) * D), jnp.bfloat16)
     if cfg.qk_norm:
@@ -203,6 +247,18 @@ def run(batch: int = 4, decode_steps: int = 32, bits: int = 4,
         best = min(best, (time.perf_counter() - t0) / chain)
 
     hot = nbytes - params["embed"].size * 2  # embed gather is traffic-free
+    if cfg.num_local_experts:
+        # the gathered decode kernels read only the ROUTED k/E experts
+        moe_bytes = sum(
+            x.size * x.dtype.itemsize
+            for key in ("moe_gate_up_w", "moe_down_w")
+            for x in jax.tree.leaves(params["layers"][key])
+        )
+        # each of the B*k row-slots streams its own expert copy (the
+        # kernel does not dedup), so traffic = B*k/E of the stack —
+        # which can exceed 1x when B*k > E
+        frac = batch * cfg.num_experts_per_tok / cfg.num_local_experts
+        hot = hot - moe_bytes + moe_bytes * frac
     prec = "bf16" if bits == 16 else f"int{bits}"
     res = {
         "metric": f"decode_tokens_per_sec_{shape}_{prec}_b{B}"
