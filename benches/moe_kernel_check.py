@@ -65,6 +65,25 @@ def main():
     print(f"moe_mlp rel err (bf16 vs f32 oracle): {err:.2e}")
     assert err < 5e-2, err
 
+    # int4 gathered kernel on device
+    from tinygpt_tpu.ops.quant import _quantize_moe_stacked, dequantize
+    from tinygpt_tpu.ops.moe_kernels import moe_gather_matmul_int4
+
+    qt = _quantize_moe_stacked(
+        jnp.asarray(rng.normal(size=(2, 4, 512, 1024)).astype(np.float32)),
+        bits=4, group_size=128)
+    x4 = jnp.asarray(rng.normal(size=(6, 512)).astype(np.float32)
+                     ).astype(jnp.bfloat16)
+    idx4 = jnp.asarray(rng.integers(0, 4, 6).astype(np.int32))
+    got = np.asarray(moe_gather_matmul_int4(
+        x4, qt.data, qt.scales, jnp.int32(1), idx4, group=qt.group_size))
+    wd = dequantize(qt, dtype=jnp.float32)
+    ref = np.asarray(jnp.einsum("ri,rio->ro", x4.astype(jnp.float32),
+                                wd[1, idx4]))
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-6)
+    print(f"int4 gather_matmul rel err: {err:.2e}")
+    assert err < 2e-2, err
+
     # microbench: Mixtral-8x7B-like single layer, B=4 k=2 vs dense E=8
     E, H, I, B, k = 8, 4096, 14336, 4, 2
     gw = (jax.random.normal(jax.random.PRNGKey(0), (1, E, H, 2 * I),
