@@ -664,13 +664,13 @@ def test_scheduler_dp_tp_sharded_matches_single(llama):
     prompts = [list(int(x) for x in rng.integers(2, cfg.vocab_size, n))
                for n in (4, 9, 18, 6, 21, 3)]
 
-    def run(mesh_shape):
+    def run(mesh_shape, chunk=0):
         batcher = ContinuousBatcher(
             model, cfg, params, eos_ids=set(),
             config=SchedulerConfig(
                 batch_capacity=4, block_size=16, n_blocks=64,
                 max_blocks_per_seq=8, prefill_bucket=16, dtype="float32",
-                mesh_shape=mesh_shape,
+                mesh_shape=mesh_shape, prefill_chunk_tokens=chunk,
             ),
         )
         for i, p in enumerate(prompts):
@@ -681,20 +681,21 @@ def test_scheduler_dp_tp_sharded_matches_single(llama):
         return got
 
     single = run(None)
-    sharded = run((2, 1, 2))
-    for rid in single:
-        a, b = single[rid], sharded[rid]
-        assert len(a) == len(b) == 6
-        if a == b:
-            continue
-        i = next(j for j in range(len(a)) if a[j] != b[j])
-        context = prompts[rid] + a[:i]
-        logits = _dense_logits(cfg, model, params, context)
-        top = float(logits.max())
-        assert top - logits[a[i]] < 1e-3 and top - logits[b[i]] < 1e-3, (
-            f"request {rid} diverges at {i} without a near-tie: "
-            f"{a[i]} vs {b[i]}"
-        )
+    for sharded in (run((2, 1, 2)), run((2, 1, 2), chunk=16)):
+        for rid in single:
+            a, b = single[rid], sharded[rid]
+            assert len(a) == len(b) == 6
+            if a == b:
+                continue
+            i = next(j for j in range(len(a)) if a[j] != b[j])
+            context = prompts[rid] + a[:i]
+            logits = _dense_logits(cfg, model, params, context)
+            top = float(logits.max())
+            assert (top - logits[a[i]] < 1e-3
+                    and top - logits[b[i]] < 1e-3), (
+                f"request {rid} diverges at {i} without a near-tie: "
+                f"{a[i]} vs {b[i]}"
+            )
 
 
 def test_scheduler_dp_prefix_cache_shard_local(llama):

@@ -196,10 +196,6 @@ class ContinuousBatcher:
                     raise ValueError("batch_capacity must divide by dp")
                 if sc.n_blocks % dp:
                     raise ValueError("n_blocks must divide by dp")
-                if sc.prefill_chunk_tokens > 0:
-                    raise ValueError(
-                        "chunked prefill with dp serving not implemented"
-                    )
                 if not hasattr(self.model, "decode_paged_steps"):
                     raise ValueError("dp serving needs the frozen-quantum "
                                      "model path (decode_paged_steps)")
@@ -317,8 +313,14 @@ class ContinuousBatcher:
                 cfg=self.cfg, attn_impl=self.sc.attn_impl,
             )
         self._admit_dp = None
+        self._admit_chunk_dp = None
         if self._dp > 1:
             self._admit_dp = _make_dp_admit(
+                self._mesh, self.model.forward, self.cfg, sc.attn_impl,
+                sc.block_size, jnp.dtype(self.kv_dtype).name,
+                axes=self._dp_axes,
+            )
+            self._admit_chunk_dp = _make_dp_admit_chunk(
                 self._mesh, self.model.forward, self.cfg, sc.attn_impl,
                 sc.block_size, jnp.dtype(self.kv_dtype).name,
                 axes=self._dp_axes,
@@ -458,10 +460,14 @@ class ContinuousBatcher:
             self._admitting = None
             req.finished = True
             req.finish_reason = "abort"
-            keep = [b for b in req.blocks
-                    if self.allocator.is_registered(b)]
-            self.allocator.release(req.blocks, keep_cached=keep)
+            alloc = self._alloc_of(req.row) if req.row >= 0 \
+                else self.allocator
+            keep = [b for b in req.blocks if alloc.is_registered(b)]
+            alloc.release(req.blocks, keep_cached=keep)
             req.blocks = []
+            if req.row >= 0:
+                self.free_rows.append(req.row)
+                req.row = -1
         for row, req in list(self.running.items()):
             if req.request_id == request_id:
                 req.finished = True
@@ -636,14 +642,26 @@ class ContinuousBatcher:
             return False
         hashes = self._block_hashes(req.prompt_ids)
         n_shareable = min(len(hashes), (S - 1) // bs)
+        # reserve the target ROW up front: under dp the row fixes the
+        # shard, and every chunk's blocks must come from that shard's
+        # allocator (tables hold shard-local ids)
+        row = self.free_rows[-1]
+        for cand in reversed(self.free_rows):
+            a = self._alloc_of(cand)
+            if a.n_free + a.n_idle_cached >= need:
+                row = cand
+                break
+        self.free_rows.remove(row)
+        req.row = row
+        alloc = self._alloc_of(row)
         shared: List[int] = []
         if sc.enable_prefix_cache:
             for j in range(n_shareable):
-                b = self.allocator.lookup_prefix(hashes[j])
+                b = alloc.lookup_prefix(hashes[j])
                 if b is None:
                     break
                 shared.append(b)
-        self.allocator.share(shared)
+        alloc.share(shared)
         req.blocks = list(shared)
         req._chunk_pos = len(shared) * bs  # tokens already in the pool
         req._hashes = hashes
@@ -668,7 +686,8 @@ class ContinuousBatcher:
         final = pos0 + n_tok >= S
 
         n_private = blocks_needed(n_tok, bs)
-        private = self.allocator.alloc(n_private)
+        alloc = self._alloc_of(req.row)
+        private = alloc.alloc(n_private)
         if private is None:
             return []  # pool pressure: stay admitting, decode continues
         req.blocks.extend(private)
@@ -686,7 +705,7 @@ class ContinuousBatcher:
 
         self._key, k = jax.random.split(self._key)
         s = req.sampler
-        tok_dev, self.state = _admit_chunk_program(
+        chunk_args = (
             self.params, self.state,
             self._put(table), self._put(np.asarray(pos0, np.int32)),
             self._put(np.asarray(private, np.int32)),
@@ -700,10 +719,19 @@ class ContinuousBatcher:
                                  np.float32)),
             self._put(np.asarray([s.min_p or 0.0], np.float32)),
             self._put(k),
-            forward=self.model.forward, cfg=self.cfg,
-            attn_impl=sc.attn_impl, block_size=bs,
-            kv_dtype=jnp.dtype(self.kv_dtype).name,
         )
+        if self._dp > 1:
+            owner = self._shard_of(req.row)
+            tok_dev, self.state = self._admit_chunk_dp(
+                *chunk_args, self._put(np.asarray([owner], np.int32)))
+            tok_dev = tok_dev[owner : owner + 1]
+        else:
+            tok_dev, self.state = _admit_chunk_program(
+                *chunk_args,
+                forward=self.model.forward, cfg=self.cfg,
+                attn_impl=sc.attn_impl, block_size=bs,
+                kv_dtype=jnp.dtype(self.kv_dtype).name,
+            )
         req._chunk_pos = pos0 + n_tok
         if not final:
             return []
@@ -712,11 +740,9 @@ class ContinuousBatcher:
         self._admitting = None
         if sc.enable_prefix_cache:
             for j in range(len(req._hashes)):
-                self.allocator.register_prefix(req._hashes[j],
-                                               req.blocks[j])
+                alloc.register_prefix(req._hashes[j], req.blocks[j])
         tok = int(np.asarray(tok_dev)[0])
-        row = self.free_rows.pop()
-        req.row = row
+        row = req.row  # reserved at _start_admission
         self.running[row] = req
         self._tables[row] = 0
         self._tables[row, : len(req.blocks)] = req.blocks
@@ -1246,6 +1272,75 @@ def _make_dp_decode_frozen(mesh, decode_paged_steps, cfg, attn_impl,
             out_specs=(P(None, axes), st),
             axis_names=set(axes),
         )(params, state, tokens, temps, topks, topps, minps, key)
+
+    return fn
+
+
+def _make_dp_admit_chunk(mesh, forward, cfg, attn_impl, block_size,
+                         kv_dtype, axes=("dp",)):
+    """Row-parallel chunked admission: every dp shard runs the SAME
+    fixed-size chunk program (gather its LOCAL pool by the padded table,
+    prefill, scatter) but only the OWNER shard's scatter targets real
+    blocks — non-owners write their local null block 0 and their logits
+    are discarded by the caller (same dumpster convention as
+    _make_dp_admit)."""
+    from jax.sharding import PartitionSpec as P
+
+    st = _dp_state_specs(axes)
+    bs = block_size
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def fn(params, state, table, p_len, private, ids, positions, valid,
+           last_pos, temp, topk, topp, minp, key, owner):
+        def body(params, state, table, p_len, private, ids, positions,
+                 valid, last_pos, temp, topk, topp, minp, key, owner):
+            ids, positions, valid = (
+                jax.lax.pcast(a, axes, to="varying")
+                for a in (ids, positions, valid))
+            mine = _dp_shard_index(axes) == owner[0]
+            MB = table.shape[0]
+            n_private = private.shape[0]
+            S_in = ids.shape[1]
+            T_dense = MB * bs + S_in
+
+            cache = create_kv_cache(cfg, 1, T_dense,
+                                    dtype=jnp.dtype(kv_dtype))
+            k_g, v_g = _gather_table(state, table)
+            idx = jnp.arange(T_dense, dtype=jnp.int32)
+            cache = cache._replace(
+                k=cache.k.at[:, 0, :, : MB * bs, :].set(
+                    k_g.astype(cache.k.dtype)),
+                v=cache.v.at[:, 0, :, : MB * bs, :].set(
+                    v_g.astype(cache.v.dtype)),
+                kv_pos=jnp.broadcast_to(idx[None, :], (1, T_dense)),
+                valid=(idx[None, :] < p_len),
+                length=p_len.astype(jnp.int32),
+            )
+            logits, cache = forward(
+                params, cfg, ids, cache, positions, valid, last_only=True,
+                attn_impl=attn_impl, last_pos=last_pos,
+            )
+            tgt = jnp.where(mine, private, jnp.zeros_like(private))
+            state = _scatter_prefill.__wrapped__(
+                state,
+                jax.lax.dynamic_slice_in_dim(
+                    cache.k[:, 0], p_len, n_private * bs, axis=2),
+                jax.lax.dynamic_slice_in_dim(
+                    cache.v[:, 0], p_len, n_private * bs, axis=2),
+                tgt, bs,
+            )
+            tok = sample_batched(logits[:, -1, :], temp, topk, topp,
+                                 minp, key)
+            return tok, state
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), st, P(), P(), P(), P(), P(), P(), P(), P(),
+                      P(), P(), P(), P(), P()),
+            out_specs=(P(axes), st),
+            axis_names=set(axes),
+        )(params, state, table, p_len, private, ids, positions, valid,
+          last_pos, temp, topk, topp, minp, key, owner)
 
     return fn
 
