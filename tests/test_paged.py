@@ -698,6 +698,51 @@ def test_scheduler_dp_tp_sharded_matches_single(llama):
             )
 
 
+def test_scheduler_dp_speculative_matches_dense_greedy(llama):
+    """Speculative quanta under row-parallel serving: a dp2 x tp2 mesh
+    (rows, draft contexts and pools sharded over dp) must emit exactly
+    the dense model's greedy choices, modulo near-tie flips. Repetitive
+    prompts make drafts accept on both shards."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    cfg, model, params = llama
+    rng = np.random.default_rng(67)
+    phrase = [int(x) for x in rng.integers(2, cfg.vocab_size, 5)]
+    prompts = [
+        phrase * 3,
+        [int(x) for x in rng.integers(2, cfg.vocab_size, 8)],
+        phrase * 2 + [int(x) for x in rng.integers(2, cfg.vocab_size, 3)],
+        [int(x) for x in rng.integers(2, cfg.vocab_size, 12)],
+    ]
+    n_new = 7
+
+    batcher = ContinuousBatcher(
+        model, cfg, params, eos_ids=set(),
+        config=SchedulerConfig(
+            batch_capacity=4, block_size=16, n_blocks=64,
+            max_blocks_per_seq=8, prefill_bucket=16, dtype="float32",
+            decode_quantum=8, speculative="ngram", spec_draft_len=3,
+            spec_ngram=2, mesh_shape=(2, 1, 2),
+        ),
+    )
+    assert batcher._spec_fn is not None
+    for i, p in enumerate(prompts):
+        batcher.add_request(Request(request_id=i, prompt_ids=p,
+                                    max_new_tokens=n_new))
+    got = {i: [] for i in range(len(prompts))}
+    _drain(batcher, got)
+    for i, p in enumerate(prompts):
+        assert len(got[i]) == n_new, got
+        context = list(p)
+        for step_idx, tok in enumerate(got[i]):
+            logits = _dense_logits(cfg, model, params, context)
+            best = int(logits.argmax())
+            assert tok == best or logits[best] - logits[tok] < 1e-3, (
+                f"request {i} step {step_idx}: {tok} vs dense argmax {best}"
+            )
+            context.append(tok)
+
+
 def test_scheduler_dp_prefix_cache_shard_local(llama):
     """Prefix caching under dp: shared prefixes reuse blocks only within
     a shard; streams must still match the no-cache run exactly."""

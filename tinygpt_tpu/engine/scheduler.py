@@ -329,15 +329,23 @@ class ContinuousBatcher:
         if (
             sc.speculative == "ngram"
             and hasattr(self.model, "decode_paged_spec_steps")
-            and self._dp == 1  # spec quanta not yet shard-mapped over dp
         ):
-            self._spec_fn = functools.partial(
-                _decode_quantum_spec,
-                decode_paged_spec_steps=self.model.decode_paged_spec_steps,
-                cfg=self.cfg, attn_impl=self.sc.attn_impl,
-                gamma=max(1, sc.spec_draft_len),
-                ngram=max(1, sc.spec_ngram),
-            )
+            if self._dp > 1:
+                self._spec_fn = _make_dp_decode_spec(
+                    self._mesh, self.model.decode_paged_spec_steps,
+                    self.cfg, self.sc.attn_impl,
+                    gamma=max(1, sc.spec_draft_len),
+                    ngram=max(1, sc.spec_ngram), axes=self._dp_axes,
+                )
+            else:
+                self._spec_fn = functools.partial(
+                    _decode_quantum_spec,
+                    decode_paged_spec_steps=(
+                        self.model.decode_paged_spec_steps),
+                    cfg=self.cfg, attn_impl=self.sc.attn_impl,
+                    gamma=max(1, sc.spec_draft_len),
+                    ngram=max(1, sc.spec_ngram),
+                )
         self._prefill_fn = _jitted_forward(self.model.forward)
 
     def _put(self, x, spec=None):
@@ -1272,6 +1280,39 @@ def _make_dp_decode_frozen(mesh, decode_paged_steps, cfg, attn_impl,
             out_specs=(P(None, axes), st),
             axis_names=set(axes),
         )(params, state, tokens, temps, topks, topps, minps, key)
+
+    return fn
+
+
+def _make_dp_decode_spec(mesh, decode_paged_spec_steps, cfg, attn_impl,
+                         gamma, ngram, axes=("dp",)):
+    """Row-parallel speculative quantum: rows, draft contexts and pools
+    shard over dp (shard_map, tp automatic inside); the three result
+    arrays pack into one download AFTER the shard_map, inside the same
+    jit, so the caller still pays a single host round trip."""
+    from jax.sharding import PartitionSpec as P
+
+    st = _dp_state_specs(axes)
+
+    @functools.partial(jax.jit, donate_argnums=(1,),
+                       static_argnames=("n_rounds",))
+    def fn(params, state, tokens, ctx, clen, *, n_rounds):
+        def body(params, state, tokens, ctx, clen):
+            return decode_paged_spec_steps(
+                params, cfg, tokens, state, ctx, clen, n_rounds, gamma,
+                ngram, attn_impl=attn_impl,
+            )
+
+        toks, counts, cur, state = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), st, P(axes), P(axes, None), P(axes)),
+            out_specs=(P(None, axes, None), P(None, axes), P(axes), st),
+            axis_names=set(axes),
+        )(params, state, tokens, ctx, clen)
+        packed = jnp.concatenate(
+            [toks.reshape(-1), counts.reshape(-1), cur.reshape(-1)]
+        ).astype(jnp.int32)
+        return packed, state
 
     return fn
 

@@ -1166,15 +1166,20 @@ def decode_paged_spec_steps(
                  clen + emitted, kp, vp, infl_slots)
         return carry, (preds, m + 1)
 
-    infl_k0 = jnp.zeros((L, B, Nk, N, D), infl_dt)
-    infl_v0 = jnp.zeros_like(infl_k0)
-    valid0 = jnp.zeros((B, N), bool)
+    # zeros carries must enter the scan already dp-varying under the
+    # scheduler's row-parallel shard_map (vma typing, see vary_like)
+    infl_k0 = vary_like(jnp.zeros((L, B, Nk, N, D), infl_dt),
+                        state.k_pool)
+    infl_v0 = vary_like(jnp.zeros((L, B, Nk, N, D), infl_dt),
+                        state.k_pool)
+    valid0 = vary_like(jnp.zeros((B, N), bool), state.k_pool)
     # pools ride through the scan as UNCHANGED carry (single ownership
     # chain -> XLA aliases loop + final scatter; see decode_paged_steps)
     carry0 = (tok0.astype(jnp.int32), infl_k0, infl_v0, valid0,
-              jnp.zeros((B,), jnp.int32), ctx_tokens,
-              ctx_lens.astype(jnp.int32), state.k_pool, state.v_pool,
-              jnp.zeros((B, N), jnp.int32))
+              vary_like(jnp.zeros((B,), jnp.int32), state.k_pool),
+              ctx_tokens, ctx_lens.astype(jnp.int32),
+              state.k_pool, state.v_pool,
+              vary_like(jnp.zeros((B, N), jnp.int32), state.k_pool))
     (cur, infl_k, infl_v, valid, acc, _, _, kp_out, vp_out, _), \
         (toks, counts) = jax.lax.scan(
             round_fn, carry0, jnp.arange(n_rounds, dtype=jnp.int32)
