@@ -160,3 +160,21 @@ def test_quantized_mixtral_forward_and_decode(tmp_path):
         lambda lg, k: jnp.argmax(lg, -1).astype(jnp.int32),
     )
     assert np.asarray(toks).shape == (4, 2)
+
+
+def test_int8_gather_matmul_matches_dequant_oracle():
+    from tinygpt_tpu.ops.moe_kernels import moe_gather_matmul_int8
+    from tinygpt_tpu.ops.quant import _quantize_moe_stacked, dequantize
+
+    rng = np.random.default_rng(5)
+    L, E, IN, OUT, R, G = 2, 4, 256, 384, 5, 32
+    w = jnp.asarray(rng.normal(size=(L, E, IN, OUT)).astype(np.float32))
+    qt = _quantize_moe_stacked(w, bits=8, group_size=G)
+    x = jnp.asarray(rng.normal(size=(R, IN)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, E, R).astype(np.int32))
+    wd = dequantize(qt, dtype=jnp.float32)
+    got = moe_gather_matmul_int8(x, qt.data, qt.scales, jnp.int32(1), idx,
+                                 group=qt.group_size, interpret=True)
+    ref = jnp.einsum("ri,rio->ro", x, wd[1, idx])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-3)

@@ -517,13 +517,10 @@ def decode_steps(
     # reads only the ROUTED k/E experts (ops/moe_kernels.py).
     moe_stacks = None
     if cfg.num_local_experts and jax.devices()[0].platform == "tpu":
+        # bf16, int4 and int8 expert stacks all ride gathered kernels
         src = quant if "moe_gate_up_w" in quant else rest
-        if ("moe_gate_up_w" not in quant
-                or quant["moe_gate_up_w"].bits == 4):
-            # bf16 or int4 experts ride the gathered kernels; int8 MoE
-            # stays on the dense path (no int8 gathered variant yet)
-            moe_stacks = {k: src.pop(k)
-                          for k in ("moe_gate_up_w", "moe_down_w")}
+        moe_stacks = {k: src.pop(k)
+                      for k in ("moe_gate_up_w", "moe_down_w")}
 
     # in-flight K/V stay bf16 even for narrower cache dtypes until the
     # final merge (free precision on the most recent tokens)
@@ -800,13 +797,10 @@ def decode_paged_steps(
     # MoE: routed experts via the gathered kernel (see decode_steps)
     moe_stacks = None
     if cfg.num_local_experts and jax.devices()[0].platform == "tpu":
+        # bf16, int4 and int8 expert stacks all ride gathered kernels
         src = quant if "moe_gate_up_w" in quant else rest
-        if ("moe_gate_up_w" not in quant
-                or quant["moe_gate_up_w"].bits == 4):
-            # bf16 or int4 experts ride the gathered kernels; int8 MoE
-            # stays on the dense path (no int8 gathered variant yet)
-            moe_stacks = {k: src.pop(k)
-                          for k in ("moe_gate_up_w", "moe_down_w")}
+        moe_stacks = {k: src.pop(k)
+                      for k in ("moe_gate_up_w", "moe_down_w")}
 
     infl_dt = jnp.bfloat16 if jnp.dtype(state.k_pool.dtype).itemsize < 2 \
         else state.k_pool.dtype

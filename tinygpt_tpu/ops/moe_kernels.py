@@ -154,6 +154,92 @@ def _int4_kernel_moe(s_ref, x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref,
         o_ref[0] = acc_ref[0:1].astype(o_ref.dtype)
 
 
+def _int8_kernel_moe(s_ref, x_ref, w_ref, sc_ref, o_ref, acc_ref, *,
+                     n_k: int, group: int):
+    """Gathered-expert int8 dequant GEMV (per-group scales, same grouped
+    structure as quant_kernels._int8_kernel_stacked, single-row blocks)."""
+    del s_ref
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = w_ref[0, 0].astype(jnp.float32)      # [bk, bo]
+    bk, bo = w.shape
+    rows = bk // group
+    x = x_ref[0].astype(jnp.float32)         # [1, bk]
+    sc = sc_ref[0, 0].astype(jnp.float32)    # [rows, bo]
+    acc = acc_ref[0:1]
+    for r in range(rows):
+        sl = slice(r * group, (r + 1) * group)
+        acc = acc + sc[r][None, :] * jnp.dot(
+            x[:, sl], w[sl, :], preferred_element_type=jnp.float32
+        )
+    acc_ref[0:1] = acc
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[0] = acc_ref[0:1].astype(o_ref.dtype)
+
+
+def moe_gather_matmul_int8(
+    x: jnp.ndarray,       # [R, IN]
+    data: jnp.ndarray,    # [L, E, IN, OUT] int8
+    scales: jnp.ndarray,  # [L, E, IN/group, OUT]
+    l,                    # scalar int32 traced layer index
+    idx: jnp.ndarray,     # [R] int32 routed expert per row
+    group: int,
+    bk: int = 512,
+    bo: int = 2048,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """out[r] = x[r] @ dequant(data[l, idx[r]]) for int8 expert stacks."""
+    from tinygpt_tpu.ops.quant_kernels import _pick_bk
+
+    R, IN = x.shape
+    L, E, _, OUT = data.shape
+    bk = _pick_bk(IN, group, min(bk, IN))
+    bo = min(bo, OUT)
+    while OUT % bo:
+        bo //= 2
+    n_o, n_k = _cdiv(OUT, bo), IN // bk
+    rows = bk // group
+
+    scalars = jnp.concatenate(
+        [jnp.asarray(l, jnp.int32).reshape(1), idx.astype(jnp.int32)]
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(R, n_o, n_k),
+        in_specs=[
+            pl.BlockSpec((1, 1, bk), lambda r, o, k, s: (r, 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, bo),
+                         lambda r, o, k, s: (s[0], s[1 + r], k, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rows, bo),
+                         lambda r, o, k, s: (s[0], s[1 + r], k, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bo), lambda r, o, k, s: (r, 0, o),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((8, bo), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_int8_kernel_moe, n_k=n_k, group=group),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((R, 1, OUT), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * R * IN * OUT,
+            bytes_accessed=R * (IN + OUT) * 2 + R * IN * OUT,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(scalars, x.reshape(R, 1, IN), data, scales)
+    return out.reshape(R, OUT)
+
+
 def moe_gather_matmul_int4(
     x: jnp.ndarray,       # [R, IN]
     data: jnp.ndarray,    # [L, E, IN/2, OUT] packed int8 (biased nibbles)
@@ -257,17 +343,15 @@ def moe_mlp_gathered(
     idx_flat = idx.reshape(-1)
 
     def gmm(xx, w):
-        # int4-quantized expert stacks stream packed nibbles; bf16 stacks
-        # stream raw tiles (int8 MoE rides the dense XLA path — callers
-        # gate)
+        # quantized expert stacks stream int4 nibbles / int8 bytes; bf16
+        # stacks stream raw tiles
         from tinygpt_tpu.ops.quant import QuantizedTensor
 
         if isinstance(w, QuantizedTensor):
-            assert w.bits == 4, "gathered MoE kernel: int4 or bf16 only"
-            return moe_gather_matmul_int4(
-                xx, w.data, w.scales, l, idx_flat, group=w.group_size,
-                interpret=interpret,
-            )
+            fn = (moe_gather_matmul_int4 if w.bits == 4
+                  else moe_gather_matmul_int8)
+            return fn(xx, w.data, w.scales, l, idx_flat,
+                      group=w.group_size, interpret=interpret)
         return moe_gather_matmul(xx, w, l, idx_flat, interpret=interpret)
 
     gate_up = gmm(xr, gate_up_w)                          # [B*k, 2I]
