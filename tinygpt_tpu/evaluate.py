@@ -114,7 +114,15 @@ def main(argv: Optional[list] = None) -> int:
     ap.add_argument("--quantization", default=None,
                     choices=["int8", "int4"])
     ap.add_argument("--quant-group-size", type=int, default=None,
-                    help="default: 64 for int4, 128 for int8")
+                    help="default: 128")
+    ap.add_argument("--awq", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="AWQ scaling before quantization (default: on "
+                         "for int4 dense-MLP models; calibrates on the "
+                         "eval file's leading train-side text is WRONG — "
+                         "pass --awq-calib with held-out text)")
+    ap.add_argument("--awq-calib", default=None, metavar="TEXT_FILE",
+                    help="calibration text for --awq (default: built-in)")
     args = ap.parse_args(argv)
 
     from tinygpt_tpu.hf.loader import load_model_dir
@@ -127,9 +135,19 @@ def main(argv: Optional[list] = None) -> int:
         from tinygpt_tpu.engine.engine import resolve_quant_group
 
         bits = {"int8": 8, "int4": 4}[args.quantization]
-        params = quantize_params(
-            params, bits=bits,
-            group_size=resolve_quant_group(bits, args.quant_group_size))
+        group = resolve_quant_group(bits, args.quant_group_size)
+        awq_on = args.awq if args.awq is not None else bits == 4
+        if awq_on and all(k in params["layers"]
+                          for k in ("qkv_w", "gate_up_w", "down_w")):
+            from tinygpt_tpu.ops.awq import (awq_quantize_params,
+                                             default_calib_ids)
+
+            calib = default_calib_ids(ctx.tokenizer, 2048,
+                                      path=args.awq_calib)
+            params = awq_quantize_params(params, ctx.model_config, calib,
+                                         bits=bits, group_size=group)
+        else:
+            params = quantize_params(params, bits=bits, group_size=group)
     with open(args.text, "r", encoding="utf-8") as f:
         text = f.read()
     ids = ctx.tokenizer.encode(text)
