@@ -653,10 +653,16 @@ class ContinuousBatcher:
         # reserve the target ROW up front: under dp the row fixes the
         # shard, and every chunk's blocks must come from that shard's
         # allocator (tables hold shard-local ids)
-        row = self.free_rows[-1]
+        # prefer a shard that can hold the whole request; else the one
+        # with the most reclaimable space (chunks then stall under
+        # pressure instead of deadlocking on an arbitrary shard)
+        def capacity(r):
+            a = self._alloc_of(r)
+            return a.n_free + a.n_idle_cached
+
+        row = max(reversed(self.free_rows), key=capacity)
         for cand in reversed(self.free_rows):
-            a = self._alloc_of(cand)
-            if a.n_free + a.n_idle_cached >= need:
+            if capacity(cand) >= need:
                 row = cand
                 break
         self.free_rows.remove(row)
