@@ -94,6 +94,32 @@ while batcher.has_work and steps < 100:
             got[ev.request_id].append(ev.token_id)
     steps += 1
 print("RESULT " + json.dumps([got[i] for i in range(3)]))
+
+# round-3 compositions across hosts: SPECULATIVE quanta + CHUNKED
+# admission, both row-parallel over the 2-host dp axis
+batcher2 = ContinuousBatcher(
+    model, cfg, params, eos_ids=set(),
+    config=SchedulerConfig(
+        batch_capacity=2, block_size=16, n_blocks=64,
+        max_blocks_per_seq=8, prefill_bucket=16, dtype="float32",
+        mesh_shape=(2, 1, 4), decode_quantum=8,
+        speculative="ngram", spec_draft_len=3, spec_ngram=2,
+        prefill_chunk_tokens=16,
+    ),
+)
+assert batcher2._spec_fn is not None
+phrase = [int(x) for x in rng.integers(2, cfg.vocab_size, 5)]
+for i, p in enumerate((phrase * 4, phrase * 2)):
+    batcher2.add_request(Request(request_id=i, prompt_ids=list(p),
+                                 max_new_tokens=5))
+got2 = {0: [], 1: []}
+steps = 0
+while batcher2.has_work and steps < 100:
+    for ev in batcher2.step():
+        if ev.token_id is not None:
+            got2[ev.request_id].append(ev.token_id)
+    steps += 1
+print("RESULT2 " + json.dumps([got2[i] for i in range(2)]))
 """
 
 
@@ -147,8 +173,15 @@ def test_two_process_serving_matches_single(llama_dir):
         line = next(ln for ln in out.splitlines()
                     if ln.startswith("RESULT "))
         outs.append(json.loads(line[len("RESULT "):]))
-    assert outs[0] == outs[1]
+        line2 = next(ln for ln in out.splitlines()
+                     if ln.startswith("RESULT2 "))
+        outs.append(json.loads(line2[len("RESULT2 "):]))
+    # outs = [p0 plain, p0 spec+chunked, p1 plain, p1 spec+chunked]
+    assert outs[0] == outs[2]
+    assert outs[1] == outs[3]
     assert all(len(s) == 5 for s in outs[0]), outs[0]
+    assert all(len(s) == 5 for s in outs[1]), outs[1]
+    outs = [outs[0]]  # the single-process check below compares plain
 
     # single-process reference on the same (2, 1, 4) mesh shape
     if len(jax.devices()) < 8:

@@ -845,7 +845,7 @@ class ContinuousBatcher:
             self._put(ctx), self._put(clen), n_rounds=n_rounds,
         )
         B = self.sc.batch_capacity
-        flat = np.asarray(packed)       # ONE download
+        flat = self._fetch(packed)      # ONE download (allgather multi-host)
         n_tok = n_rounds * B * S
         toks_h = flat[:n_tok].reshape(n_rounds, B, S)
         counts_h = flat[n_tok : n_tok + n_rounds * B].reshape(n_rounds, B)
