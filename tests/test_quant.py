@@ -224,3 +224,44 @@ def test_mlp_mega_kernel_matches_composition():
         )
         np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3,
                                    atol=2e-3, err_msg=f"layer {l}")
+
+
+def test_mlp_mega_kernel_nonpow2_hidden():
+    """Regression (round-3 review): OUTH > 4096 and not a multiple of
+    4096 (e.g. H=6144) must tile with a DIVIDING output width — the old
+    bob=min(OUTH, 4096) left columns 4096.. unwritten."""
+    import jax
+
+    from tinygpt_tpu.ops.quant_kernels import (
+        mlp_fused_int4_stacked,
+        mlp_supported,
+    )
+
+    rng = np.random.default_rng(11)
+    L, H, I, M, G, BK = 1, 6144, 3072, 2, 64, 512
+    assert mlp_supported(H, I, G, bk=BK)
+    gu_w = rng.standard_normal((L, H, 2 * I)).astype(np.float32) * 0.05
+    dn_w = rng.standard_normal((L, I, H)).astype(np.float32) * 0.05
+    gu_qt = quantize_weight(gu_w, bits=4, group_size=G)
+    dn_qt = quantize_weight(dn_w, bits=4, group_size=G)
+    gu_d = np.asarray(dequantize(
+        QuantizedTensor(gu_qt.data[0], gu_qt.scales[0], 4, G, H),
+        jnp.float32))
+    dn_d = np.asarray(dequantize(
+        QuantizedTensor(dn_qt.data[0], dn_qt.scales[0], 4, G, I),
+        jnp.float32))
+    x = rng.standard_normal((M, H)).astype(np.float32)
+    ln = rng.standard_normal((L, 1, H)).astype(np.float32)
+    inv = 1.0 / np.sqrt((x ** 2).mean(-1, keepdims=True) + 1e-6)
+    gu = (x * inv * ln[0]) @ gu_d
+    ref = x + (gu[:, :I] / (1 + np.exp(-gu[:, :I]))) * gu[:, I:] @ dn_d
+    got = mlp_fused_int4_stacked(
+        jnp.asarray(x), gu_qt.data, gu_qt.scales,
+        dn_qt.data, dn_qt.scales, jnp.asarray(ln),
+        jnp.asarray(inv), jnp.asarray(0, jnp.int32),
+        group=G, bk=BK, interpret=True,
+    )
+    # the TAIL columns (>= 4096) are the regression surface
+    np.testing.assert_allclose(np.asarray(got)[:, 4096:], ref[:, 4096:],
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=2e-3)

@@ -60,7 +60,7 @@ def main(argv=None) -> int:
                     choices=["int8", "int4"],
                     help="weight-only quantization")
     ap.add_argument("--quant-group-size", type=int, default=None,
-                    help="default: 64 for int4, 128 for int8")
+                    help="default: 128 (int4 passes the ppl gate via the AWQ default, not the group size)")
     ap.add_argument("--awq", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="AWQ activation-aware scaling before "

@@ -183,14 +183,10 @@ class GPTEngine:
 
             bits = {"int8": 8, "int4": 4}[cfg.quantization]
             group = resolve_quant_group(bits, cfg.quant_group_size)
-            awq_on = (cfg.awq if cfg.awq is not None
-                      else bits == 4)  # int4 needs awq to pass the gate
-            # AWQ needs the dense-MLP causal_lm layout: gpt2 has neither
-            # key; mixtral has qkv_w but a routed MoE MLP (no gate_up_w)
-            awq_layout = all(
-                k in self.ctx.params["layers"]
-                for k in ("qkv_w", "gate_up_w", "down_w")
-            )
+            from tinygpt_tpu.ops.awq import awq_policy
+
+            awq_on, awq_layout = awq_policy(
+                cfg.awq, bits, self.ctx.params["layers"])
             if awq_on and awq_layout:
                 from tinygpt_tpu.ops.awq import (awq_quantize_params,
                                                  default_calib_ids)

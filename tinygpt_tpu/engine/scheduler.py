@@ -531,7 +531,17 @@ class ContinuousBatcher:
         hashes = self._block_hashes(req.prompt_ids)
         n_shareable = min(len(hashes), (S - 1) // bs)
         row = None
-        for cand in reversed(self.free_rows):  # pop order
+        # one candidate row per DISTINCT shard (pop order): same-shard
+        # rows share an allocator, so retrying them repeats the identical
+        # lookup/share/alloc/release cycle and churns the idle-cache LRU
+        seen_shards = set()
+        cands = []
+        for cand in reversed(self.free_rows):
+            sh = self._shard_of(cand)
+            if sh not in seen_shards:
+                seen_shards.add(sh)
+                cands.append(cand)
+        for cand in cands:
             alloc = self._alloc_of(cand)
             # longest cached block prefix, leaving >= 1 token to prefill.
             # share() PINS the looked-up blocks immediately: alloc()'s LRU
@@ -644,7 +654,11 @@ class ContinuousBatcher:
         bs = sc.block_size
         S = len(req.prompt_ids)
         need = blocks_needed(S + req.max_new_tokens, bs)
-        if need > sc.max_blocks_per_seq or need > sc.n_blocks - 1:
+        # capacity is PER SHARD under dp (each shard owns n_blocks/dp
+        # local blocks incl. its null block) — a global-pool check would
+        # admit a request no shard can ever hold and wedge the scheduler
+        if (need > sc.max_blocks_per_seq
+                or need > sc.n_blocks // self._dp - 1):
             req.finished = True
             req.finish_reason = "length"
             return False

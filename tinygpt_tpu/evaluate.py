@@ -136,9 +136,9 @@ def main(argv: Optional[list] = None) -> int:
 
         bits = {"int8": 8, "int4": 4}[args.quantization]
         group = resolve_quant_group(bits, args.quant_group_size)
-        awq_on = args.awq if args.awq is not None else bits == 4
-        awq_layout = all(k in params["layers"]
-                         for k in ("qkv_w", "gate_up_w", "down_w"))
+        from tinygpt_tpu.ops.awq import awq_policy
+
+        awq_on, awq_layout = awq_policy(args.awq, bits, params["layers"])
         if awq_on and args.awq and not awq_layout:
             log.warning("--awq requested but %s has no dense-MLP "
                         "causal_lm layout; plain quantization",

@@ -356,6 +356,18 @@ def default_calib_ids(tokenizer, n_tokens: int = 2048,
     return np.asarray(ids[: B * S], dtype=np.int32).reshape(B, S)
 
 
+def awq_policy(awq_flag, bits: int, layers) -> tuple:
+    """THE single decision point for 'does AWQ apply here': returns
+    (awq_on, layout_ok). awq_flag None = auto (on for int4 — the
+    PPL_GATE-passing shipped default); layout needs the dense-MLP
+    causal_lm keys (gpt2 has neither, mixtral has qkv_w but routed
+    experts). Shared by the engine and the evaluate CLI so the two can
+    never quantize differently."""
+    on = awq_flag if awq_flag is not None else bits == 4
+    layout = all(k in layers for k in ("qkv_w", "gate_up_w", "down_w"))
+    return on, layout
+
+
 def awq_quantize_params(
     params: Dict,
     cfg,

@@ -824,6 +824,17 @@ def _mlp_kernel_int4_stacked(*refs, na: int, nka: int, nkb: int,
                         + res_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
 
+def _pick_pow2_divisor(out: int, target: int = 4096):
+    """Largest power-of-two <= target dividing `out`, or None. Unlike
+    _pick_bo this NEVER falls back to a non-divisor — a non-dividing
+    output tile would leave the tail columns of a Pallas output
+    unwritten (silent garbage, not an error)."""
+    for bo in (4096, 2048, 1024, 512, 256, 128):
+        if bo <= target and out % bo == 0:
+            return bo
+    return None
+
+
 def mlp_supported(H: int, I: int, group: int, bk: int = 1024) -> bool:
     """Shape gate for mlp_fused_int4_stacked (see its tiling contract)."""
     tw = bk
@@ -837,6 +848,7 @@ def mlp_supported(H: int, I: int, group: int, bk: int = 1024) -> bool:
     return (
         bkb == tw and (I // 2) % tw == 0
         and boa % tw == 0
+        and _pick_pow2_divisor(H) is not None  # phase-B output tile
     )
 
 
@@ -873,7 +885,9 @@ def mlp_fused_int4_stacked(
     nkb = INPB // bkb
     boa = _pick_bo(OUT2I, nka, target=4096)
     assert boa % tw == 0
-    bob = min(OUTH, 4096)
+    bob = _pick_pow2_divisor(OUTH)
+    assert bob is not None, "see mlp_supported"  # non-divisor tile would
+    # leave OUTH tail columns unwritten (silent corruption, round-3 fix)
     noa, nob = OUT2I // boa, OUTH // bob
     na, nb = noa * nka, nob * nkb
     rows_a, rows_b = bka // group, bkb // group

@@ -343,7 +343,7 @@ def main(argv=None) -> None:
     ap.add_argument("--quantization", default=None,
                     choices=["int8", "int4"])
     ap.add_argument("--quant-group-size", type=int, default=None,
-                    help="default: 64 for int4, 128 for int8")
+                    help="default: 128 (int4 passes the ppl gate via the AWQ default, not the group size)")
     ap.add_argument("--awq", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="AWQ activation-aware scaling (default: on "
