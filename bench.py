@@ -35,8 +35,19 @@ def main() -> None:
     # 3.33% bar; plain int4 fails at either group). AWQ only rescales
     # weight VALUES — layout, bytes and kernels are identical — so this
     # random-weight perf measurement is exactly the AWQ config's perf.
-    res = run(batch=4, decode_steps=32, bits=4, group=128, context=1024,
-              serving=True)
+    try:
+        res = run(batch=4, decode_steps=32, bits=4, group=128,
+                  context=1024, serving=True)
+    except Exception as e:  # noqa: BLE001 — emit a parseable record
+        # the backend can be hard-down (axon UNAVAILABLE outages run for
+        # hours, 2026-08-17); an explicit JSON error line beats a
+        # traceback the driver can't parse
+        print(json.dumps({
+            "metric": "decode_tokens_per_sec_mistral7b_int4_b4",
+            "value": 0, "unit": "tokens/s", "vs_baseline": 0,
+            "error": f"{type(e).__name__}: {e}"[:300],
+        }))
+        raise SystemExit(1)
     res["vs_baseline"] = round(res["value"] / BASELINE_TOKENS_PER_S, 3)
     print(json.dumps(res))
 
