@@ -698,6 +698,54 @@ def test_scheduler_dp_tp_sharded_matches_single(llama):
             )
 
 
+def test_scheduler_dp_sp_tp_sharded_matches_single(llama):
+    """Full 3-axis serving mesh: dp2 x sp2 x tp2 on the virtual 8-device
+    mesh — rows/pools partition over dp (shard_map manual), the admission
+    prefill's sequence dim shards over sp and params over tp (both GSPMD-
+    automatic INSIDE the dp-manual region). Greedy streams must match the
+    single-device scheduler, modulo near-tie flips. Long prompts + a
+    chunked-prefill leg so the sp sharding spans chunks."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs >= 8 virtual devices")
+    cfg, model, params = llama
+    rng = np.random.default_rng(73)
+    prompts = [list(int(x) for x in rng.integers(2, cfg.vocab_size, n))
+               for n in (35, 9, 50, 18)]
+
+    def run(mesh_shape, chunk=0):
+        batcher = ContinuousBatcher(
+            model, cfg, params, eos_ids=set(),
+            config=SchedulerConfig(
+                batch_capacity=4, block_size=16, n_blocks=64,
+                max_blocks_per_seq=8, prefill_bucket=16, dtype="float32",
+                mesh_shape=mesh_shape, prefill_chunk_tokens=chunk,
+            ),
+        )
+        for i, p in enumerate(prompts):
+            batcher.add_request(Request(request_id=i, prompt_ids=p,
+                                        max_new_tokens=5))
+        got = {i: [] for i in range(len(prompts))}
+        _drain(batcher, got)
+        return got
+
+    single = run(None)
+    for sharded in (run((2, 2, 2)), run((2, 2, 2), chunk=16)):
+        for rid in single:
+            a, b = single[rid], sharded[rid]
+            assert len(a) == len(b) == 5
+            if a == b:
+                continue
+            i = next(j for j in range(len(a)) if a[j] != b[j])
+            context = prompts[rid] + a[:i]
+            logits = _dense_logits(cfg, model, params, context)
+            top = float(logits.max())
+            assert (top - logits[a[i]] < 1e-3
+                    and top - logits[b[i]] < 1e-3), (
+                f"request {rid} diverges at {i} without a near-tie: "
+                f"{a[i]} vs {b[i]}"
+            )
+
+
 def test_scheduler_dp_speculative_matches_dense_greedy(llama):
     """Speculative quanta under row-parallel serving: a dp2 x tp2 mesh
     (rows, draft contexts and pools sharded over dp) must emit exactly

@@ -79,9 +79,11 @@ class SchedulerConfig:
     # (dp, sp, tp) serving mesh. Params shard Megatron-style on tp, the
     # paged K/V pools shard kv-heads on tp and rows on dp, admission
     # prefill shards its sequence dim on sp, and every jitted program
-    # (admit / chunk / decode quantum) runs under GSPMD on the mesh; dp
-    # admission is per-shard. sp composes with tp only (dp=1, single
-    # process); None = single device.
+    # (admit / chunk / decode quantum) runs under GSPMD on the mesh.
+    # Under dp the quantum/admit programs are shard_map with ONLY the dp
+    # axes manual — sp and tp stay GSPMD-automatic inside, so all three
+    # axes compose (dp x sp x tp greedy-parity-tested). sp is
+    # single-process only; None = single device.
     mesh_shape: Optional[tuple] = None
     # speculative decoding IN THE SCHEDULER: None | "ngram". When every
     # running row is greedy, the decode quantum becomes R rounds of
@@ -178,12 +180,11 @@ class ContinuousBatcher:
             else:
                 dp, sp, tp = shape
             procs = jax.process_count()
-            if sp != 1 and (dp > 1 or procs > 1):
-                # sp shards the admission prefill under GSPMD; the dp
-                # quantum runs shard_map-manual where a second auto axis
-                # would need threading through every program
-                raise ValueError("scheduler sp composes with tp only "
-                                 "(dp=1, single process)")
+            if sp != 1 and procs > 1:
+                # multi-host admission replays the host loop in lockstep
+                # on every process; an sp axis would have to span the DCN
+                # boundary there — single-host only
+                raise ValueError("scheduler sp is single-process only")
             if dp > 1 or procs > 1:
                 # row-parallel serving: rows, pools and allocators are
                 # PARTITIONED over dp shards (shard_map with dp manual,
