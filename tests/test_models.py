@@ -234,3 +234,40 @@ def test_sliding_window_masks_old_keys():
     v3 = v.copy()
     v3[:, :, T - 2] = 99.0
     assert np.abs(base - run(k, v3)).max() > 1e-3
+
+
+def test_moe_routed_matches_dense(model_dirs):
+    """moe_mlp's routed (ragged_dot grouped-matmul) formulation must
+    match the dense-over-experts weighted sum, and forward() under
+    moe_impl="routed" must match "dense" end-to-end. The routed path is
+    the prefill default ("auto" at B*S >= 32)."""
+    from tinygpt_tpu.models import causal_lm
+
+    cfg, model, params = _load(model_dirs, "mixtral")
+    rng = np.random.default_rng(11)
+
+    # unit: the MoE MLP alone, odd token count (uneven expert groups)
+    lp = {k: params["layers"][k][0]
+          for k in ("router_w", "moe_gate_up_w", "moe_down_w")}
+    h = jnp.asarray(rng.standard_normal((3, 7, cfg.hidden_size)),
+                    jnp.float32)
+    dense = causal_lm.moe_mlp(h, lp, cfg, impl="dense")
+    routed = causal_lm.moe_mlp(h, lp, cfg, impl="routed")
+    np.testing.assert_allclose(np.asarray(routed), np.asarray(dense),
+                               rtol=2e-5, atol=2e-5)
+
+    # end-to-end: full forward, prefill-sized S so "auto" = routed
+    B, S = 2, 16
+    ids = jnp.asarray(rng.integers(2, cfg.vocab_size, (B, S)), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(S), (B, S))
+    valid = jnp.ones((B, S), jnp.bool_)
+
+    def run(impl):
+        cache = create_kv_cache(cfg, B, 32, dtype=jnp.float32)
+        logits, _ = model.forward(params, cfg, ids, cache, pos, valid,
+                                  moe_impl=impl)
+        return np.asarray(logits)
+
+    np.testing.assert_allclose(run("routed"), run("dense"),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(run("auto"), run("routed"), rtol=0, atol=0)

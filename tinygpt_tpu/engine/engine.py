@@ -238,6 +238,10 @@ class GPTEngine:
         self._attn_impl = (
             "pallas" if jax.devices()[0].platform == "tpu" else "xla"
         )
+        # moe_mlp formulation: routed (ragged_dot) prefill everywhere
+        # EXCEPT when the expert dim is sharded over sp (EP) — there the
+        # dense contraction is what GSPMD turns into expert parallelism
+        self._moe_impl = "auto"
         self._mesh = None
         self._cache_sharding = None
         self._data_sharding = None
@@ -258,9 +262,11 @@ class GPTEngine:
             # GSPMD/shard_map handle sharded attention; the Pallas
             # kernels are single-device programs
             self._attn_impl = "xla"
+            if sp > 1 and mc.num_local_experts:
+                self._moe_impl = "dense"
         self._forward_jit = jax.jit(
             self._forward_fn,
-            static_argnames=("cfg", "last_only", "attn_impl"),
+            static_argnames=("cfg", "last_only", "attn_impl", "moe_impl"),
             donate_argnames=("cache",),
         )
         log.info(
@@ -361,7 +367,8 @@ class GPTEngine:
         max_micro = max(1, cfg.pp_microbatches)
 
         def pp_forward(params, cfg, ids, cache, positions, valid,
-                       last_only=True, attn_impl="xla", last_pos=None):
+                       last_only=True, attn_impl="xla", moe_impl="auto",
+                       last_pos=None):
             assert last_only and last_pos is None, (
                 "pipelined forward produces last-position logits only"
             )
@@ -563,7 +570,7 @@ class GPTEngine:
 
         logits, cache = self._forward_jit(
             params, cfg, ids_d, cache, pos_d, valid_d, last_only=True,
-            attn_impl=self._attn_impl,
+            attn_impl=self._attn_impl, moe_impl=self._moe_impl,
         )
         self._key, k = jax.random.split(self._key)
         tok_dev = sample(logits[:, -1, :], sampler_cfg, k)  # [B]

@@ -235,6 +235,11 @@ class ContinuousBatcher:
             log.info("scheduler sharded over dp=%d sp=%d tp=%d (%d "
                      "processes, kv heads %s)", dp, sp, tp, procs,
                      "sharded" if kv_tp else "replicated")
+        # moe_mlp formulation for admission prefill: routed ragged_dot
+        # unless the expert dim is sp-sharded (EP) — see moe_mlp docstring
+        self._moe_impl = ("dense" if (self._sp > 1
+                                      and model_config.num_local_experts)
+                          else "auto")
         self.state: PagedKVState = create_paged_state(
             model_config, sc.n_blocks, sc.block_size, sc.batch_capacity,
             sc.max_blocks_per_seq, dtype=self.kv_dtype,
@@ -319,12 +324,12 @@ class ContinuousBatcher:
             self._admit_dp = _make_dp_admit(
                 self._mesh, self.model.forward, self.cfg, sc.attn_impl,
                 sc.block_size, jnp.dtype(self.kv_dtype).name,
-                axes=self._dp_axes,
+                axes=self._dp_axes, moe_impl=self._moe_impl,
             )
             self._admit_chunk_dp = _make_dp_admit_chunk(
                 self._mesh, self.model.forward, self.cfg, sc.attn_impl,
                 sc.block_size, jnp.dtype(self.kv_dtype).name,
-                axes=self._dp_axes,
+                axes=self._dp_axes, moe_impl=self._moe_impl,
             )
         self._spec_fn = None
         if (
@@ -617,7 +622,8 @@ class ContinuousBatcher:
             tok_dev, self.state = _admit_program(
                 *admit_args,
                 forward=self.model.forward, cfg=self.cfg,
-                attn_impl=sc.attn_impl, block_size=bs,
+                attn_impl=sc.attn_impl, moe_impl=self._moe_impl,
+                block_size=bs,
                 kv_dtype=jnp.dtype(self.kv_dtype).name,
             )
         # register newly completed whole blocks for future reuse
@@ -758,7 +764,8 @@ class ContinuousBatcher:
             tok_dev, self.state = _admit_chunk_program(
                 *chunk_args,
                 forward=self.model.forward, cfg=self.cfg,
-                attn_impl=sc.attn_impl, block_size=bs,
+                attn_impl=sc.attn_impl, moe_impl=self._moe_impl,
+                block_size=bs,
                 kv_dtype=jnp.dtype(self.kv_dtype).name,
             )
         req._chunk_pos = pos0 + n_tok
@@ -1023,12 +1030,13 @@ class ContinuousBatcher:
 @functools.partial(
     jax.jit,
     donate_argnums=(1,),
-    static_argnames=("forward", "cfg", "attn_impl", "block_size",
-                     "kv_dtype"),
+    static_argnames=("forward", "cfg", "attn_impl", "moe_impl",
+                     "block_size", "kv_dtype"),
 )
 def _admit_program(params, state, shared, private, ids, positions, valid,
                    last_pos, temp, topk, topp, minp, key, *,
-                   forward, cfg, attn_impl, block_size, kv_dtype):
+                   forward, cfg, attn_impl, moe_impl="auto", block_size,
+                   kv_dtype):
     """The whole admission as ONE device program: gather the shared
     prefix blocks into a fresh dense cache, prefill the suffix, scatter
     its K/V into the private blocks, sample the first token. A single
@@ -1045,7 +1053,7 @@ def _admit_program(params, state, shared, private, ids, positions, valid,
         cache = _seed_dense_from_pool.__wrapped__(cache, state, shared, bs)
     logits, cache = forward(
         params, cfg, ids, cache, positions, valid, last_only=True,
-        attn_impl=attn_impl, last_pos=last_pos,
+        attn_impl=attn_impl, moe_impl=moe_impl, last_pos=last_pos,
     )
     state = _scatter_prefill.__wrapped__(
         state,
@@ -1064,13 +1072,13 @@ def _admit_program(params, state, shared, private, ids, positions, valid,
 @functools.partial(
     jax.jit,
     donate_argnums=(1,),
-    static_argnames=("forward", "cfg", "attn_impl", "block_size",
-                     "kv_dtype"),
+    static_argnames=("forward", "cfg", "attn_impl", "moe_impl",
+                     "block_size", "kv_dtype"),
 )
 def _admit_chunk_program(params, state, table, p_len, private, ids,
                          positions, valid, last_pos, temp, topk, topp,
-                         minp, key, *, forward, cfg, attn_impl, block_size,
-                         kv_dtype):
+                         minp, key, *, forward, cfg, attn_impl,
+                         moe_impl="auto", block_size, kv_dtype):
     """One CHUNK of an admission as a single device program. Unlike
     _admit_program (exact shapes per prefix length), the workspace here is
     fixed-size: the request's full (padded) block table is gathered into a
@@ -1095,7 +1103,7 @@ def _admit_chunk_program(params, state, table, p_len, private, ids,
     )
     logits, cache = forward(
         params, cfg, ids, cache, positions, valid, last_only=True,
-        attn_impl=attn_impl, last_pos=last_pos,
+        attn_impl=attn_impl, moe_impl=moe_impl, last_pos=last_pos,
     )
     state = _scatter_prefill.__wrapped__(
         state,
@@ -1339,7 +1347,7 @@ def _make_dp_decode_spec(mesh, decode_paged_spec_steps, cfg, attn_impl,
 
 
 def _make_dp_admit_chunk(mesh, forward, cfg, attn_impl, block_size,
-                         kv_dtype, axes=("dp",)):
+                         kv_dtype, axes=("dp",), moe_impl="auto"):
     """Row-parallel chunked admission: every dp shard runs the SAME
     fixed-size chunk program (gather its LOCAL pool by the padded table,
     prefill, scatter) but only the OWNER shard's scatter targets real
@@ -1380,7 +1388,7 @@ def _make_dp_admit_chunk(mesh, forward, cfg, attn_impl, block_size,
             )
             logits, cache = forward(
                 params, cfg, ids, cache, positions, valid, last_only=True,
-                attn_impl=attn_impl, last_pos=last_pos,
+                attn_impl=attn_impl, moe_impl=moe_impl, last_pos=last_pos,
             )
             tgt = jnp.where(mine, private, jnp.zeros_like(private))
             state = _scatter_prefill.__wrapped__(
@@ -1408,7 +1416,7 @@ def _make_dp_admit_chunk(mesh, forward, cfg, attn_impl, block_size,
 
 
 def _make_dp_admit(mesh, forward, cfg, attn_impl, block_size, kv_dtype,
-                   axes=("dp",)):
+                   axes=("dp",), moe_impl="auto"):
     from jax.sharding import PartitionSpec as P
 
     st = _dp_state_specs(axes)
@@ -1442,7 +1450,7 @@ def _make_dp_admit(mesh, forward, cfg, attn_impl, block_size, kv_dtype,
                     cache, state, shared, bs)
             logits, cache = forward(
                 params, cfg, ids, cache, positions, valid, last_only=True,
-                attn_impl=attn_impl, last_pos=last_pos,
+                attn_impl=attn_impl, moe_impl=moe_impl, last_pos=last_pos,
             )
             # owner scatters into its private blocks; non-owners dump
             # into their local null block 0 (a write-only dumpster)

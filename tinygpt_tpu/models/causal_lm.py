@@ -261,23 +261,33 @@ def _moe_layer_params(lp: Dict, quant, l) -> Dict:
     return lp
 
 
-def moe_mlp(h: jnp.ndarray, lp: Dict, cfg: ModelConfig) -> jnp.ndarray:
+def moe_mlp(h: jnp.ndarray, lp: Dict, cfg: ModelConfig,
+            impl: str = "auto") -> jnp.ndarray:
     """Mixtral block-sparse MoE MLP, HF semantics: full softmax over the
     router logits -> top-k -> renormalize the selected weights -> weighted
     sum of the selected experts' SwiGLU outputs.
 
     Beyond-reference capability (the reference has no MoE family).
-    Compute is DENSE over experts — every expert's FFN runs on every
-    token, weighted by a (mostly zero) routing coefficient. The expert
-    dim stays WHOLE inside each einsum (never scanned over), which is
-    what lets GSPMD turn the expert contraction into expert parallelism
-    when the dim is sharded (parallel/sharding.py shards it over the
-    otherwise-idle-at-decode "sp" axis: each device computes only its
-    local experts and the weighted sum becomes a psum). Memory is
-    bounded by chunking the flattened token dim instead — decode (S=1)
-    is a single chunk. The sparse/ragged formulation (gather selected
-    experts per token) saves E/k of the FLOPs+reads but needs ragged
-    kernels; dense is exact and batch-size-robust.
+    Two formulations, same math:
+
+    * ``impl="routed"`` — tokens sort by expert and each expert
+      contracts only its own contiguous group via `lax.ragged_dot`
+      (XLA's MXU-tiled grouped matmul): k/E of the dense FLOPs+reads,
+      the idiomatic TPU prefill path. Keep the expert dim UNSHARDED
+      here — under EP sharding GSPMD would all-gather the expert
+      stacks (correct but slow); callers on EP meshes pass "dense".
+    * ``impl="dense"`` — every expert's FFN runs on every token,
+      weighted by a (mostly zero) routing coefficient. The expert dim
+      stays WHOLE inside each einsum, which is what lets GSPMD turn the
+      contraction into expert parallelism when the dim is sharded over
+      the decode-idle "sp" axis (parallel/sharding.py): each device
+      computes only its local experts and the weighted sum becomes a
+      psum. Memory is bounded by chunking the flattened token dim;
+      decode (S=1) is a single chunk.
+    * ``impl="auto"`` — routed for prefill-sized token counts (B*S >=
+      32), dense for decode-sized ones (tiny sorts/gathers beat nothing
+      there, and the quantized decode path uses the gathered Pallas
+      kernels instead — ops/moe_kernels.py).
 
     h: [B, S, H] (post-norm). lp: router_w [H, E],
     moe_gate_up_w [E, H, 2I], moe_down_w [E, I, H]. Returns [B, S, H].
@@ -285,11 +295,16 @@ def moe_mlp(h: jnp.ndarray, lp: Dict, cfg: ModelConfig) -> jnp.ndarray:
     k = cfg.num_experts_per_tok
     E = cfg.num_local_experts
     B, S, H = h.shape
+    if impl == "auto":
+        impl = "routed" if B * S >= 32 else "dense"
     logits = (h.astype(jnp.float32)
               @ lp["router_w"].astype(jnp.float32))          # [B, S, E]
     probs = jax.nn.softmax(logits, axis=-1)
     w_top, idx = jax.lax.top_k(probs, k)                     # [B, S, k]
     w_top = w_top / jnp.sum(w_top, axis=-1, keepdims=True)
+    if impl == "routed":
+        return _moe_ffn_routed(h, w_top, idx, lp["moe_gate_up_w"],
+                               lp["moe_down_w"], E)
     # dense per-expert coefficient map: [B, S, E], zero off the top-k
     we = jnp.sum(
         jax.nn.one_hot(idx, E, dtype=jnp.float32) * w_top[..., None],
@@ -323,6 +338,37 @@ def moe_mlp(h: jnp.ndarray, lp: Dict, cfg: ModelConfig) -> jnp.ndarray:
     return out[:T].reshape(B, S, H)
 
 
+def _moe_ffn_routed(h, w_top, idx, gw, dw, E: int) -> jnp.ndarray:
+    """Token-ragged expert FFN: sort (token, choice) pairs by expert id,
+    run each expert's SwiGLU over its contiguous group with
+    `lax.ragged_dot` (grouped matmul — tiles straight onto the MXU), and
+    scatter-add the weighted outputs back. Exactly the dense weighted
+    sum, computed over only the routed k/E slice of the FLOPs.
+
+    h [B, S, H]; w_top/idx [B, S, k] renormalized top-k routing;
+    gw [E, H, 2I]; dw [E, I, H].
+    """
+    B, S, H = h.shape
+    k = idx.shape[-1]
+    T = B * S
+    hf = h.reshape(T, H)
+    eid = idx.reshape(T * k)
+    # stable sort keeps (token, choice) order within an expert's group,
+    # so the scatter-add below is deterministic
+    order = jnp.argsort(eid, stable=True)                  # [T*k]
+    tok_of = order // k                                    # source token
+    x_s = jnp.take(hf, tok_of, axis=0)                     # [T*k, H]
+    counts = jnp.zeros(E, jnp.int32).at[eid].add(1)        # group sizes
+    gate_up = jax.lax.ragged_dot(x_s, gw, counts)          # [T*k, 2I]
+    gate, up = jnp.split(gate_up, 2, axis=-1)
+    act = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+    o = jax.lax.ragged_dot(act, dw, counts)                # [T*k, H]
+    w_s = w_top.reshape(T * k)[order].astype(jnp.float32)
+    out = jnp.zeros((T, H), jnp.float32).at[tok_of].add(
+        o.astype(jnp.float32) * w_s[:, None])
+    return out.astype(h.dtype).reshape(B, S, H)
+
+
 def decoder_layer_step(
     lp: Dict,
     x: jnp.ndarray,          # [B, S, H]
@@ -337,6 +383,7 @@ def decoder_layer_step(
     cos: jnp.ndarray,
     sin: jnp.ndarray,
     attn_impl: str,
+    moe_impl: str = "auto",        # moe_mlp formulation (see its docstring)
     quant: Optional[Dict] = None,  # stacked QuantizedTensors (full [L,...])
     l=None,                        # traced layer index for `quant`
     rope_c=None,                   # [B, S, 1, D] pre-gathered rope rows —
@@ -392,7 +439,8 @@ def decoder_layer_step(
     x = x + mm(attn.reshape(B, S, q_dim), "o_w")
     h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
     if cfg.num_local_experts:
-        x = x + moe_mlp(h, _moe_layer_params(lp, quant, l), cfg)
+        x = x + moe_mlp(h, _moe_layer_params(lp, quant, l), cfg,
+                        impl=moe_impl)
     else:
         gate_up = mm(h, "gate_up_w")
         gate, up = jnp.split(gate_up, 2, axis=-1)
@@ -412,6 +460,8 @@ def forward(
     token_valid: jnp.ndarray,  # [B, S] bool — real token vs pad
     last_only: bool = False,
     attn_impl: str = "xla",    # "xla" | "pallas" (static under jit)
+    moe_impl: str = "auto",    # moe_mlp formulation; EP-sharded callers
+                               # pass "dense" (see moe_mlp docstring)
     last_pos=None,             # [B] int32 — row of the last REAL token; for
                                # trailing-padded prompts (default: S-1)
 ) -> Tuple[jnp.ndarray, KVCache]:
@@ -447,6 +497,7 @@ def forward(
             lp, x, k_cache, v_cache,
             cfg=cfg, positions=positions, kv_pos=kv_pos, valid=valid,
             slot=slot, cos=cos, sin=sin, attn_impl=attn_impl,
+            moe_impl=moe_impl,
             quant=quant or None, l=l, rope_c=rope_c, rope_s=rope_s,
         )
         return x, (k_cache, v_cache)

@@ -114,6 +114,7 @@ def forward(
     token_valid: jnp.ndarray,  # [B, S]
     last_only: bool = False,
     attn_impl: str = "xla",
+    moe_impl: str = "auto",  # module-protocol compat; gpt2 has no MoE
     last_pos=None,  # [B] int32 — index of the last REAL token per row
 ) -> Tuple[jnp.ndarray, KVCache]:
     B, S = input_ids.shape
