@@ -44,9 +44,11 @@ def _forward_logits(params, cfg, ids):
 
 
 # llama: GQA no-bias untied; qwen2: GQA + qkv bias; qwen3: qk-norm;
-# llama_scaled: tied embeddings (head fold materializes an lm_head)
+# llama_scaled: tied embeddings (head fold materializes an lm_head);
+# mixtral: MoE folds (shared expert-input scale counter-folded into the
+# router, per-expert down scales)
 @pytest.mark.parametrize(
-    "family", ["llama", "qwen2", "qwen3", "llama_scaled"]
+    "family", ["llama", "qwen2", "qwen3", "llama_scaled", "mixtral"]
 )
 def test_fold_is_exact_identity(family, tmp_path):
     cfg, params = _load_float(family, tmp_path)
@@ -130,10 +132,10 @@ def test_awq_quantize_end_to_end(tmp_path):
     assert mse_awq <= mse_rtn * 1.25, (mse_awq, mse_rtn)
 
 
-def test_awq_default_skips_moe_layout(tmp_path):
-    """int4's AWQ-on default must fall back to plain quantization for
-    layouts without a dense MLP (mixtral has qkv_w but routed experts) —
-    regression for the engine layout gate."""
+def test_awq_default_applies_to_moe_layout(tmp_path):
+    """int4's AWQ-on default now covers the MoE layout: the engine must
+    calibrate + fold + quantize a mixtral model (4D expert stacks) and
+    still decode."""
     from tests.fixtures import build_tiny_model_dir
     from tinygpt_tpu.engine.engine import GPTConfig, GPTEngine
 
@@ -146,8 +148,11 @@ def test_awq_default_skips_moe_layout(tmp_path):
     eng = GPTEngine(GPTConfig(model_dir=d, dtype="float32", max_tokens=3,
                               quantization="int4", quant_group_size=16,
                               prefill_bucket=16))
-    eng.prepare()  # must not crash calibrating a MoE layout
+    eng.prepare()
     from tinygpt_tpu.ops.quant import QuantizedTensor
 
-    assert isinstance(eng.ctx.params["layers"]["qkv_w"], QuantizedTensor)
-    assert "moe_gate_up_w" in eng.ctx.params["layers"]
+    layers = eng.ctx.params["layers"]
+    assert isinstance(layers["qkv_w"], QuantizedTensor)
+    assert isinstance(layers["moe_gate_up_w"], QuantizedTensor)
+    out = eng.generate_sync(["hello world"])
+    assert len(out[0].token_ids) == 3

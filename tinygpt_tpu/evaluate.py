@@ -140,8 +140,8 @@ def main(argv: Optional[list] = None) -> int:
 
         awq_on, awq_layout = awq_policy(args.awq, bits, params["layers"])
         if awq_on and args.awq and not awq_layout:
-            log.warning("--awq requested but %s has no dense-MLP "
-                        "causal_lm layout; plain quantization",
+            log.warning("--awq requested but %s has no causal_lm "
+                        "layer layout; plain quantization",
                         ctx.model_config.model_type)
         if awq_on and awq_layout:
             from tinygpt_tpu.ops.awq import (awq_quantize_params,

@@ -29,6 +29,13 @@ Fold map (per layer):
                                             v; s shared across the q heads
                                             of each kv group for GQA)
   lm_head rows  * s  <-> final_ln    / s
+
+MoE (mixtral) fold map — post_ln feeds the ROUTER as well as every
+expert, so the expert-input scale must be shared across experts and
+counter-folded into the router too (router logits stay bit-identical):
+  moe_gate_up_w[e] rows * s  <-> post_ln / s, router_w rows * s
+  moe_down_w[e] rows * s_e   <-> expert e's up columns / s_e
+                                 (per-expert: act_e feeds only expert e)
 """
 
 from __future__ import annotations
@@ -112,6 +119,50 @@ def collect_act_stats(
         x = x + attn @ lp["o_w"].astype(jnp.float32)
         h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
         st_gu = second_moment(h)
+        if "router_w" in lp:
+            # MoE (mixtral): h feeds the router AND every expert, so
+            # gate_up_in is shared; down_in is PER-EXPERT [E, I], the
+            # routing-mass-weighted second moment of each expert's act
+            # (mirrors moe_mlp's dense formulation, chunked over tokens)
+            k_top = cfg.num_experts_per_tok
+            E = cfg.num_local_experts
+            r_logits = h @ lp["router_w"].astype(jnp.float32)
+            r_probs = jax.nn.softmax(r_logits, axis=-1)
+            w_top, idx = jax.lax.top_k(r_probs, k_top)
+            w_top = w_top / jnp.sum(w_top, axis=-1, keepdims=True)
+            we = jnp.sum(jax.nn.one_hot(idx, E, dtype=jnp.float32)
+                         * w_top[..., None], axis=-2)          # [B, S, E]
+            gw = lp["moe_gate_up_w"].astype(jnp.float32)       # [E, H, 2I]
+            dw = lp["moe_down_w"].astype(jnp.float32)          # [E, I, H]
+            T, H_, I_ = B * S, h.shape[-1], dw.shape[1]
+            C = min(T, 256)
+            n_chunks = -(-T // C)
+            pad = n_chunks * C - T
+            hfl = jnp.pad(h.reshape(T, H_), ((0, pad), (0, 0)))
+            wfl = jnp.pad(we.reshape(T, E), ((0, pad), (0, 0)))
+
+            def moe_chunk(carry, args):
+                m_acc, w_acc = carry
+                ht, wt = args  # [C, H], [C, E]
+                gu = jnp.einsum("ch,eho->ceo", ht, gw)
+                g_, u_ = jnp.split(gu, 2, axis=-1)
+                act = jax.nn.silu(g_) * u_                     # [C, E, I]
+                out = jnp.einsum("ce,cei,eih->ch", wt, act, dw)
+                m_acc = m_acc + jnp.einsum("ce,cei->ei", wt, act * act)
+                w_acc = w_acc + wt.sum(axis=0)
+                return (m_acc, w_acc), out
+
+            (m_acc, w_acc), outs = jax.lax.scan(
+                moe_chunk,
+                (jnp.zeros((E, I_), jnp.float32),
+                 jnp.zeros(E, jnp.float32)),
+                (hfl.reshape(n_chunks, C, H_),
+                 wfl.reshape(n_chunks, C, E)),
+            )
+            st_down = m_acc / jnp.maximum(w_acc, 1e-6)[:, None]
+            x = x + outs.reshape(n_chunks * C, H_)[:T].reshape(B, S, H_)
+            return x, {"qkv_in": st_qkv, "o_in": st_o,
+                       "gate_up_in": st_gu, "down_in": st_down}
         gate_up = h @ lp["gate_up_w"].astype(jnp.float32)
         gate, up = jnp.split(gate_up, 2, axis=-1)
         act = jax.nn.silu(gate) * up
@@ -214,6 +265,43 @@ def search_scales(
     return jax.lax.map(one, (w, m))
 
 
+def search_scales_shared(
+    w: jnp.ndarray,       # [L, E, in, out] stacked expert weights
+    m: jnp.ndarray,       # [L, in] shared activation second moments
+    bits: int,
+    group_size: int,
+) -> jnp.ndarray:
+    """Alpha grid search for ONE scale vector shared by all E experts of
+    a layer (the MoE gate_up fold: the scale counter-folds into post_ln
+    and the router, which every expert shares). Error = sum over experts
+    of the same diagonal proxy; experts stream under lax.map so the f32
+    working set stays one expert large. Returns s [L, in]."""
+    in_dim = w.shape[-2]
+    g = min(group_size, in_dim)
+    if bits == 4:
+        g = min(g, in_dim // 2)
+
+    def one(args):
+        wE, m2 = args  # [E, in, out], [in]
+        cand = jnp.stack(
+            [_scales_from_alpha(m2, a) for a in ALPHA_GRID]
+        )
+
+        def err_for(s):
+            def per_expert(w2):
+                wf = w2.astype(jnp.float32)
+                dq = _qdq(wf * s[:, None], bits, g) / s[:, None]
+                e = dq - wf
+                return jnp.sum(m2 * jnp.sum(e * e, axis=-1))
+
+            return jax.lax.map(per_expert, wE).sum()
+
+        errs = jax.lax.map(err_for, cand)
+        return cand[jnp.argmin(errs)]
+
+    return jax.lax.map(one, (w, m))
+
+
 # -- exact-identity folding ----------------------------------------------------
 
 
@@ -241,14 +329,29 @@ def apply_awq(
         layers = params["layers"]
         dt = layers["qkv_w"].dtype
 
+        is_moe = "router_w" in layers
         s_qkv = search_scales(layers["qkv_w"], stats["qkv_in"],
                               bits, group_size)                       # [L, H]
         s_o = search_scales(layers["o_w"], stats["o_in"], bits,
                             group_size, kv_share=(Nk, rep, D))        # [L, Nq*D]
-        s_gu = search_scales(layers["gate_up_w"], stats["gate_up_in"],
-                             bits, group_size)                        # [L, H]
-        s_down = search_scales(layers["down_w"], stats["down_in"],
-                               bits, group_size)                      # [L, I]
+        if is_moe:
+            # one expert-input scale per layer (shared — it counter-
+            # folds into post_ln and the router); per-expert down scales
+            s_gu = search_scales_shared(
+                layers["moe_gate_up_w"], stats["gate_up_in"],
+                bits, group_size)                                     # [L, H]
+            dwn = layers["moe_down_w"]                        # [L, E, I, Hd]
+            Lz, Ez, Iz, Hz = dwn.shape
+            s_down = search_scales(
+                dwn.reshape(Lz * Ez, Iz, Hz),
+                stats["down_in"].reshape(Lz * Ez, Iz),
+                bits, group_size,
+            ).reshape(Lz, Ez, Iz)                                     # [L,E,I]
+        else:
+            s_gu = search_scales(layers["gate_up_w"], stats["gate_up_in"],
+                                 bits, group_size)                    # [L, H]
+            s_down = search_scales(layers["down_w"], stats["down_in"],
+                                   bits, group_size)                  # [L, I]
         s_kv = s_o.reshape(-1, Nq, D)[:, ::rep].reshape(-1, Nk * D)   # [L, Nk*D]
 
         def fold_layer(args):
@@ -274,6 +377,27 @@ def apply_awq(
             new["o_w"] = (
                 lp["o_w"].astype(jnp.float32) * so[:, None]
             ).astype(dt)
+            if "router_w" in lp:
+                # MoE folds: post_ln / sg is shared by router + experts,
+                # so the router rows scale UP by sg (logits unchanged);
+                # sd is per-expert [E, I]
+                new["router_w"] = (
+                    lp["router_w"].astype(jnp.float32) * sg[:, None]
+                ).astype(dt)
+                gu = (lp["moe_gate_up_w"].astype(jnp.float32)
+                      * sg[None, :, None])
+                half = gu.shape[-1] // 2
+                gu = gu.at[..., half:].set(
+                    gu[..., half:] / sd[:, None, :]
+                )
+                new["moe_gate_up_w"] = gu.astype(dt)
+                new["post_ln"] = (
+                    lp["post_ln"].astype(jnp.float32) / sg
+                ).astype(dt)
+                new["moe_down_w"] = (
+                    lp["moe_down_w"].astype(jnp.float32) * sd[:, :, None]
+                ).astype(dt)
+                return new
             # mlp folds: post_ln <-> gate_up rows; up columns <-> down rows
             gu = lp["gate_up_w"].astype(jnp.float32) * sg[:, None]
             half = gu.shape[-1] // 2
@@ -359,13 +483,14 @@ def default_calib_ids(tokenizer, n_tokens: int = 2048,
 def awq_policy(awq_flag, bits: int, layers) -> tuple:
     """THE single decision point for 'does AWQ apply here': returns
     (awq_on, layout_ok). awq_flag None = auto (on for int4 — the
-    PPL_GATE-passing shipped default); layout needs the dense-MLP
-    causal_lm keys (gpt2 has neither, mixtral has qkv_w but routed
-    experts). Shared by the engine and the evaluate CLI so the two can
-    never quantize differently."""
+    PPL_GATE-passing shipped default); layout needs the causal_lm keys,
+    dense-MLP or MoE (gpt2 has neither). Shared by the engine and the
+    evaluate CLI so the two can never quantize differently."""
     on = awq_flag if awq_flag is not None else bits == 4
-    layout = all(k in layers for k in ("qkv_w", "gate_up_w", "down_w"))
-    return on, layout
+    dense = all(k in layers for k in ("qkv_w", "gate_up_w", "down_w"))
+    moe = all(k in layers for k in
+              ("qkv_w", "router_w", "moe_gate_up_w", "moe_down_w"))
+    return on, dense or moe
 
 
 def awq_quantize_params(
