@@ -98,6 +98,18 @@ def train_model(out_dir: str, train_text: str, *, n_layer=4, n_embd=256,
             tie_word_embeddings=True, bos_token_id=0, eos_token_id=0,
         )
         model = transformers.LlamaForCausalLM(cfg)
+    elif arch == "mixtral":
+        # MoE gate: measures the int4 expert-stack quantization and the
+        # MoE AWQ folds (shared expert-input scale + router counter-fold)
+        cfg = transformers.MixtralConfig(
+            vocab_size=vocab, hidden_size=n_embd,
+            intermediate_size=2 * n_embd, num_hidden_layers=n_layer,
+            num_attention_heads=n_head, num_key_value_heads=n_head // 2,
+            num_local_experts=4, num_experts_per_tok=2,
+            max_position_embeddings=seq_len, rms_norm_eps=1e-5,
+            tie_word_embeddings=True, bos_token_id=0, eos_token_id=0,
+        )
+        model = transformers.MixtralForCausalLM(cfg)
     else:
         cfg = transformers.GPT2Config(
             vocab_size=vocab, n_positions=seq_len, n_embd=n_embd,
@@ -211,7 +223,8 @@ def main():
     ap.add_argument("--eval-tokens", type=int, default=120_000)
     ap.add_argument("--reuse", action="store_true",
                     help="skip training if the model dir exists")
-    ap.add_argument("--arch", default="llama", choices=["llama", "gpt2"],
+    ap.add_argument("--arch", default="llama",
+                    choices=["llama", "mixtral", "gpt2"],
                     help="gate-model architecture (llama = flagship "
                          "family, enables the AWQ legs)")
     args = ap.parse_args()
