@@ -698,6 +698,53 @@ def test_scheduler_dp_tp_sharded_matches_single(llama):
             )
 
 
+def test_scheduler_moe_sp_tp_sharded_matches_single(mixtral):
+    """MoE serving on an sp2 x tp2 mesh: experts shard over sp (EP), so
+    the scheduler must pick the dense admission formulation (routed
+    ragged groups would all-gather the expert stacks under GSPMD) and
+    still match the single-device greedy streams."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    cfg, model, params = mixtral
+    rng = np.random.default_rng(83)
+    prompts = [list(int(x) for x in rng.integers(2, cfg.vocab_size, n))
+               for n in (34, 9, 21)]
+
+    def run(mesh_shape):
+        batcher = ContinuousBatcher(
+            model, cfg, params, eos_ids=set(),
+            config=SchedulerConfig(
+                batch_capacity=3, block_size=16, n_blocks=64,
+                max_blocks_per_seq=8, prefill_bucket=16, dtype="float32",
+                mesh_shape=mesh_shape,
+            ),
+        )
+        if mesh_shape is not None:
+            assert batcher._moe_impl == "dense"
+        for i, p in enumerate(prompts):
+            batcher.add_request(Request(request_id=i, prompt_ids=p,
+                                        max_new_tokens=5))
+        got = {i: [] for i in range(len(prompts))}
+        _drain(batcher, got)
+        return got
+
+    single = run(None)
+    sharded = run((1, 2, 2))
+    for rid in single:
+        a, b = single[rid], sharded[rid]
+        assert len(a) == len(b) == 5
+        if a == b:
+            continue
+        i = next(j for j in range(len(a)) if a[j] != b[j])
+        context = prompts[rid] + a[:i]
+        logits = _dense_logits(cfg, model, params, context)
+        top = float(logits.max())
+        assert top - logits[a[i]] < 1e-3 and top - logits[b[i]] < 1e-3, (
+            f"request {rid} diverges at {i} without a near-tie: "
+            f"{a[i]} vs {b[i]}"
+        )
+
+
 def test_scheduler_dp_sp_tp_sharded_matches_single(llama):
     """Full 3-axis serving mesh: dp2 x sp2 x tp2 on the virtual 8-device
     mesh — rows/pools partition over dp (shard_map manual), the admission
