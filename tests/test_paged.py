@@ -1140,3 +1140,143 @@ def test_chunked_prefill_with_prefix_cache(llama):
     got_on, b = run(True)
     assert got_on == got_off
     assert b.allocator.n_idle_cached > 0
+
+
+def test_spec_rejection_sampling_preserves_distribution(llama):
+    """Speculative rejection sampling must be distribution-preserving:
+    with a deterministic n-gram draft, accepting draft d w.p. p(d) and
+    emitting from the residual on reject makes the first emitted token
+    an EXACT sample from the row's processed distribution p. Empirical
+    check: run the spec quantum over many keys and compare the first
+    token's frequencies to the dense model's masked softmax (top_k=4,
+    temperature=1) by total-variation distance."""
+    import jax.numpy as jnp
+
+    from tinygpt_tpu.models import causal_lm
+    from tinygpt_tpu.ops.sampling import masked_logits_batched
+
+    cfg, model, params = llama
+    rng = np.random.default_rng(91)
+    phrase = [int(x) for x in rng.integers(2, cfg.vocab_size, 3)]
+    prompt = phrase * 4  # repetitive: the n-gram draft actually fires
+
+    batcher = ContinuousBatcher(
+        model, cfg, params, eos_ids=set(),
+        config=SchedulerConfig(
+            batch_capacity=1, block_size=16, n_blocks=32,
+            max_blocks_per_seq=8, prefill_bucket=16, dtype="float32",
+            speculative="ngram", spec_draft_len=2, spec_ngram=2,
+        ),
+    )
+    req = Request(request_id=0, prompt_ids=prompt, max_new_tokens=8,
+                  sampler=SamplerConfig(temperature=1.0, top_k=4))
+    batcher.add_request(req)
+    assert batcher._try_admit(batcher.waiting.pop(0))
+    tok0 = int(np.asarray(req._pending_token)[0])
+    state = batcher.state
+
+    C = 64
+    ctx = np.zeros((1, C), np.int32)
+    toks_ctx = prompt + [tok0]
+    ctx[0, : len(toks_ctx)] = toks_ctx
+    clen = np.asarray([len(toks_ctx)], np.int32)
+    temps = np.asarray([1.0], np.float32)
+    topks = np.asarray([4], np.int32)
+    topps = np.asarray([1.0], np.float32)
+    minps = np.asarray([0.0], np.float32)
+
+    gamma, ngram = 2, 2
+    import functools as ft
+
+    @ft.partial(jax.jit, static_argnames=())
+    def first_tokens(keys):
+        def one(key):
+            toks, counts, cur, _ = causal_lm.decode_paged_spec_steps(
+                params, cfg, jnp.asarray([tok0], jnp.int32), state,
+                jnp.asarray(ctx), jnp.asarray(clen), 1, gamma, ngram,
+                sampler=(jnp.asarray(temps), jnp.asarray(topks),
+                         jnp.asarray(topps), jnp.asarray(minps)),
+                key=key,
+            )
+            return toks[0, 0, 0]
+
+        return jax.lax.map(one, keys)
+
+    K = 1536
+    keys = jax.random.split(jax.random.PRNGKey(5), K)
+    samples = np.asarray(first_tokens(keys))
+
+    # target: dense logits at the same context, same masking
+    logits = _dense_logits(cfg, model, params, toks_ctx)
+    ml = masked_logits_batched(
+        jnp.asarray(logits)[None, :], jnp.asarray(temps),
+        jnp.asarray(topks), jnp.asarray(topps), jnp.asarray(minps))
+    p = np.asarray(jax.nn.softmax(ml, axis=-1))[0]
+
+    support = np.flatnonzero(p > 1e-9)
+    assert len(support) <= 4
+    assert np.isin(samples, support).all(), (
+        "emitted a token outside the top-k support")
+    emp = np.bincount(samples, minlength=cfg.vocab_size) / K
+    tv = 0.5 * np.abs(emp - p).sum()
+    # TV sampling noise at K=1536 over <=4 support points is ~0.02-0.03
+    assert tv < 0.08, f"TV distance {tv:.3f} vs processed distribution"
+
+
+def test_scheduler_spec_mixed_greedy_and_sampled(llama):
+    """A batch mixing greedy and sampled rows rides ONE speculative
+    quantum: the greedy row must still emit exactly the dense argmax
+    chain (near-tie tolerant), the sampled row must emit tokens from the
+    masked top-k support, and both must finish."""
+    cfg, model, params = llama
+    rng = np.random.default_rng(97)
+    phrase = [int(x) for x in rng.integers(2, cfg.vocab_size, 4)]
+    prompts = [phrase * 3, phrase * 2]
+    n_new = 6
+
+    batcher = ContinuousBatcher(
+        model, cfg, params, eos_ids=set(),
+        config=SchedulerConfig(
+            batch_capacity=2, block_size=16, n_blocks=64,
+            max_blocks_per_seq=8, prefill_bucket=16, dtype="float32",
+            decode_quantum=6, speculative="ngram", spec_draft_len=2,
+            spec_ngram=2,
+        ),
+    )
+    assert batcher._spec_fn is not None
+    batcher.add_request(Request(request_id=0, prompt_ids=prompts[0],
+                                max_new_tokens=n_new))  # greedy
+    batcher.add_request(Request(
+        request_id=1, prompt_ids=prompts[1], max_new_tokens=n_new,
+        sampler=SamplerConfig(temperature=1.0, top_k=3),
+    ))
+    got = {0: [], 1: []}
+    _drain(batcher, got)
+    assert len(got[0]) == n_new and len(got[1]) == n_new, got
+
+    # greedy row: exact dense argmax chain modulo near-ties
+    context = list(prompts[0])
+    for step_idx, tok in enumerate(got[0]):
+        logits = _dense_logits(cfg, model, params, context)
+        best = int(logits.argmax())
+        assert tok == best or logits[best] - logits[tok] < 1e-3, (
+            f"greedy row step {step_idx}: {tok} vs {best}")
+        context.append(tok)
+
+    # sampled row: every token inside its own top-k support
+    from tinygpt_tpu.ops.sampling import masked_logits_batched
+
+    context = list(prompts[1])
+    for tok in got[1]:
+        logits = _dense_logits(cfg, model, params, context)
+        ml = masked_logits_batched(
+            jnp.asarray(logits)[None, :], jnp.asarray([1.0], np.float32),
+            jnp.asarray([3], np.int32), jnp.asarray([1.0], np.float32),
+            jnp.asarray([0.0], np.float32))
+        p = np.asarray(jax.nn.softmax(ml, -1))[0]
+        # near-tie tolerance at the top-k boundary: the kernel's kth
+        # threshold may flip on float noise, widen by one rank
+        order = np.argsort(logits)[::-1]
+        allowed = set(np.flatnonzero(p > 1e-9)) | {int(order[3])}
+        assert tok in allowed, (tok, sorted(allowed))
+        context.append(tok)

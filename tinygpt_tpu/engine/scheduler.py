@@ -85,12 +85,16 @@ class SchedulerConfig:
     # axes compose (dp x sp x tp greedy-parity-tested). sp is
     # single-process only; None = single device.
     mesh_shape: Optional[tuple] = None
-    # speculative decoding IN THE SCHEDULER: None | "ngram". When every
-    # running row is greedy, the decode quantum becomes R rounds of
-    # device-resident n-gram drafting + gamma+1-token verification per
-    # row — each row's throughput multiplies by (1 + its mean accepted
-    # drafts). Sliding-window models verify exactly (slot-space window
-    # masks). Rows with sampling knobs fall back to the plain quantum.
+    # speculative decoding IN THE SCHEDULER: None | "ngram". The decode
+    # quantum becomes R rounds of device-resident n-gram drafting +
+    # gamma+1-token verification per row — each row's throughput
+    # multiplies by (1 + its mean accepted drafts). Greedy rows verify
+    # by argmax prefix match; rows with sampling knobs use exact
+    # speculative REJECTION sampling (accept draft d w.p. p(d) under the
+    # row's processed top-k/top-p/min-p distribution, emit from the
+    # residual on reject — distribution-preserving, tested). An
+    # all-greedy batch keeps its own randomness-free compile.
+    # Sliding-window models verify exactly (slot-space window masks).
     speculative: Optional[str] = None
     spec_draft_len: int = 4
     spec_ngram: int = 3
@@ -822,10 +826,14 @@ class ContinuousBatcher:
         return safe
 
     def _spec_eligible(self) -> bool:
-        """Speculative quanta run only when EVERY live row is greedy
-        (n-gram verification is exact for greedy only)."""
-        if self._spec_fn is None or not self.running:
-            return False
+        """Speculative quanta run whenever speculation is configured and
+        rows are live: greedy rows verify by argmax prefix matching,
+        sampled rows by exact rejection sampling (both in the same
+        quantum program; the all-greedy case keeps its own randomness-
+        free compile)."""
+        return self._spec_fn is not None and bool(self.running)
+
+    def _all_greedy(self) -> bool:
         rows = list(self.running.keys())
         return bool(np.all(self._temps[rows] == 0.0))
 
@@ -862,9 +870,14 @@ class ContinuousBatcher:
             toks = (req.prompt_ids + req.generated)[-C:]
             ctx[row, : len(toks)] = toks
             clen[row] = len(toks)
+        self._key, k = jax.random.split(self._key)
         packed, self.state = self._spec_fn(
             self.params, self.state, self._put(self._tokens.copy()),
-            self._put(ctx), self._put(clen), n_rounds=n_rounds,
+            self._put(ctx), self._put(clen),
+            self._put(self._temps.copy()), self._put(self._topks.copy()),
+            self._put(self._topps.copy()), self._put(self._minps.copy()),
+            self._put(k), n_rounds=n_rounds,
+            all_greedy=self._all_greedy(),
         )
         B = self.sc.batch_capacity
         flat = self._fetch(packed)      # ONE download (allgather multi-host)
@@ -1142,19 +1155,23 @@ def _jitted_forward(forward_fn):
     jax.jit,
     donate_argnums=(1,),
     static_argnames=("decode_paged_spec_steps", "cfg", "attn_impl",
-                     "gamma", "ngram", "n_rounds"),
+                     "gamma", "ngram", "n_rounds", "all_greedy"),
 )
-def _decode_quantum_spec(params, state, tokens, ctx, clen, *,
+def _decode_quantum_spec(params, state, tokens, ctx, clen, temps, topks,
+                         topps, minps, key, *,
                          decode_paged_spec_steps, cfg, attn_impl, gamma,
-                         ngram, n_rounds):
-    """Speculative decode quantum (greedy): R device-resident draft +
-    verify rounds (causal_lm.decode_paged_spec_steps). Outputs are
-    PACKED into one int32 array — on the tunneled TPU backend every
-    device->host fetch is a full round trip (~25 ms), so three separate
-    downloads would triple the per-dispatch overhead."""
+                         ngram, n_rounds, all_greedy=True):
+    """Speculative decode quantum: R device-resident draft + verify
+    rounds (causal_lm.decode_paged_spec_steps) — greedy prefix matching
+    when every row is greedy (all_greedy compile), exact rejection
+    sampling per row otherwise. Outputs are PACKED into one int32 array
+    — on the tunneled TPU backend every device->host fetch is a full
+    round trip (~25 ms), so three separate downloads would triple the
+    per-dispatch overhead."""
+    sampler = None if all_greedy else (temps, topks, topps, minps)
     toks, counts, cur, state = decode_paged_spec_steps(
         params, cfg, tokens, state, ctx, clen, n_rounds, gamma, ngram,
-        attn_impl=attn_impl,
+        attn_impl=attn_impl, sampler=sampler, key=key,
     )
     packed = jnp.concatenate(
         [toks.reshape(-1), counts.reshape(-1), cur.reshape(-1)]
@@ -1324,20 +1341,30 @@ def _make_dp_decode_spec(mesh, decode_paged_spec_steps, cfg, attn_impl,
     st = _dp_state_specs(axes)
 
     @functools.partial(jax.jit, donate_argnums=(1,),
-                       static_argnames=("n_rounds",))
-    def fn(params, state, tokens, ctx, clen, *, n_rounds):
-        def body(params, state, tokens, ctx, clen):
+                       static_argnames=("n_rounds", "all_greedy"))
+    def fn(params, state, tokens, ctx, clen, temps, topks, topps, minps,
+           key, *, n_rounds, all_greedy=True):
+        def body(params, state, tokens, ctx, clen, temps, topks, topps,
+                 minps, key):
+            if all_greedy:
+                sampler = None
+            else:
+                sampler = (temps, topks, topps, minps)
+                # decorrelate the rejection uniforms across row shards
+                key = jax.random.fold_in(key, _dp_shard_index(axes))
             return decode_paged_spec_steps(
                 params, cfg, tokens, state, ctx, clen, n_rounds, gamma,
-                ngram, attn_impl=attn_impl,
+                ngram, attn_impl=attn_impl, sampler=sampler, key=key,
             )
 
         toks, counts, cur, state = jax.shard_map(
             body, mesh=mesh,
-            in_specs=(P(), st, P(axes), P(axes, None), P(axes)),
+            in_specs=(P(), st, P(axes), P(axes, None), P(axes), P(axes),
+                      P(axes), P(axes), P(axes), P()),
             out_specs=(P(None, axes, None), P(None, axes), P(axes), st),
             axis_names=set(axes),
-        )(params, state, tokens, ctx, clen)
+        )(params, state, tokens, ctx, clen, temps, topks, topps, minps,
+          key)
         packed = jnp.concatenate(
             [toks.reshape(-1), counts.reshape(-1), cur.reshape(-1)]
         ).astype(jnp.int32)

@@ -1051,15 +1051,32 @@ def decode_paged_spec_steps(
     gamma: int,               # draft length; S = gamma + 1 verify positions
     ngram: int,
     attn_impl: str = "xla",
+    sampler=None,             # None = greedy; else (temps, topks, topps,
+                              # minps) [B] arrays -> rejection sampling
+    key=None,                 # PRNG key (required with sampler); folded
+                              # per round
 ):
-    """n_rounds of GREEDY n-gram speculative verification for the
-    continuous scheduler, fully device-resident: per-row prompt-lookup
-    drafting over the context buffer, a gamma+1-position verify forward
-    per round against the FROZEN pools (+ accepted in-flight slots), and
-    prefix acceptance — all in one scanned program. One scatter writes
-    every ACCEPTED slot to its (block, offset) at the end. A verify
-    forward reads the same weight bytes as one decode step, so each
-    row's throughput multiplies by (1 + its mean accepted drafts).
+    """n_rounds of n-gram speculative verification for the continuous
+    scheduler, fully device-resident: per-row prompt-lookup drafting
+    over the context buffer, a gamma+1-position verify forward per round
+    against the FROZEN pools (+ accepted in-flight slots), and prefix
+    acceptance — all in one scanned program. One scatter writes every
+    ACCEPTED slot to its (block, offset) at the end. A verify forward
+    reads the same weight bytes as one decode step, so each row's
+    throughput multiplies by (1 + its mean accepted drafts).
+
+    Acceptance is exact for BOTH sampling regimes. Greedy rows accept
+    the matched prefix of the argmax predictions (`sampler=None` path,
+    or rows with temperature 0). Sampled rows use speculative rejection
+    sampling against the deterministic n-gram draft: draft token d at a
+    position with processed sampling distribution p (temperature +
+    top-k/top-p/min-p masking, ops/sampling.masked_logits_batched) is
+    accepted with probability p(d); the first rejected position emits a
+    sample from the residual p with d's mass removed and renormalized —
+    with a point-mass draft this makes every emitted token an EXACT
+    sample from p (Leviathan et al., speculative sampling, public
+    algorithm). Full acceptance emits a bonus sample from the final
+    position's distribution.
 
     Returns (toks [R, B, S], counts [R, B] emitted per round, cur [B]
     next input per row, advanced PagedKVState). Rows draft from their
@@ -1187,10 +1204,55 @@ def decode_paged_spec_steps(
             ids, positions, infl_k, infl_v, valid, r, kp, vp,
             q_slots, infl_slots)
         preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, S]
-        m = jnp.sum(jnp.cumprod(
-            (preds[:, :gamma] == draft).astype(jnp.int32), axis=1), axis=1)
-        nxt = jnp.take_along_axis(
-            preds, jnp.clip(m, 0, gamma)[:, None], axis=1)[:, 0]
+        if sampler is None:
+            m = jnp.sum(jnp.cumprod(
+                (preds[:, :gamma] == draft).astype(jnp.int32), axis=1),
+                axis=1)
+            nxt = jnp.take_along_axis(
+                preds, jnp.clip(m, 0, gamma)[:, None], axis=1)[:, 0]
+            emit = preds
+        else:
+            from tinygpt_tpu.ops.sampling import (
+                NEG_INF,
+                masked_logits_batched,
+            )
+
+            temps, topks, topps, minps = sampler
+            V = logits.shape[-1]
+            ml = masked_logits_batched(
+                logits.reshape(B * S, V),
+                jnp.repeat(temps, S), jnp.repeat(topks, S),
+                jnp.repeat(topps, S), jnp.repeat(minps, S),
+            ).reshape(B, S, V)
+            p = jax.nn.softmax(ml, axis=-1)
+            greedy_row = temps <= 0
+            k_u, k_res = jax.random.split(jax.random.fold_in(key, r))
+            p_draft = jnp.take_along_axis(
+                p[:, :gamma], draft[..., None], axis=-1)[..., 0]
+            u = jax.random.uniform(k_u, (B, gamma))
+            ok = jnp.where(greedy_row[:, None],
+                           preds[:, :gamma] == draft, u < p_draft)
+            m = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1)
+            mc = jnp.clip(m, 0, gamma)[:, None]
+            # emission at m: a reject masks the draft token's mass out of
+            # p_m (the residual); full acceptance (m == gamma) samples
+            # the bonus from the final position's distribution
+            ml_m = jnp.take_along_axis(ml, mc[..., None], axis=1)[:, 0]
+            d_m = jnp.take_along_axis(
+                draft, jnp.clip(m, 0, gamma - 1)[:, None], axis=1)[:, 0]
+            vio = jnp.arange(V, dtype=jnp.int32)[None, :]
+            ml_res = jnp.where(
+                (m < gamma)[:, None] & (vio == d_m[:, None]),
+                NEG_INF, ml_m)
+            nxt_s = jax.random.categorical(
+                k_res, ml_res, axis=-1).astype(jnp.int32)
+            nxt_g = jnp.take_along_axis(preds, mc, axis=1)[:, 0]
+            nxt = jnp.where(greedy_row, nxt_g, nxt_s)
+            pad_draft = jnp.concatenate(
+                [draft, jnp.zeros((B, 1), jnp.int32)], axis=1)
+            emit_s = jnp.where(iota_s[None, :] < m[:, None], pad_draft,
+                               nxt[:, None])
+            emit = jnp.where(greedy_row[:, None], preds, emit_s)
         # accept this round's slots 0..m into the in-flight validity
         pos_in = jnp.arange(N, dtype=jnp.int32)[None, :]
         this_round = (pos_in >= r * S) & (pos_in < (r + 1) * S)
@@ -1200,16 +1262,16 @@ def decode_paged_spec_steps(
         infl_slots = jnp.where(
             accepted_now,
             (lengths0 + acc)[:, None] + (pos_in - r * S), infl_slots)
-        # append the emitted tokens (preds[:, :m+1]) to the context
+        # append the emitted tokens (emit[:, :m+1]) to the context
         idx2 = clen[:, None] + iota_s[None, :]
         old = jnp.take_along_axis(ctx, jnp.clip(idx2, 0, C - 1), axis=1)
         newv = jnp.where(
-            (iota_s[None, :] <= m[:, None]) & (idx2 < C), preds, old)
+            (iota_s[None, :] <= m[:, None]) & (idx2 < C), emit, old)
         ctx = ctx.at[rows_b[:, None], jnp.clip(idx2, 0, C - 1)].set(newv)
         emitted = (m + 1) * act_i
         carry = (nxt, infl_k, infl_v, valid, acc + emitted, ctx,
                  clen + emitted, kp, vp, infl_slots)
-        return carry, (preds, m + 1)
+        return carry, (emit, m + 1)
 
     # zeros carries must enter the scan already dp-varying under the
     # scheduler's row-parallel shard_map (vma typing, see vary_like)

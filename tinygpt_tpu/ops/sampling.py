@@ -80,8 +80,28 @@ def sample_batched(
     """Per-row sampling knobs in one jitted op — continuous batching mixes
     requests with different sampler settings in a single decode step.
     Returns token ids [B]."""
-    B, V = logits.shape
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    masked = masked_logits_batched(logits, temperature, top_k, top_p,
+                                   min_p)
+    sampled = jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
+    return jnp.where(temperature <= 0, greedy_tok, sampled)
+
+
+def masked_logits_batched(
+    logits: jnp.ndarray,       # [B, V] fp32
+    temperature: jnp.ndarray,  # [B] — <= 0 treated as 1.0 here (caller
+                               # routes greedy rows to argmax separately)
+    top_k: jnp.ndarray,        # [B] int32 — 0 ⇒ disabled
+    top_p: jnp.ndarray,        # [B] — 1.0 ⇒ disabled
+    min_p: jnp.ndarray,        # [B] — 0.0 ⇒ disabled
+) -> jnp.ndarray:
+    """The processed per-row sampling distribution as masked logits:
+    temperature-scaled with top-k/top-p/min-p losers at NEG_INF.
+    softmax of the result IS each row's actual sampling distribution —
+    speculative rejection-sampling verification needs it explicitly
+    (causal_lm.decode_paged_spec_steps), sample_batched feeds it to
+    categorical."""
+    B, V = logits.shape
 
     t = jnp.where(temperature <= 0, 1.0, temperature)[:, None]
     scaled = logits / t
@@ -115,9 +135,7 @@ def sample_batched(
     thr_min = jnp.max(probs, axis=-1, keepdims=True) * min_p[:, None]
 
     keep = (scaled >= kth_k) & (scaled >= kth_p) & (probs >= thr_min)
-    masked = jnp.where(keep, scaled, NEG_INF)
-    sampled = jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
-    return jnp.where(temperature <= 0, greedy_tok, sampled)
+    return jnp.where(keep, scaled, NEG_INF)
 
 
 def sample(
