@@ -258,17 +258,33 @@ def test_fp8_kv_cache_generates(full_model_dir):
     assert len(out.token_ids) == 4
 
 
-def test_speculative_falls_back_for_sampling(full_model_dir):
-    """Stochastic sampling must bypass the (greedy-only) speculative path
-    rather than fail."""
+def test_speculative_sampled_batch1(full_model_dir):
+    """Stochastic sampling rides the speculative path too (exact
+    rejection sampling against the processed distribution): every token
+    must come from the request's top-k support and the stream must
+    complete. A one-rank tie margin covers float threshold flips."""
+    import numpy as np
+
+    from tests.fixtures import hf_reference_logits
+
     eng = GPTEngine(GPTConfig(
-        model_dir=full_model_dir, dtype="float32", max_tokens=4,
-        speculative="ngram",
-        sampler=SamplerConfig(temperature=0.8, top_p=0.9), seed=5,
+        model_dir=full_model_dir, dtype="float32", max_tokens=6,
+        speculative="ngram", spec_draft_len=3, spec_ngram=2,
+        sampler=SamplerConfig(temperature=1.0, top_k=4), seed=5,
     ))
     eng.prepare()
-    out = eng.generate_sync(["Hello world"])[0]
-    assert len(out.token_ids) == 4
+    prompt = "the cat sat on the mat. the cat sat on the"
+    out = eng.generate_sync([prompt])[0]
+    assert len(out.token_ids) == 6
+    ids = eng.ctx.tokenizer.encode(prompt)
+    context = list(ids)
+    for tok in out.token_ids:
+        logits = hf_reference_logits(
+            full_model_dir, np.asarray([context]))[0, -1]
+        order = np.argsort(logits)[::-1]
+        assert tok in set(int(t) for t in order[:5]), (
+            tok, [int(t) for t in order[:5]])
+        context.append(tok)
 
 
 def test_speculative_batch_falls_back(full_model_dir):

@@ -97,9 +97,11 @@ class GPTConfig:
     # speculative decoding: None | "ngram" (prompt-lookup drafting — draft
     # tokens come from earlier occurrences of the current n-gram in the
     # context; one forward verifies draft_len+1 positions, which costs the
-    # same HBM traffic as a single decode step). Exact for greedy
-    # sampling; engaged only for batch=1 greedy requests, other requests
-    # fall back to the chunked loop.
+    # same HBM traffic as a single decode step). Greedy requests verify
+    # by argmax prefix match (exact); sampled requests by exact rejection
+    # sampling against the processed distribution. Engaged for batch=1
+    # requests; batches fall back to the chunked loop (the scheduler's
+    # quantum speculates multi-row).
     speculative: Optional[str] = None
     spec_draft_len: int = 4
     spec_ngram: int = 3
@@ -547,7 +549,6 @@ class GPTEngine:
         if (
             self.config.speculative == "ngram"
             and len(texts) == 1
-            and self.config.sampler.is_greedy
             and jax.process_count() == 1
         ):
             return self._spec_prefill_and_loop(texts, max_tokens, on_token)
@@ -642,16 +643,21 @@ class GPTEngine:
             nxt = ahead
 
     def _spec_prefill_and_loop(self, texts, max_tokens, on_token):
-        """Greedy batch-1 decode with n-gram speculative verification,
-        fully device-resident: the prompt-lookup draft (match the context
+        """Batch-1 decode with n-gram speculative verification, fully
+        device-resident: the prompt-lookup draft (match the context
         tail against all earlier windows), the γ+1-token verify forward,
-        the prefix-acceptance, and the cache/context advance all run
+        the acceptance, and the cache/context advance all run
         inside ONE jit program that scans R rounds per dispatch — no
         per-round host round trips. A verify step reads the same weight
         bytes as a single decode step, so throughput multiplies by
-        (1 + mean accepted)."""
+        (1 + mean accepted). Greedy requests accept by argmax prefix
+        match; sampled requests by exact rejection sampling against the
+        processed sampling distribution (same math as the scheduler's
+        quantum, causal_lm.decode_paged_spec_steps docstring)."""
         assert self.ctx is not None
         cfg = self.ctx.model_config
+        scfg = self.config.sampler
+        greedy = scfg.is_greedy
         gamma = max(1, self.config.spec_draft_len)
         n = max(1, self.config.spec_ngram)
         R = max(1, self.config.decode_chunk // (gamma + 1))
@@ -669,10 +675,21 @@ class GPTEngine:
         )
         logits, cache = self._forward_jit(
             params, cfg, ids_d, cache, pos_d, valid_d, last_only=True,
-            attn_impl=self._attn_impl,
+            attn_impl=self._attn_impl, moe_impl=self._moe_impl,
         )
-        t0 = jnp.argmax(logits[0, -1]).astype(jnp.int32)
+        self._key, k0 = jax.random.split(self._key)
+        t0 = sample(logits[0, -1][None, :], scfg, k0)[0].astype(jnp.int32)
         L = int(lens[0])
+        # per-position sampler knobs for the verify positions (batch-1:
+        # one config broadcast over gamma+1 rows of masked_logits_batched)
+        knobs = (
+            jnp.full(gamma + 1, scfg.temperature or 0.0, jnp.float32),
+            jnp.full(gamma + 1, scfg.top_k or 0, jnp.int32),
+            jnp.full(gamma + 1,
+                     scfg.top_p if scfg.top_p is not None else 1.0,
+                     jnp.float32),
+            jnp.full(gamma + 1, scfg.min_p or 0.0, jnp.float32),
+        )
         forward = self.ctx.model.forward
         attn_impl = self._attn_impl
         T = cache.max_len
@@ -690,12 +707,12 @@ class GPTEngine:
             donate_argnames=("k", "v", "kv_pos"),
         )
         def spec_rounds(params, k, v, kv_pos, prefill_valid, slots, cur,
-                        ctx_buf, ctx_len, gen_pos, n_rounds):
+                        ctx_buf, ctx_len, gen_pos, key, n_rounds):
             iota_T = jnp.arange(T, dtype=jnp.int32)
             iota_ctx = jnp.arange(Tctx - n + 1, dtype=jnp.int32)
             ones = jnp.ones((1, gamma + 1), jnp.bool_)
 
-            def round_fn(carry, _):
+            def round_fn(carry, r):
                 k, v, kv_pos, slots, cur, ctx_buf, ctx_len, gen_pos = carry
                 # device prompt-lookup: most recent EARLIER window == tail
                 tail = jax.lax.dynamic_slice(ctx_buf, (ctx_len - n,), (n,))
@@ -724,10 +741,34 @@ class GPTEngine:
                     last_only=False, attn_impl=attn_impl,
                 )
                 preds = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
-                m = jnp.sum(
-                    jnp.cumprod((preds[:gamma] == draft).astype(jnp.int32))
-                )
-                nxt = preds[jnp.clip(m, 0, gamma)]
+                if greedy:
+                    m = jnp.sum(jnp.cumprod(
+                        (preds[:gamma] == draft).astype(jnp.int32)))
+                    nxt = preds[jnp.clip(m, 0, gamma)]
+                else:
+                    # exact rejection sampling against the processed
+                    # distribution (see causal_lm.decode_paged_spec_steps)
+                    from tinygpt_tpu.ops.sampling import (
+                        NEG_INF,
+                        masked_logits_batched,
+                    )
+
+                    ml = masked_logits_batched(
+                        logits[0].astype(jnp.float32), *knobs)
+                    p = jax.nn.softmax(ml, axis=-1)
+                    k_u, k_res = jax.random.split(
+                        jax.random.fold_in(key, r))
+                    p_draft = p[jnp.arange(gamma), draft]
+                    u = jax.random.uniform(k_u, (gamma,))
+                    m = jnp.sum(jnp.cumprod((u < p_draft)
+                                            .astype(jnp.int32)))
+                    ml_m = ml[jnp.clip(m, 0, gamma)]
+                    d_m = draft[jnp.clip(m, 0, gamma - 1)]
+                    vio = jnp.arange(ml.shape[-1], dtype=jnp.int32)
+                    ml_res = jnp.where((m < gamma) & (vio == d_m),
+                                       NEG_INF, ml_m)
+                    nxt = jax.random.categorical(k_res, ml_res).astype(
+                        jnp.int32)
                 # append accepted tokens (draft[:m] + nxt) to the context
                 upd = jnp.where(
                     jnp.arange(gamma + 1) == m,
@@ -745,7 +786,7 @@ class GPTEngine:
 
             carry = (k, v, kv_pos, slots, cur, ctx_buf, ctx_len, gen_pos)
             carry, (toks_out, counts) = jax.lax.scan(
-                round_fn, carry, None, length=n_rounds
+                round_fn, carry, jnp.arange(n_rounds, dtype=jnp.int32)
             )
             return carry, toks_out, counts
 
@@ -756,10 +797,11 @@ class GPTEngine:
         k_buf, v_buf, kv_pos = cache.k, cache.v, cache.kv_pos
         emitted = 0
         while emitted < max_tokens:
+            self._key, kd = jax.random.split(self._key)
             (k_buf, v_buf, kv_pos, slots, cur, ctx_buf, ctx_len,
              gen_pos), toks_out, counts = spec_rounds(
                 params, k_buf, v_buf, kv_pos, prefill_valid, slots, cur,
-                ctx_buf, ctx_len, gen_pos, n_rounds=R,
+                ctx_buf, ctx_len, gen_pos, kd, n_rounds=R,
             )
             toks_h = np.asarray(toks_out)   # [R, gamma+1]
             counts_h = np.asarray(counts)   # [R]
