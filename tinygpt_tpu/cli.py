@@ -71,7 +71,8 @@ def main(argv=None) -> int:
     ap.add_argument("--mesh", default=None, metavar="DP,SP,TP",
                     help="shard over a device mesh, e.g. 1,1,8")
     ap.add_argument("--speculative", default=None, choices=["ngram"],
-                    help="speculative decoding (greedy batch-1)")
+                    help="speculative decoding (batch-1; greedy exact, "
+                         "sampled via exact rejection sampling)")
     args = ap.parse_args(argv)
     mesh_shape = (tuple(int(x) for x in args.mesh.split(","))
                   if args.mesh else None)

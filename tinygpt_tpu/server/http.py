@@ -50,7 +50,8 @@ class ServerConfig:
     awq: Optional[bool] = None  # AWQ scaling; None=auto (on for int4)
     awq_calib_path: Optional[str] = None
     mesh_shape: Optional[tuple] = None  # (dp, sp, tp) device mesh
-    speculative: bool = False  # n-gram spec decode quanta (greedy rows)
+    speculative: bool = False  # n-gram spec decode quanta (greedy rows
+    # verify by argmax prefix, sampled rows by exact rejection sampling)
     # "continuous" = paged continuous batching; "sequential" = the
     # reference's one-request-at-a-time worker
     scheduler: str = "continuous"
@@ -359,9 +360,11 @@ def main(argv=None) -> None:
     ap.add_argument("--prefill-chunk", type=int, default=0,
                     help="chunked prefill: max prompt tokens per step")
     ap.add_argument("--speculative", action="store_true",
-                    help="n-gram speculative decode quanta when every "
-                         "live request is greedy (repetitive-text "
-                         "workloads; see SchedulerConfig.speculative)")
+                    help="n-gram speculative decode quanta (greedy "
+                         "requests verify exactly, sampled ones via "
+                         "exact rejection sampling; pays off on "
+                         "repetitive-text workloads — see "
+                         "SchedulerConfig.speculative)")
     args = ap.parse_args(argv)
 
     if os.environ.get("JAX_PLATFORMS"):
