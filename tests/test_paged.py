@@ -1280,3 +1280,59 @@ def test_scheduler_spec_mixed_greedy_and_sampled(llama):
         allowed = set(np.flatnonzero(p > 1e-9)) | {int(order[3])}
         assert tok in allowed, (tok, sorted(allowed))
         context.append(tok)
+
+
+def test_scheduler_dp_spec_mixed_sampled(llama):
+    """Sampled + greedy rows speculating under ROW-PARALLEL serving
+    (dp2 x tp2 shard_map): the shard index folds into the rejection
+    key (independent uniforms per shard), greedy rows must still emit
+    the dense argmax chain, sampled rows stay in their top-k support."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    cfg, model, params = llama
+    rng = np.random.default_rng(101)
+    phrase = [int(x) for x in rng.integers(2, cfg.vocab_size, 4)]
+    n_new = 5
+
+    batcher = ContinuousBatcher(
+        model, cfg, params, eos_ids=set(),
+        config=SchedulerConfig(
+            batch_capacity=4, block_size=16, n_blocks=64,
+            max_blocks_per_seq=8, prefill_bucket=16, dtype="float32",
+            decode_quantum=6, speculative="ngram", spec_draft_len=2,
+            spec_ngram=2, mesh_shape=(2, 1, 2),
+        ),
+    )
+    assert batcher._spec_fn is not None
+    greedy_ids, sampled_ids = (0, 2), (1, 3)
+    for rid in greedy_ids:
+        batcher.add_request(Request(request_id=rid,
+                                    prompt_ids=phrase * (2 + rid),
+                                    max_new_tokens=n_new))
+    for rid in sampled_ids:
+        batcher.add_request(Request(
+            request_id=rid, prompt_ids=phrase * rid + phrase[:3],
+            max_new_tokens=n_new,
+            sampler=SamplerConfig(temperature=1.0, top_k=3),
+        ))
+    got = {}
+    _drain(batcher, got)
+    assert all(len(got[r]) == n_new for r in range(4)), got
+
+    for rid in greedy_ids:
+        context = phrase * (2 + rid)
+        for step_idx, tok in enumerate(got[rid]):
+            logits = _dense_logits(cfg, model, params, context)
+            best = int(logits.argmax())
+            assert tok == best or logits[best] - logits[tok] < 1e-3, (
+                f"greedy row {rid} step {step_idx}: {tok} vs {best}")
+            context.append(tok)
+
+    for rid in sampled_ids:
+        context = phrase * rid + phrase[:3]
+        for tok in got[rid]:
+            logits = _dense_logits(cfg, model, params, context)
+            order = np.argsort(logits)[::-1]
+            assert tok in set(int(t) for t in order[:4]), (
+                rid, tok, [int(t) for t in order[:4]])
+            context.append(tok)
