@@ -48,7 +48,7 @@ def main():
                     help="shard the batcher over a tp mesh of this size "
                          "(0 = single device)")
     ap.add_argument("--speculative", action="store_true",
-                    help="n-gram speculative decode quanta (greedy rows)")
+                    help="n-gram speculative decode quanta")
     ap.add_argument("--repetitive", action="store_true",
                     help="prompts repeat a short phrase (the n-gram "
                          "speculative sweet spot: code/extraction-like)")
@@ -157,6 +157,7 @@ def main():
         "quantum": args.quantum,
         "speculative": bool(args.speculative),
         "repetitive": bool(args.repetitive),
+        "spec_acceptance": round(batcher.spec_acceptance, 3),
         "ttft_p50_s": round(float(np.percentile(ttft, 50)), 3),
         "ttft_p95_s": round(float(np.percentile(ttft, 95)), 3),
         "throughput_tok_s": round(total_tokens / wall, 1),

@@ -1253,6 +1253,8 @@ def test_scheduler_spec_mixed_greedy_and_sampled(llama):
     got = {0: [], 1: []}
     _drain(batcher, got)
     assert len(got[0]) == n_new and len(got[1]) == n_new, got
+    assert batcher.spec_verifies > 0
+    assert batcher.spec_acceptance >= 0.0  # telemetry wired
 
     # greedy row: exact dense argmax chain modulo near-ties
     context = list(prompts[0])

@@ -285,6 +285,10 @@ class ContinuousBatcher:
         self._inflight = None
         self._tokens_dev = None
         self._key = jax.random.PRNGKey(sc.seed)
+        # speculative telemetry: emitted tokens vs verify forwards —
+        # mean accepted drafts per verify = emitted/verifies - 1
+        self.spec_emitted = 0
+        self.spec_verifies = 0
         # host mirrors of device state
         self._tables = np.zeros((sc.batch_capacity, sc.max_blocks_per_seq),
                                 np.int32)
@@ -910,7 +914,18 @@ class ContinuousBatcher:
             if not req.finished:
                 self._lengths[row] += int(counts_h[:, row].sum())
                 self._tokens[row] = int(cur_h[row])
+        self.spec_emitted += int(counts_h.sum())
+        self.spec_verifies += n_rounds * len(safe)
         return events
+
+    @property
+    def spec_acceptance(self) -> float:
+        """Mean accepted drafts per verify forward (0 when speculation
+        never ran); each verify costs one decode step of weight reads,
+        so per-row speedup ~ (1 + spec_acceptance)."""
+        if not self.spec_verifies:
+            return 0.0
+        return self.spec_emitted / self.spec_verifies - 1.0
 
     def _decode(self) -> List[TokenEvent]:
         if self._spec_eligible():
