@@ -221,6 +221,12 @@ def main():
     ap.add_argument("--layers", type=int, default=4)
     ap.add_argument("--hidden", type=int, default=256)
     ap.add_argument("--eval-tokens", type=int, default=120_000)
+    ap.add_argument("--train-mb", type=float, default=2.0,
+                    help="training-corpus budget; raise together with "
+                         "--steps (2 MB ~ 0.5M tokens: 600 steps ~ 1.2 "
+                         "epochs; longer training on the default budget "
+                         "OVERFITS and inverts the quantization deltas)")
+    ap.add_argument("--eval-mb", type=float, default=0.6)
     ap.add_argument("--reuse", action="store_true",
                     help="skip training if the model dir exists")
     ap.add_argument("--arch", default="llama",
@@ -229,7 +235,7 @@ def main():
                          "family, enables the AWQ legs)")
     args = ap.parse_args()
 
-    train_text, eval_text = build_corpus()
+    train_text, eval_text = build_corpus(args.train_mb, args.eval_mb)
     if not (args.reuse and
             os.path.exists(os.path.join(args.dir, "model.safetensors"))):
         train_model(args.dir, train_text, steps=args.steps,
