@@ -30,13 +30,16 @@ def main() -> None:
     tinygpt_tpu.ensure_compile_cache()
     from benches.flagship_bench import run
 
-    # group 128 = the shipped int4 default. The quality gate passes via
-    # the engine's AWQ default (PPL_GATE.json: awq+g128 +1.8% rel vs the
-    # 3.33% bar; plain int4 fails at either group). AWQ only rescales
-    # weight VALUES — layout, bytes and kernels are identical — so this
-    # random-weight perf measurement is exactly the AWQ config's perf.
+    # group 64 = the shipped int4 default for dense-MLP models
+    # (engine.resolve_quant_group): on the credible-scale gate model
+    # (PPL_GATE.json, ppl ~30 where the absolute BASELINE bars apply)
+    # g64+AWQ passes the ≤0.5 Δppl bar (+0.46) and g128+AWQ fails
+    # (+0.81) — the headline is measured in the quality-gated config,
+    # eating the ~3% extra scale bytes. AWQ only rescales weight VALUES
+    # — layout, bytes and kernels are identical — so this random-weight
+    # perf measurement is exactly the AWQ config's perf.
     try:
-        res = run(batch=4, decode_steps=32, bits=4, group=128,
+        res = run(batch=4, decode_steps=32, bits=4, group=64,
                   context=1024, serving=True)
     except Exception as e:  # noqa: BLE001 — emit a parseable record
         # the backend can be hard-down (axon UNAVAILABLE outages run for

@@ -179,13 +179,19 @@ def build_flagship(bits: int = 4, group: int = 128,
 
 
 def run(batch: int = 4, decode_steps: int = 32, bits: int = 4,
-        group: int = 128, context: int = 1024,
+        group: int = 0, context: int = 1024,
         serving: bool = False, kv_dtype: str = "bf16",
         shape: str = "mistral7b") -> dict:
     """Build a BASELINE-shape quantized model and measure decode
     tokens/s/chip; returns the result dict (also used by bench.py as the
-    driver's headline metric)."""
+    driver's headline metric). group 0 = the shipped default
+    (engine.resolve_quant_group: int4 64 dense / 128 moe, int8 128)."""
     import types
+
+    from tinygpt_tpu.engine.engine import resolve_quant_group
+
+    if not group:
+        group = resolve_quant_group(bits, None, moe=shape.startswith("moe"))
 
     args = types.SimpleNamespace(batch=batch, decode_steps=decode_steps,
                                  bits=bits, group=group, context=context,
@@ -438,7 +444,8 @@ def main():
     ap.add_argument("--decode-steps", type=int, default=32)
     ap.add_argument("--bits", type=int, default=4, choices=[4, 8, 16],
                     help="16 = unquantized bf16")
-    ap.add_argument("--group", type=int, default=128)
+    ap.add_argument("--group", type=int, default=0,
+                    help="0 = the shipped default (engine resolve_quant_group)")
     ap.add_argument("--context", type=int, default=1024)
     ap.add_argument("--serving", action="store_true",
                     help="also measure TTFT/throughput under continuous "

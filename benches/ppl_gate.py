@@ -253,10 +253,9 @@ def main():
     # the relative bar alone — AND-ing the un-rescaled absolute bar there
     # double-counts scale (0.5 absolute at ppl 270 is 0.19% — 17x
     # stricter than the bar means at ppl 15); at real-model scale both
-    # bind. pass_* gate the SHIPPED defaults: int8 g128 plain, int4
-    # g128 + AWQ (engine.resolve_quant_group / GPTConfig.awq — plain
-    # int4 misses the relative bar at either group size, which is WHY
-    # awq is the int4 default).
+    # bind. pass_int4 gates the SHIPPED default: g64+AWQ for dense
+    # models, g128+AWQ for MoE (engine.resolve_quant_group /
+    # GPTConfig.awq — set BY these gates, see resolve_quant_group).
     real_scale = res["ppl_f32"] <= 30.0
 
     def gate(name, bar):
@@ -267,7 +266,9 @@ def main():
 
     res["abs_bar_applied"] = real_scale
     res["pass_int8"] = gate("int8_g128", 0.1)
-    res["pass_int4"] = gate("int4_g128_awq", 0.5)  # the shipped default
+    res["pass_int4"] = gate(
+        "int4_g128_awq" if args.arch == "mixtral" else "int4_g64_awq",
+        0.5)  # the shipped default (resolve_quant_group + awq auto)
     for leg in ("int4_g128", "int4_g64", "int4_g128_awq", "int4_g64_awq"):
         if f"dppl_{leg}" in res:
             res[f"pass_{leg}"] = gate(leg, 0.5)

@@ -64,11 +64,11 @@ class GPTConfig:
     max_context: Optional[int] = None  # default: model context size
     # weight-only quantization: None | "int8" | "int4"
     quantization: Optional[str] = None
-    # None = auto: 128 for both int4 and int8. The int4 default PASSES
-    # the quality gate only because AWQ is also on by default — plain
-    # int4 misses the relative-dppl bar at either group size on the
-    # round-3 gate model (PPL_GATE.json: plain +3.8-4.0% vs awq +1.7-1.8%
-    # against a 3.33% bar).
+    # None = auto (resolve_quant_group): int4 64 for dense-MLP models /
+    # 128 for MoE expert stacks, int8 128 — each the config that passes
+    # its own Δppl gate (PPL_GATE.json credible-scale model: int4
+    # g64+AWQ +0.46 ≤ 0.5 abs bar, g128+AWQ +0.81 FAILS;
+    # PPL_GATE_MOE.json: MoE g128+AWQ passes, g64 fails).
     quant_group_size: Optional[int] = None
     # AWQ activation-aware scaling (ops/awq.py): calibrate per-channel
     # scales on real activations and fold them into the weights before
@@ -136,14 +136,22 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def resolve_quant_group(bits: int, group: Optional[int]) -> int:
-    """Default quant group size: 128. The shipped int4 default passes
-    the PPL_GATE Δppl bar through the AWQ default (GPTConfig.awq), not
-    the group size — at gate-model scale plain int4 misses the relative
-    bar at g64 AND g128, while awq+g128 passes with margin and reads 3%
-    fewer scale bytes than g64."""
+def resolve_quant_group(bits: int, group: Optional[int],
+                        moe: bool = False) -> int:
+    """Default quant group size, chosen by the Δppl gates.
+
+    int4 dense-MLP models default to 64: on the credible-scale gate
+    model (ppl ~30, where the ABSOLUTE BASELINE bars apply —
+    PPL_GATE.json) g128+AWQ fails the ≤0.5 int4 bar (+0.81) while
+    g64+AWQ passes (+0.46); the cost is ~3% more weight bytes (bf16
+    scales per 64 vs 128 int4 weights). MoE expert stacks keep 128:
+    their own gate (PPL_GATE_MOE.json) shows g64 WORSE there (+4.3%
+    rel vs +0.85% at g128+AWQ — grouping noise dominates the small
+    expert matrices). int8 defaults to 128 (passes plain, −0.02)."""
     if group is not None:
         return group
+    if bits == 4 and not moe:
+        return 64
     return 128
 
 
@@ -184,7 +192,9 @@ class GPTEngine:
             from tinygpt_tpu.ops.quant import quantize_params
 
             bits = {"int8": 8, "int4": 4}[cfg.quantization]
-            group = resolve_quant_group(bits, cfg.quant_group_size)
+            group = resolve_quant_group(
+                bits, cfg.quant_group_size,
+                moe="moe_gate_up_w" in self.ctx.params["layers"])
             from tinygpt_tpu.ops.awq import awq_policy
 
             awq_on, awq_layout = awq_policy(

@@ -135,7 +135,8 @@ def main(argv: Optional[list] = None) -> int:
         from tinygpt_tpu.engine.engine import resolve_quant_group
 
         bits = {"int8": 8, "int4": 4}[args.quantization]
-        group = resolve_quant_group(bits, args.quant_group_size)
+        group = resolve_quant_group(bits, args.quant_group_size,
+                                    moe="moe_gate_up_w" in params["layers"])
         from tinygpt_tpu.ops.awq import awq_policy
 
         awq_on, awq_layout = awq_policy(args.awq, bits, params["layers"])

@@ -46,7 +46,8 @@ class ServerConfig:
     chat_template_file: Optional[str] = None
     web_dir: Optional[str] = None
     quantization: Optional[str] = None  # None | "int8" | "int4"
-    quant_group_size: Optional[int] = None  # None = auto (128)
+    quant_group_size: Optional[int] = None  # None = auto (engine
+    # resolve_quant_group: int4 64 dense / 128 moe; int8 128)
     awq: Optional[bool] = None  # AWQ scaling; None=auto (on for int4)
     awq_calib_path: Optional[str] = None
     mesh_shape: Optional[tuple] = None  # (dp, sp, tp) device mesh
