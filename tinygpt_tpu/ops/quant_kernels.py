@@ -835,8 +835,35 @@ def _pick_pow2_divisor(out: int, target: int = 4096):
     return None
 
 
-def mlp_supported(H: int, I: int, group: int, bk: int = 1024) -> bool:
-    """Shape gate for mlp_fused_int4_stacked (see its tiling contract)."""
+MLP_MEGA_BOA = 2048  # phase-A/B output tile targets: 4096 tiles put the
+MLP_MEGA_BOB = 2048  # double-buffered weight blocks alone at 16 MB and
+# the real v5e compile dies with "scoped vmem limit exceeded" (19.35M >
+# 16.00M) — a failure interpret-mode tests can't see. 2048 halves every
+# weight/scale block (~10 MB total); same HBM bytes, 2x grid steps.
+
+
+def _mlp_vmem_bytes(bm, bka, bkb, boa, bob, rows_a, rows_b, out2i, tw):
+    """Scoped-VMEM estimate for the mega-kernel: every BlockSpec block is
+    double-buffered by the Pallas pipeline; scratch is single."""
+    dbuf = 2 * (
+        2 * (bm * bka * 2 + bka)          # x lo/hi (bf16) + ln rows
+        + bm * 4                           # invrms
+        + bka * boa + bkb * bob            # weight blocks (packed int8)
+        + 2 * (rows_a * boa + rows_b * bob) * 4  # scale planes f32
+        + 2 * bm * bob * 2                 # residual + output (bf16)
+    )
+    scratch = (out2i // tw) * bm * tw * 4 + bm * max(boa, bob) * 4
+    return dbuf + scratch
+
+
+def mlp_supported(H: int, I: int, group: int, bk: int = 1024,
+                  vmem_budget: int = 14 << 20) -> bool:
+    """Shape gate for mlp_fused_int4_stacked (see its tiling contract).
+
+    Includes a scoped-VMEM budget check (default 14 MB of the chip's
+    16 MB limit): configs that would blow the Mosaic stack allocation
+    gate OFF (falling back to the 2-call fused path) instead of crashing
+    the TPU compile helper."""
     tw = bk
     if H % (2 * group) or I % (2 * group):
         return False
@@ -844,12 +871,14 @@ def mlp_supported(H: int, I: int, group: int, bk: int = 1024) -> bool:
     bkb = _pick_bk(I // 2, group, bk)
     if not ((bka // group) % 8 == 0 and (bkb // group) % 8 == 0):
         return False
-    boa = _pick_bo(2 * I, (H // 2) // bka, target=4096)
-    return (
-        bkb == tw and (I // 2) % tw == 0
-        and boa % tw == 0
-        and _pick_pow2_divisor(H) is not None  # phase-B output tile
-    )
+    boa = _pick_bo(2 * I, (H // 2) // bka, target=MLP_MEGA_BOA)
+    bob = _pick_pow2_divisor(H, target=MLP_MEGA_BOB)
+    if not (bkb == tw and (I // 2) % tw == 0 and boa % tw == 0
+            and bob is not None):
+        return False
+    vmem = _mlp_vmem_bytes(8, bka, bkb, boa, bob, bka // group,
+                           bkb // group, 2 * I, tw)
+    return vmem <= vmem_budget
 
 
 @functools.partial(
@@ -883,9 +912,9 @@ def mlp_fused_int4_stacked(
     assert bkb == tw and (I // 2) % tw == 0, "see mlp_supported"
     nka = INPA // bka
     nkb = INPB // bkb
-    boa = _pick_bo(OUT2I, nka, target=4096)
+    boa = _pick_bo(OUT2I, nka, target=MLP_MEGA_BOA)
     assert boa % tw == 0
-    bob = _pick_pow2_divisor(OUTH)
+    bob = _pick_pow2_divisor(OUTH, target=MLP_MEGA_BOB)
     assert bob is not None, "see mlp_supported"  # non-divisor tile would
     # leave OUTH tail columns unwritten (silent corruption, round-3 fix)
     noa, nob = OUT2I // boa, OUTH // bob
