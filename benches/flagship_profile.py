@@ -102,11 +102,23 @@ def main():
     if "ceiling" in phases:
         big = jnp.ones((950, 1024, 1024), jnp.bfloat16)  # 1.99 GB
 
-        @jax.jit
-        def stream(x):
-            return jnp.sum(x, dtype=jnp.float32)
+        # slope of two in-program loop counts: a single-call timing is
+        # swamped by the tunnel round trip (~26 ms/call measured
+        # 2026-08-19 — an 'empty' call and a 2 GB stream both time ~27 ms),
+        # so bandwidth = extra bytes / extra time between k=1 and k=11.
+        def stream_k(k):
+            @jax.jit
+            def prog(x):
+                def body(c, i):
+                    return c + jnp.sum(x * (1.0 + i), dtype=jnp.float32), None
+                c, _ = jax.lax.scan(body, jnp.float32(0),
+                                    jnp.arange(k, dtype=jnp.float32))
+                return c
+            return prog
 
-        secs = fence_time(stream, big, reps=args.reps)
+        t1 = fence_time(stream_k(1), big, reps=args.reps)
+        t11 = fence_time(stream_k(11), big, reps=args.reps)
+        secs = (t11 - t1) / 10.0
         nbytes = big.size * 2  # read-only
         report("ceiling", secs, nbytes, per="one")
         results["ceiling"]["ms_per_step"] = round(secs * 1e3, 3)

@@ -100,22 +100,25 @@ def main():
         "max_position_embeddings": 64, "rms_norm_eps": 1e-5,
     })
 
+    # weights ride as ARGUMENTS: closing over the 2.8 GB expert stacks
+    # embeds them as jit constants, re-serialized per program through the
+    # tunnel (minutes of hang, observed live)
     @jax.jit
-    def gathered(hh):
-        return moe_mlp_gathered(hh, router, gw, dwb, jnp.int32(0), cfg8)
+    def gathered(hh, rw, g, d):
+        return moe_mlp_gathered(hh, rw, g, d, jnp.int32(0), cfg8)
 
     @jax.jit
-    def dense(hh):
-        return moe_mlp(hh, {"router_w": router, "moe_gate_up_w": gw[0],
-                            "moe_down_w": dwb[0]}, cfg8)
+    def dense(hh, rw, g, d):
+        return moe_mlp(hh, {"router_w": rw, "moe_gate_up_w": g[0],
+                            "moe_down_w": d[0]}, cfg8)
 
     for name, fn in (("gathered", gathered), ("dense", dense)):
-        out = fn(hb)
+        out = fn(hb, router, gw, dwb)
         np.asarray(out)  # compile + fence
         reps = 20
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = fn(hb + out * 0)  # data dependence, no overlap cheat
+            out = fn(hb + out * 0, router, gw, dwb)  # data-dependent chain
         np.asarray(out)
         dt = (time.perf_counter() - t0) / reps
         byt = (B * k if name == "gathered" else E) * 3 * H * I
