@@ -633,7 +633,7 @@ def decode_steps(
             quant["gate_up_w"].group_size == quant["down_w"].group_size
             and B <= 32
             and mlp_supported(cfg.hidden_size, cfg.intermediate_size,
-                              quant["gate_up_w"].group_size)
+                              quant["gate_up_w"].group_size, batch=B)
         )
 
     def one_step(tok, positions, infl_k, infl_v, step):
@@ -888,7 +888,7 @@ def decode_paged_steps(
             quant["gate_up_w"].group_size == quant["down_w"].group_size
             and B <= 32
             and mlp_supported(h_loc, i_loc,
-                              quant["gate_up_w"].group_size)
+                              quant["gate_up_w"].group_size, batch=B)
         )
 
     def one_step(tok, infl_k, infl_v, step, kp, vp):

@@ -857,13 +857,16 @@ def _mlp_vmem_bytes(bm, bka, bkb, boa, bob, rows_a, rows_b, out2i, tw):
 
 
 def mlp_supported(H: int, I: int, group: int, bk: int = 1024,
-                  vmem_budget: int = 14 << 20) -> bool:
+                  vmem_budget: int = 14 << 20, batch: int = 8) -> bool:
     """Shape gate for mlp_fused_int4_stacked (see its tiling contract).
 
     Includes a scoped-VMEM budget check (default 14 MB of the chip's
     16 MB limit): configs that would blow the Mosaic stack allocation
     gate OFF (falling back to the 2-call fused path) instead of crashing
-    the TPU compile helper."""
+    the TPU compile helper. `batch` must be the caller's actual M — the
+    kernel's M-tile is _round_up(M, 8) and the bm-scaled VMEM terms
+    (gate_up scratch, x/res/out blocks) grow ~3.4 MB between bm=8 and
+    bm=32 at flagship shapes (advisor finding, round 3)."""
     tw = bk
     if H % (2 * group) or I % (2 * group):
         return False
@@ -876,8 +879,8 @@ def mlp_supported(H: int, I: int, group: int, bk: int = 1024,
     if not (bkb == tw and (I // 2) % tw == 0 and boa % tw == 0
             and bob is not None):
         return False
-    vmem = _mlp_vmem_bytes(8, bka, bkb, boa, bob, bka // group,
-                           bkb // group, 2 * I, tw)
+    vmem = _mlp_vmem_bytes(_round_up(max(batch, 1), 8), bka, bkb, boa,
+                           bob, bka // group, bkb // group, 2 * I, tw)
     return vmem <= vmem_budget
 
 
