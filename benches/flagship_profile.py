@@ -37,15 +37,29 @@ N_STEPS = 32
 T = 1024
 
 
-def fence_time(fn, *args, reps=3):
+def fence_time(fn, *args, reps=3, chain=4):
+    """Best per-call seconds of `fn`. When `chain` > 1 and fn is a
+    carry -> carry program (single argument, same-shape output), CHAIN
+    data-dependent calls per fence: a single-call fence pays the full
+    ~27 ms tunnel round trip (measured: the round-3 'head' phase read
+    LESS than 'empty' — sub-milli phases were pure fence noise), while a
+    chain amortizes it to ~27/chain ms and the dispatches overlap device
+    execution exactly like the engine's run-ahead."""
     out = fn(*args)
     np.asarray(jax.tree.leaves(out)[0])  # compile + first
+    chain = chain if len(args) == 1 else 1
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        np.asarray(jax.tree.leaves(out)[0])
-        best = min(best, time.perf_counter() - t0)
+        if chain > 1:
+            x = args[0]
+            for _ in range(chain):
+                x = fn(x)
+            np.asarray(jax.tree.leaves(x)[0])
+        else:
+            out = fn(*args)
+            np.asarray(jax.tree.leaves(out)[0])
+        best = min(best, (time.perf_counter() - t0) / chain)
     return best
 
 
@@ -125,8 +139,8 @@ def main():
                 return c
             return prog
 
-        t1 = fence_time(stream_k(1), big, reps=args.reps)
-        t11 = fence_time(stream_k(11), big, reps=args.reps)
+        t1 = fence_time(stream_k(1), big, reps=args.reps, chain=1)
+        t11 = fence_time(stream_k(11), big, reps=args.reps, chain=1)
         secs = (t11 - t1) / 10.0
         report("ceiling", secs, win_bytes, per="one")
         results["ceiling"]["ms_per_step"] = round(secs * 1e3, 3)
@@ -338,8 +352,9 @@ def main():
                 jnp.arange(N_STEPS, dtype=jnp.int32))
             return x
 
-        secs = fence_time(prog, x0, cache.k, cache.v, cache.kv_pos,
-                          cache.valid, reps=args.reps)
+        secs = fence_time(
+            lambda x: prog(x, cache.k, cache.v, cache.kv_pos, cache.valid),
+            x0, reps=args.reps)
         kv_read = L * B * Nk * T * D * 2 * 2  # K + V, bf16
         # + the once-per-chunk transpose (read+write), amortized
         kT_amort = 2 * (L * B * Nk * T * D * 2) / N_STEPS
@@ -361,9 +376,10 @@ def main():
             tok, _ = jax.lax.scan(step, tok, None, length=N_STEPS)
             return tok
 
-        secs = fence_time(prog, jnp.zeros((B,), jnp.int32),
-                          params["embed"], params["final_ln"], head_qt,
-                          reps=args.reps)
+        secs = fence_time(
+            lambda t: prog(t, params["embed"], params["final_ln"],
+                           head_qt),
+            jnp.zeros((B,), jnp.int32), reps=args.reps)
         report("head", secs, qbytes(head_qt))
 
     # -- full --------------------------------------------------------------
@@ -384,12 +400,14 @@ def main():
         pos0 = jnp.full((B, 1), 64, jnp.int32)
         toks, cache = decode_n(params, tok, cache, pos0)
         np.asarray(toks)
+        chain = 4  # token-chained chunks per fence, as in bench.py
         best = float("inf")
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            toks, cache = decode_n(params, tok, cache, pos0)
+            for _ in range(chain):
+                toks, cache = decode_n(params, toks[-1], cache, pos0)
             np.asarray(toks)
-            best = min(best, time.perf_counter() - t0)
+            best = min(best, (time.perf_counter() - t0) / chain)
         hot = nbytes - params["embed"].size * 2
         kv_read = L * B * Nk * T * D * 2 * 2
         report("full", best, hot + kv_read)

@@ -26,6 +26,7 @@ TPU-first design:
 from __future__ import annotations
 
 import functools
+import time
 from dataclasses import dataclass, field
 from enum import Enum
 from typing import Callable, List, Optional, Sequence, Set
@@ -94,6 +95,17 @@ class GPTConfig:
     # launch overlaps the ~25 ms host sync with the next chunk's device
     # execution (sync < chunk execution time down to ~4 steps at 7B).
     stream_chunk: int = 8
+    # pace within-chunk token emission at the MEASURED per-step interval
+    # while the run-ahead chunk executes on device. Honest smoothing: a
+    # fetched chunk's tokens all exist before any is emitted, and the
+    # pacing window exactly fills the next chunk's execution time, so the
+    # stream's total duration is unchanged (the final chunk still bursts:
+    # nothing runs ahead of it to hide the pacing latency). Off = the
+    # reference-style burst of stream_chunk tokens per sync
+    # (/root/reference/src/engine/GPTEngine.cpp:196-216 streams per
+    # token because it pays a device sync per token; we pay one per
+    # chunk and re-spread the tokens over the measured interval).
+    stream_pace: bool = True
     # speculative decoding: None | "ngram" (prompt-lookup drafting — draft
     # tokens come from earlier occurrences of the current n-gram in the
     # context; one forward verifies draft_len+1 positions, which costs the
@@ -638,13 +650,28 @@ class GPTEngine:
         step = 1
         if step >= max_tokens:
             return encoded
+        pace = self.config.stream_pace and chunk > 1
+        last_sync = None
+        step_dt = 0.0
         nxt, cache = launch(tok_dev, step)
         while True:
             ahead = None
             if step + chunk < max_tokens:
                 ahead, cache = launch(nxt[-1], step + chunk)
             nh = self._fetch(nxt)  # [chunk, B] — syncs while `ahead` runs
+            now = time.perf_counter()
+            if last_sync is not None:
+                # measured chunk interval -> per-step production rate
+                step_dt = min((now - last_sync) / chunk, 0.25)
+            last_sync = now
             for i in range(min(chunk, max_tokens - step)):
+                if pace and ahead is not None and step_dt and i:
+                    # emit token i at its paced slot; the run-ahead chunk
+                    # executes underneath, so the last slot lands exactly
+                    # at the next sync point (no throughput loss)
+                    wait = now + i * step_dt - time.perf_counter()
+                    if wait > 0:
+                        time.sleep(wait)
                 if not on_token(step, nh[i]):
                     return encoded
                 step += 1

@@ -285,6 +285,16 @@ class ContinuousBatcher:
         self._inflight = None
         self._tokens_dev = None
         self._key = jax.random.PRNGKey(sc.seed)
+        # per-quantum host-overhead elision (serving-tax decomposition,
+        # round 4): sampler params and pool metadata are re-uploaded only
+        # when they actually changed, PRNG keys derive from a host
+        # counter (no jax.random.split device dispatch per quantum), and
+        # all-greedy quanta reuse one cached key their sampler ignores.
+        self._qctr = 0
+        self._meta_dirty = True
+        self._sampler_dirty = True
+        self._sampler_dev = None
+        self._greedy_key_dev = None
         # speculative telemetry: emitted tokens vs verify forwards —
         # mean accepted drafts per verify = emitted/verifies - 1
         self.spec_emitted = 0
@@ -361,6 +371,36 @@ class ContinuousBatcher:
                     ngram=max(1, sc.spec_ngram),
                 )
         self._prefill_fn = _jitted_forward(self.model.forward)
+
+    def _next_key(self) -> jnp.ndarray:
+        """Fresh PRNG key as (seed, counter) raw threefry key data —
+        one tiny upload instead of a jax.random.split device dispatch
+        per quantum (the tunneled backend charges ~ms for any dispatch;
+        distinct key words are exactly as sound as split outputs)."""
+        self._qctr += 1
+        return self._put(np.array(
+            [self.sc.seed & 0xFFFFFFFF, self._qctr], np.uint32))
+
+    def _greedy_key(self) -> jnp.ndarray:
+        """Cached device key for all-greedy programs (sampler ignores
+        it; reusing one resident array makes the upload free)."""
+        if self._greedy_key_dev is None:
+            self._greedy_key_dev = self._next_key()
+        return self._greedy_key_dev
+
+    def _sampler_params_dev(self):
+        """Device copies of the per-row sampler params, re-uploaded only
+        when an admission changed them (4 fewer uploads per quantum)."""
+        if self._sampler_dirty or self._sampler_dev is None:
+            ms = self._meta_spec
+            self._sampler_dev = (
+                self._put(self._temps.copy(), ms),
+                self._put(self._topks.copy(), ms),
+                self._put(self._topps.copy(), ms),
+                self._put(self._minps.copy(), ms),
+            )
+            self._sampler_dirty = False
+        return self._sampler_dev
 
     def _put(self, x, spec=None):
         """Upload a host array: replicated (or `spec`-sharded) on the mesh
@@ -468,6 +508,7 @@ class ContinuousBatcher:
             alloc.release(req.blocks, keep_cached=keep)
             req.blocks = []
             self._active[req.row] = False
+            self._meta_dirty = True  # device must stop writing this row
             self.running.pop(req.row, None)
             self.free_rows.append(req.row)
             req.row = -1
@@ -495,6 +536,7 @@ class ContinuousBatcher:
                 req.finished = True
                 req.finish_reason = "abort"
                 self.release(req)
+        self._meta_dirty = True
 
     # -- admission / prefill ----------------------------------------------
 
@@ -604,7 +646,7 @@ class ContinuousBatcher:
         positions = np.zeros((1, S_in), np.int32)
         positions[0, :S_suf] = p_len + np.arange(S_suf)
 
-        self._key, k = jax.random.split(self._key)
+        k = self._next_key()
         s = req.sampler
         admit_args = (
             self.params, self.state,
@@ -656,6 +698,7 @@ class ContinuousBatcher:
         self._topks[row] = s.top_k or 0
         self._topps[row] = s.top_p if s.top_p is not None else 1.0
         self._minps[row] = s.min_p or 0.0
+        self._sampler_dirty = True
         self._sync_state_meta()
         req._pending_token = tok_dev  # device [1] — synced in step()
         return True
@@ -746,7 +789,7 @@ class ContinuousBatcher:
         table = np.zeros(sc.max_blocks_per_seq, np.int32)
         table[: len(req.blocks)] = req.blocks
 
-        self._key, k = jax.random.split(self._key)
+        k = self._next_key()
         s = req.sampler
         chunk_args = (
             self.params, self.state,
@@ -799,6 +842,7 @@ class ContinuousBatcher:
         self._topks[row] = s.top_k or 0
         self._topps[row] = s.top_p if s.top_p is not None else 1.0
         self._minps[row] = s.min_p or 0.0
+        self._sampler_dirty = True
         self._sync_state_meta()
         return self._emit(req, tok)
 
@@ -825,6 +869,7 @@ class ContinuousBatcher:
                         break
                     req.blocks.extend(got)
                     self._tables[row, blk_idx] = got[0]
+                    self._meta_dirty = True
                 covered_until = (blk_idx + 1) * sc.block_size
             safe[row] = min(n_steps, covered_until - length)
         return safe
@@ -874,13 +919,14 @@ class ContinuousBatcher:
             toks = (req.prompt_ids + req.generated)[-C:]
             ctx[row, : len(toks)] = toks
             clen[row] = len(toks)
-        self._key, k = jax.random.split(self._key)
+        k = (self._greedy_key() if self._all_greedy()
+             else self._next_key())
         packed, self.state = self._spec_fn(
             self.params, self.state, self._put(self._tokens.copy()),
             self._put(ctx), self._put(clen),
             self._put(self._temps.copy()), self._put(self._topks.copy()),
             self._put(self._topps.copy()), self._put(self._minps.copy()),
-            self._put(k), n_rounds=n_rounds,
+            k, n_rounds=n_rounds,
             all_greedy=self._all_greedy(),
         )
         B = self.sc.batch_capacity
@@ -916,6 +962,8 @@ class ContinuousBatcher:
                 self._tokens[row] = int(cur_h[row])
         self.spec_emitted += int(counts_h.sum())
         self.spec_verifies += n_rounds * len(safe)
+        # host lengths re-derived from device counts — re-upload next time
+        self._meta_dirty = True
         return events
 
     @property
@@ -955,23 +1003,24 @@ class ContinuousBatcher:
         if not self.running:
             events.extend(self._drain_inflight())
             return events
-        self._sync_state_meta()
-        self._key, k = jax.random.split(self._key)
+        if self._meta_dirty:
+            # the quantum program advances state.lengths exactly as the
+            # host mirror does (lengths0 + n_steps*active) and leaves
+            # tables/starts/active untouched, so an unchanged-membership
+            # quantum needs NO re-upload of the metadata arrays
+            self._sync_state_meta()
         rows_live = list(self.running.keys())
         all_greedy = bool(np.all(self._temps[rows_live] == 0.0))
+        k = self._greedy_key() if all_greedy else self._next_key()
         # chained input tokens stay ON DEVICE between pipelined quanta
         ms = self._meta_spec
         tok_in = (self._tokens_dev if self._tokens_dev is not None
                   else self._put(self._tokens.copy(), ms))
-        # .copy(): these mirrors are mutated below while the dispatch may
-        # still be in flight (see _sync_state_meta)
+        temps_d, topks_d, topps_d, minps_d = self._sampler_params_dev()
         toks_seq, self.state = self._decode_fn(
             self.params, self.state, tok_in,
-            self._put(self._temps.copy(), ms),
-            self._put(self._topks.copy(), ms),
-            self._put(self._topps.copy(), ms),
-            self._put(self._minps.copy(), ms),
-            self._put(k), n_steps=n_steps, all_greedy=all_greedy,
+            temps_d, topks_d, topps_d, minps_d,
+            k, n_steps=n_steps, all_greedy=all_greedy,
         )
         was_active = self._active.copy()
         self._lengths[was_active] += n_steps
@@ -1053,6 +1102,7 @@ class ContinuousBatcher:
             starts=self._put(self._starts.copy(), ms),
             active=self._put(self._active.copy(), ms),
         )
+        self._meta_dirty = False
 
 
 @functools.partial(
