@@ -93,10 +93,13 @@ def main():
         mask = jnp.ones((B, T), bool)
 
         # kernel-only: the frozen flash kernel per layer per step, no
-        # rope / in-flight-update glue (q/k/v derived from x by slicing)
+        # rope / in-flight-update glue (q/k/v derived from x by slicing).
+        # The cache rides as an ARGUMENT — a closure would embed 0.54 GB
+        # as jit constants, re-serialized per call through the tunnel
+        # (first version of this leg measured 14 ms/step that way).
         def kernel_only(bt):
             @jax.jit
-            def prog(x):
+            def prog(x, kf, vf, m):
                 ik = jnp.zeros((B, Nk, N_STEPS, D), jnp.bfloat16)
                 iv = jnp.zeros_like(ik)
 
@@ -104,7 +107,7 @@ def main():
                     def lf(x, l):
                         q = x.reshape(B, Nq, D)
                         attn = flash_decode_frozen(
-                            q, cache.k, cache.v, mask, ik, iv, l, step_i,
+                            q, kf, vf, m, ik, iv, l, step_i,
                             scale=D ** -0.5, window=cfg.sliding_window,
                             bt=bt)
                         return attn.reshape(B, q_dim).astype(x.dtype), None
@@ -115,7 +118,7 @@ def main():
                 x, _ = jax.lax.scan(step, x,
                                     jnp.arange(N_STEPS, dtype=jnp.int32))
                 return x
-            return prog
+            return lambda x: prog(x, cache.k, cache.v, mask)
 
         for bt in (256, 512, 1024):
             if T % bt:
@@ -126,7 +129,7 @@ def main():
         # glue-only: rope + in-flight dynamic_update_slice per layer,
         # NO attention kernel (what the full attn phase adds around it)
         @jax.jit
-        def glue_prog(x):
+        def glue_prog(x, cos=cos, sin=sin):
             infl_k0 = jnp.zeros((L, B, Nk, N_STEPS, D), jnp.bfloat16)
             infl_v0 = jnp.zeros_like(infl_k0)
 
@@ -169,19 +172,20 @@ def main():
         V = cfg.vocab_size
         hb = head_qt.data.size + head_qt.scales.size * 4
 
-        # matmul-only with tiling sweep (no embed/norm/argmax epilogue)
+        # matmul-only with tiling sweep (no embed/norm/argmax epilogue);
+        # weights ride as arguments, not captured constants
         def mm_only(bk, bo):
             @jax.jit
-            def prog(x):
+            def prog(x, hd, hs):
                 def step(x, _):
                     lg = matmul_dequant_int4(
-                        x, head_qt.data, head_qt.scales,
+                        x, hd, hs,
                         group=head_qt.group_size, bk=bk, bo=bo)
                     return (x + lg[:, :H] * 1e-6).astype(x.dtype), None
 
                 x, _ = jax.lax.scan(step, x, None, length=N_STEPS)
                 return x
-            return prog
+            return lambda x: prog(x, head_qt.data, head_qt.scales)
 
         for bk, bo in ((1024, 4096), (1024, 2048), (1024, 8192),
                        (2048, 4096), (512, 4096)):
@@ -196,19 +200,52 @@ def main():
             report(f"head_mm_bk{bk}_bo{bo}", secs, hb)
 
         # epilogue-only: embed gather + rms_norm + argmax, no matmul
+        # (embed is 268 MB — argument, not a captured constant)
         @jax.jit
-        def epi_prog(tok):
+        def epi_prog(tok, embed, fln):
             def step(tok, _):
-                x = params["embed"][tok]
-                x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+                x = embed[tok]
+                x = rms_norm(x, fln, cfg.rms_norm_eps)
                 nxt = (jnp.argmax(x, -1) + tok) % 1000
                 return nxt.astype(jnp.int32), None
 
             tok, _ = jax.lax.scan(step, tok, None, length=N_STEPS)
             return tok
 
-        secs = fence_time(epi_prog, jnp.zeros((B,), jnp.int32))
+        secs = fence_time(
+            lambda t: epi_prog(t, params["embed"], params["final_ln"]),
+            jnp.zeros((B,), jnp.int32))
         report("head_epilogue_only", secs, 0)
+
+        # epilogue components: which op eats the 0.2 ms?
+        @jax.jit
+        def gather_prog(tok, embed):
+            def step(tok, _):
+                x = embed[tok]
+                return (tok + x[:, 0].astype(jnp.int32)) % 1000, None
+
+            tok, _ = jax.lax.scan(step, tok, None, length=N_STEPS)
+            return tok
+
+        secs = fence_time(lambda t: gather_prog(t, params["embed"]),
+                          jnp.zeros((B,), jnp.int32))
+        report("head_gather_only", secs, 0)
+
+        @jax.jit
+        def argmax_prog(x, fln):
+            def step(x, _):
+                h = rms_norm(x, fln, cfg.rms_norm_eps)
+                # real [B, V] argmax input (iota-scaled, not foldable)
+                lg = h[:, :1].astype(jnp.float32) * jax.lax.broadcasted_iota(
+                    jnp.float32, (B, V), 1)
+                nxt = jnp.argmax(lg, -1)
+                return (x + nxt[:, None].astype(x.dtype) * 1e-6), None
+
+            x, _ = jax.lax.scan(step, x, None, length=N_STEPS)
+            return x
+
+        secs = fence_time(lambda x: argmax_prog(x, params["final_ln"]), x0)
+        report("head_rms_argmax_only", secs, 0)
 
     print(json.dumps({"metric": "hotspot_tune", "b": B, "t": T,
                       "group": args.group, "results": results}))

@@ -33,7 +33,19 @@ def check(model_type: str) -> None:
     }
     if model_type == "qwen3":
         base["head_dim"] = 128
+    if model_type == "mistral":
+        # D=128 so the in-kernel RoPE epilogue engages (the flagship
+        # family's geometry; qwen2's D=64 falls back to XLA rope)
+        base["num_attention_heads"] = 4
+        base["num_key_value_heads"] = 2
     cfg = parse_model_config(base)
+    if model_type == "mistral":
+        from tinygpt_tpu.ops.quant_kernels import rope_fuse_supported
+
+        assert rope_fuse_supported(
+            cfg.hidden_size, cfg.num_attention_heads * cfg.head_dim,
+            cfg.num_kv_heads * cfg.head_dim, cfg.head_dim, 64, 4,
+        ), "rope fusion must engage for this check to be meaningful"
     params = causal_lm.init_params(cfg, seed=7, dtype=jnp.bfloat16)
     qp = quantize_params(params, bits=4, group_size=64)
     assert (cfg.qkv_bias or cfg.attention_bias) == (model_type == "qwen2")
@@ -86,6 +98,7 @@ def check(model_type: str) -> None:
 def main():
     check("qwen2")
     check("qwen3")
+    check("mistral")  # rope-fused qkv epilogue (round 4)
     print("OK")
 
 

@@ -52,6 +52,16 @@ def main():
     ap.add_argument("--repetitive", action="store_true",
                     help="prompts repeat a short phrase (the n-gram "
                          "speculative sweet spot: code/extraction-like)")
+    ap.add_argument("--no-spec-auto", action="store_true",
+                    help="disable the acceptance-driven speculation "
+                         "auto-off policy (always speculate)")
+    ap.add_argument("--model-dir", default=None,
+                    help="drive a REAL model dir (e.g. the trained ppl-"
+                         "gate model) instead of random weights — makes "
+                         "speculation acceptance measurements meaningful")
+    ap.add_argument("--natural", action="store_true",
+                    help="prompts are real text (the offline Python-"
+                         "source corpus, tokenized) instead of random ids")
     args = ap.parse_args()
 
     import jax
@@ -70,17 +80,39 @@ def main():
     from tinygpt_tpu.hf.config import parse_model_config
     from tinygpt_tpu.models import causal_lm
 
-    cfg = parse_model_config({
-        "model_type": "llama", "vocab_size": args.vocab,
-        "hidden_size": args.hidden, "num_hidden_layers": args.layers,
-        "num_attention_heads": args.hidden // 64,
-        "num_key_value_heads": max(1, args.hidden // 256),
-        "intermediate_size": args.hidden * 4,
-        "max_position_embeddings": 4096, "rope_theta": 500000.0,
-        "rms_norm_eps": 1e-5, "tie_word_embeddings": True,
-    })
-    dtype = jnp.bfloat16 if args.dtype in ("bfloat16", "bf16") else jnp.float32
-    params = causal_lm.init_params(cfg, seed=0, dtype=dtype)
+    tokenizer = None
+    if args.model_dir:
+        from tinygpt_tpu.hf.loader import load_model_dir, resolve_dtype
+
+        ctx = load_model_dir(args.model_dir,
+                             dtype=resolve_dtype(args.dtype))
+        cfg, params, tokenizer = ctx.model_config, ctx.params, ctx.tokenizer
+    else:
+        cfg = parse_model_config({
+            "model_type": "llama", "vocab_size": args.vocab,
+            "hidden_size": args.hidden, "num_hidden_layers": args.layers,
+            "num_attention_heads": args.hidden // 64,
+            "num_key_value_heads": max(1, args.hidden // 256),
+            "intermediate_size": args.hidden * 4,
+            "max_position_embeddings": 4096, "rope_theta": 500000.0,
+            "rms_norm_eps": 1e-5, "tie_word_embeddings": True,
+        })
+        dtype = (jnp.bfloat16 if args.dtype in ("bfloat16", "bf16")
+                 else jnp.float32)
+        params = causal_lm.init_params(cfg, seed=0, dtype=dtype)
+    natural_ids = None
+    if args.natural:
+        # real text: the same offline Python-source corpus the ppl gate
+        # trains on, tokenized with the model's tokenizer (or mapped into
+        # the vocab range for random-weight runs)
+        from benches.ppl_gate import build_corpus
+
+        _, eval_text = build_corpus(0.5, 2.0)
+        if tokenizer is not None:
+            natural_ids = tokenizer.encode(eval_text)
+        else:
+            natural_ids = [2 + (b % (cfg.vocab_size - 2))
+                           for b in eval_text.encode()[:500_000]]
     attn = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
     batcher = ContinuousBatcher(
         causal_lm, cfg, params, eos_ids=set(),
@@ -94,6 +126,7 @@ def main():
             prefill_chunk_tokens=args.prefill_chunk,
             mesh_shape=(1, 1, args.tp) if args.tp else None,
             speculative="ngram" if args.speculative else None,
+            spec_auto_off=not args.no_spec_auto,
         ),
     )
 
@@ -119,6 +152,9 @@ def main():
         if args.repetitive:
             phrase = [int(x) for x in rng.integers(2, cfg.vocab_size, 7)]
             body = (phrase * (args.prompt_len // 7 + 1))[: args.prompt_len]
+        elif natural_ids is not None:
+            s = int(rng.integers(0, len(natural_ids) - args.prompt_len - 1))
+            body = [int(x) for x in natural_ids[s : s + args.prompt_len]]
         else:
             body = [int(x) for x in
                     rng.integers(2, cfg.vocab_size, args.prompt_len)]
@@ -157,7 +193,10 @@ def main():
         "quantum": args.quantum,
         "speculative": bool(args.speculative),
         "repetitive": bool(args.repetitive),
+        "natural": bool(args.natural),
+        "model_dir": args.model_dir,
         "spec_acceptance": round(batcher.spec_acceptance, 3),
+        "spec_auto_off_engaged": batcher._spec_disabled,
         "ttft_p50_s": round(float(np.percentile(ttft, 50)), 3),
         "ttft_p95_s": round(float(np.percentile(ttft, 95)), 3),
         "throughput_tok_s": round(total_tokens / wall, 1),

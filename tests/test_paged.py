@@ -1338,3 +1338,35 @@ def test_scheduler_dp_spec_mixed_sampled(llama):
             assert tok in set(int(t) for t in order[:4]), (
                 rid, tok, [int(t) for t in order[:4]])
             context.append(tok)
+
+
+def test_spec_auto_off_policy():
+    """Acceptance-driven speculation auto-off: low measured acceptance
+    over a window disables speculative quanta; a periodic probe
+    re-enables them; healthy acceptance keeps them on (host-side policy
+    logic only — no model needed)."""
+    from tinygpt_tpu.engine.scheduler import ContinuousBatcher
+
+    b = ContinuousBatcher.__new__(ContinuousBatcher)
+    b.sc = SchedulerConfig(spec_window=8, spec_probe_every=3,
+                           spec_min_acceptance=0.5)
+    b._spec_fn = object()
+    b.running = {0: object()}
+    b._spec_disabled = False
+    b._spec_win_emitted = 0
+    b._spec_win_verifies = 0
+    b._plain_since_probe = 0
+    # zero-acceptance window -> auto-off
+    for _ in range(8):
+        assert b._spec_eligible()
+        b._spec_policy_update(1, 1)  # 1 emitted per verify = 0 drafts
+    assert b._spec_disabled
+    # plain quanta until the probe re-enables on the Nth
+    assert not b._spec_eligible()
+    assert not b._spec_eligible()
+    assert b._spec_eligible()  # probe
+    assert not b._spec_disabled
+    # healthy acceptance keeps speculation on
+    for _ in range(8):
+        b._spec_policy_update(2, 1)  # 1 accepted draft per verify
+    assert not b._spec_disabled

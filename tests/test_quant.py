@@ -155,6 +155,56 @@ def test_stacked_fused_kernel_matches_composition():
                                    atol=2e-3, err_msg=f"bias l={l}")
 
 
+def test_stacked_fused_rope_epilogue_matches_xla_rope():
+    """RoPE folded into the fused qkv kernel's epilogue (interpret mode)
+    vs the XLA apply_rope_gathered on the kernel's unroped output —
+    q||k columns rotated, v columns untouched."""
+    from tinygpt_tpu.ops.quant_kernels import (
+        matmul_dequant_int4_stacked_fused,
+        rope_fuse_supported,
+    )
+    from tinygpt_tpu.ops.rope import apply_rope_gathered, compute_rope_freqs
+
+    rng = np.random.default_rng(17)
+    L, IN, M, G, D = 2, 256, 4, 64, 128
+    Nq, Nk = 6, 1
+    OUT = (Nq + 2 * Nk) * D
+    assert rope_fuse_supported(IN, Nq * D, Nk * D, D, G, M)
+    w = rng.standard_normal((L, IN, OUT)).astype(np.float32) * 0.05
+    qt = quantize_weight(w, bits=4, group_size=G)
+    x = rng.standard_normal((M, IN)).astype(np.float32)
+    ln = rng.standard_normal((L, 1, IN)).astype(np.float32)
+    bias = rng.standard_normal((L, 1, OUT)).astype(np.float32)
+    cos, sin = compute_rope_freqs(D, 64)
+    positions = np.array([3, 11, 0, 42], np.int32)
+    cos_r = jnp.asarray(cos[positions])  # [M, D]
+    sin_r = jnp.asarray(sin[positions])
+    inv = 1.0 / np.sqrt((x ** 2).mean(-1, keepdims=True) + 1e-6)
+    for l in range(L):
+        li = jnp.asarray(l, jnp.int32)
+        base = matmul_dequant_int4_stacked_fused(
+            jnp.asarray(x), qt.data, qt.scales, li, group=G,
+            ln=jnp.asarray(ln), invrms=jnp.asarray(inv),
+            bias=jnp.asarray(bias), interpret=True,
+        )
+        got = matmul_dequant_int4_stacked_fused(
+            jnp.asarray(x), qt.data, qt.scales, li, group=G,
+            ln=jnp.asarray(ln), invrms=jnp.asarray(inv),
+            bias=jnp.asarray(bias), rope_cos=cos_r, rope_sin=sin_r,
+            rope_heads=Nq + Nk, rope_dim=D, interpret=True,
+        )
+        q = np.asarray(base)[:, : Nq * D].reshape(M, 1, Nq, D)
+        k = np.asarray(base)[:, Nq * D : (Nq + Nk) * D].reshape(M, 1, Nk, D)
+        qr, kr = apply_rope_gathered(
+            jnp.asarray(q), jnp.asarray(k),
+            cos_r[:, None, None, :], sin_r[:, None, None, :])
+        ref = np.concatenate(
+            [np.asarray(qr).reshape(M, -1), np.asarray(kr).reshape(M, -1),
+             np.asarray(base)[:, (Nq + Nk) * D :]], axis=1)
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3,
+                                   atol=2e-3, err_msg=f"rope l={l}")
+
+
 def test_matmul_any_dispatch():
     rng = np.random.default_rng(3)
     w = rng.standard_normal((128, 64)).astype(np.float32) * 0.05

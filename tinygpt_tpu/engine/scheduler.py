@@ -100,6 +100,17 @@ class SchedulerConfig:
     spec_ngram: int = 3
     # device context-buffer capacity for drafting (tokens per row)
     spec_ctx: int = 2048
+    # telemetry-driven auto-off: n-gram speculation only pays when the
+    # text is self-repetitive (code, extraction); on text where drafts
+    # rarely match it costs (gamma+1)x attention/head compute per
+    # emitted token for nothing. When mean accepted-drafts-per-verify
+    # over a spec_window of verifies falls below spec_min_acceptance,
+    # the scheduler falls back to plain quanta and re-probes with one
+    # speculative window every spec_probe_every plain quanta.
+    spec_auto_off: bool = True
+    spec_min_acceptance: float = 0.25
+    spec_window: int = 32
+    spec_probe_every: int = 64
     # pipeline decode quanta: issue quantum k+1 (chaining the last token
     # device-to-device) BEFORE syncing quantum k's tokens to the host, so
     # the ~25 ms dispatch round trip overlaps device execution. EOS is
@@ -299,6 +310,11 @@ class ContinuousBatcher:
         # mean accepted drafts per verify = emitted/verifies - 1
         self.spec_emitted = 0
         self.spec_verifies = 0
+        # auto-off policy state (SchedulerConfig.spec_auto_off)
+        self._spec_disabled = False
+        self._spec_win_emitted = 0
+        self._spec_win_verifies = 0
+        self._plain_since_probe = 0
         # host mirrors of device state
         self._tables = np.zeros((sc.batch_capacity, sc.max_blocks_per_seq),
                                 np.int32)
@@ -879,8 +895,42 @@ class ContinuousBatcher:
         rows are live: greedy rows verify by argmax prefix matching,
         sampled rows by exact rejection sampling (both in the same
         quantum program; the all-greedy case keeps its own randomness-
-        free compile)."""
-        return self._spec_fn is not None and bool(self.running)
+        free compile). The auto-off policy (SchedulerConfig.spec_auto_off)
+        falls back to plain quanta when measured acceptance is too low
+        to pay for the (gamma+1)-wide verify, re-probing periodically."""
+        if self._spec_fn is None or not self.running:
+            return False
+        if self._spec_disabled:
+            self._plain_since_probe += 1
+            if self._plain_since_probe >= max(1, self.sc.spec_probe_every):
+                self._spec_disabled = False
+                self._plain_since_probe = 0
+                self._spec_win_emitted = 0
+                self._spec_win_verifies = 0
+                log.info("speculation re-probe after %d plain quanta",
+                         self.sc.spec_probe_every)
+                return True
+            return False
+        return True
+
+    def _spec_policy_update(self, emitted: int, verifies: int) -> None:
+        """Feed one quantum's telemetry into the auto-off window."""
+        if not self.sc.spec_auto_off:
+            return
+        self._spec_win_emitted += emitted
+        self._spec_win_verifies += verifies
+        if self._spec_win_verifies < max(1, self.sc.spec_window):
+            return
+        accept = self._spec_win_emitted / self._spec_win_verifies - 1.0
+        self._spec_win_emitted = 0
+        self._spec_win_verifies = 0
+        if accept < self.sc.spec_min_acceptance:
+            self._spec_disabled = True
+            self._plain_since_probe = 0
+            log.info("speculation auto-off: acceptance %.2f < %.2f over "
+                     "%d verifies (re-probe every %d quanta)", accept,
+                     self.sc.spec_min_acceptance, self.sc.spec_window,
+                     self.sc.spec_probe_every)
 
     def _all_greedy(self) -> bool:
         rows = list(self.running.keys())
@@ -962,6 +1012,7 @@ class ContinuousBatcher:
                 self._tokens[row] = int(cur_h[row])
         self.spec_emitted += int(counts_h.sum())
         self.spec_verifies += n_rounds * len(safe)
+        self._spec_policy_update(int(counts_h.sum()), n_rounds * len(safe))
         # host lengths re-derived from device counts — re-upload next time
         self._meta_dirty = True
         return events

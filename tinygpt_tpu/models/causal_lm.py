@@ -635,6 +635,15 @@ def decode_steps(
             and mlp_supported(cfg.hidden_size, cfg.intermediate_size,
                               quant["gate_up_w"].group_size, batch=B)
         )
+        # RoPE folded into the qkv kernel's epilogue (q||k columns roped
+        # while the tile is in VMEM) — kills the per-layer XLA rope glue
+        from tinygpt_tpu.ops.quant_kernels import rope_fuse_supported
+
+        rope_fused = (
+            not cfg.qk_norm
+            and rope_fuse_supported(cfg.hidden_size, q_dim, Nk * D, D,
+                                    quant["qkv_w"].group_size, B)
+        )
 
     def one_step(tok, positions, infl_k, infl_v, step):
         x = params["embed"][tok[:, None]]  # [B, 1, H]
@@ -672,10 +681,15 @@ def decode_steps(
             if fuse:
                 x2 = x[:, 0, :]
                 qt = quant["qkv_w"]
+                rkw = {}
+                if rope_fused:
+                    rkw = dict(rope_cos=rope_c[:, 0, 0, :],
+                               rope_sin=rope_s[:, 0, 0, :],
+                               rope_heads=Nq + Nk, rope_dim=D)
                 qkv = mm_fused(x2, qt.data, qt.scales, l,
                                group=qt.group_size, ln=ln_in,
                                invrms=invrms(x2),
-                               bias=qkv_bias)[:, None, :]
+                               bias=qkv_bias, **rkw)[:, None, :]
             else:
                 h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
                 qkv = mm(h, "qkv_w")
@@ -687,7 +701,8 @@ def decode_steps(
             if cfg.qk_norm:
                 q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
                 k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
-            q, k = apply_rope_gathered(q, k, rope_c, rope_s)
+            if not (fuse and rope_fused):
+                q, k = apply_rope_gathered(q, k, rope_c, rope_s)
             ik = jax.lax.dynamic_update_slice(
                 ik, k.transpose(0, 2, 1, 3).astype(ik.dtype),
                 (0, 0, step, 0),
@@ -756,12 +771,27 @@ def decode_steps(
         x, (infl_k, infl_v) = jax.lax.scan(
             layer_fn, x, (rest, infl_k, infl_v, ls)
         )
-        x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
         head = params["lm_head"]
-        if head is None:
-            logits = x @ params["embed"].T
+        if (fuse and isinstance(head, QuantizedTensor) and head.bits == 4):
+            # final-norm prologue fused into the int4 lm_head matmul
+            # (the stacked kernel with a single layer) — the separate
+            # rms_norm + matmul ops cost scan-glue time per step
+            x2 = x[:, 0, :]
+            xf = x2.astype(jnp.float32)
+            inv = jax.lax.rsqrt(
+                jnp.mean(xf * xf, axis=-1, keepdims=True)
+                + cfg.rms_norm_eps)
+            logits = mm_fused(
+                x2, head.data[None], head.scales[None],
+                jnp.asarray(0, jnp.int32), group=head.group_size,
+                ln=params["final_ln"][None, None, :], invrms=inv,
+            )[:, None, :]
         else:
-            logits = matmul_any(x, head)
+            x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+            if head is None:
+                logits = x @ params["embed"].T
+            else:
+                logits = matmul_any(x, head)
         return logits.astype(jnp.float32), infl_k, infl_v
 
     def body(carry, key_step):
@@ -890,6 +920,17 @@ def decode_paged_steps(
             and mlp_supported(h_loc, i_loc,
                               quant["gate_up_w"].group_size, batch=B)
         )
+        from tinygpt_tpu.ops.quant_kernels import rope_fuse_supported
+
+        # actual tensor dims (see the fuse note above): o_w packs q_dim
+        # rows, qkv_w's output is q_dim + 2*kv_dim
+        q_loc = 2 * quant["o_w"].data.shape[1]
+        kv_loc = (quant["qkv_w"].data.shape[2] - q_loc) // 2
+        rope_fused = (
+            not cfg.qk_norm
+            and rope_fuse_supported(h_loc, q_loc, kv_loc, D,
+                                    quant["qkv_w"].group_size, B)
+        )
 
     def one_step(tok, infl_k, infl_v, step, kp, vp):
         lengths_t = lengths0 + step * act_i
@@ -915,10 +956,15 @@ def decode_paged_steps(
             if fuse:
                 x2 = x[:, 0, :]
                 qt = quant["qkv_w"]
+                rkw = {}
+                if rope_fused:
+                    rkw = dict(rope_cos=rope_c[:, 0, 0, :],
+                               rope_sin=rope_s[:, 0, 0, :],
+                               rope_heads=Nq + Nk, rope_dim=D)
                 qkv = mm_fused(x2, qt.data, qt.scales, l,
                                group=qt.group_size, ln=ln_in,
                                invrms=invrms(x2),
-                               bias=qkv_bias)[:, None, :]
+                               bias=qkv_bias, **rkw)[:, None, :]
             else:
                 h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
                 qkv = mm(h, "qkv_w")
@@ -930,7 +976,8 @@ def decode_paged_steps(
             if cfg.qk_norm:
                 q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
                 k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
-            q, k = apply_rope_gathered(q, k, rope_c, rope_s)
+            if not (fuse and rope_fused):
+                q, k = apply_rope_gathered(q, k, rope_c, rope_s)
             ik = jax.lax.dynamic_update_slice(
                 ik, k.transpose(0, 2, 1, 3).astype(ik.dtype),
                 (0, 0, step, 0),
@@ -989,12 +1036,26 @@ def decode_paged_steps(
         x, (infl_k, infl_v) = jax.lax.scan(
             layer_fn, x, (rest, infl_k, infl_v, ls)
         )
-        x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
         head = params["lm_head"]
-        if head is None:
-            logits = x[:, 0] @ params["embed"].T
+        if (fuse and isinstance(head, QuantizedTensor) and head.bits == 4):
+            # final-norm prologue fused into the int4 lm_head matmul
+            # (see decode_steps)
+            x2 = x[:, 0, :]
+            xf = x2.astype(jnp.float32)
+            inv = jax.lax.rsqrt(
+                jnp.mean(xf * xf, axis=-1, keepdims=True)
+                + cfg.rms_norm_eps)
+            logits = mm_fused(
+                x2, head.data[None], head.scales[None],
+                jnp.asarray(0, jnp.int32), group=head.group_size,
+                ln=params["final_ln"][None, None, :], invrms=inv,
+            )
         else:
-            logits = matmul_any(x[:, 0], head)
+            x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+            if head is None:
+                logits = x[:, 0] @ params["embed"].T
+            else:
+                logits = matmul_any(x[:, 0], head)
         return logits.astype(jnp.float32), infl_k, infl_v
 
     # the pools ride through the scan as UNCHANGED carry: consumed only

@@ -535,7 +535,8 @@ def matmul_dequant_stacked_tpu(x: jnp.ndarray, qt: "QuantizedTensor",
 def _int4_kernel_stacked_fused(*refs, n_k: int, group: int, has_ln: bool,
                                has_silu: bool, has_res: bool,
                                has_bias: bool = False,
-                               full_scales: bool = False):
+                               full_scales: bool = False,
+                               rope_tiles: int = 0, rope_dim: int = 0):
     it = iter(refs[1:])  # refs[0] = scalar prefetch (consumed by index_maps)
     if has_silu:
         g_lo_ref, g_hi_ref, u_lo_ref, u_hi_ref = (next(it) for _ in range(4))
@@ -546,9 +547,14 @@ def _int4_kernel_stacked_fused(*refs, n_k: int, group: int, has_ln: bool,
     w_ref, s_lo_ref, s_hi_ref = next(it), next(it), next(it)
     res_ref = next(it) if has_res else None
     bias_ref = next(it) if has_bias else None
+    cos_ref = sin_ref = None
+    if rope_tiles:
+        cos_ref, sin_ref = next(it), next(it)
     o_ref, acc_ref = next(it), next(it)
 
     k = pl.program_id(2)
+    o_id = pl.program_id(1)  # top-level: program_id inside a pl.when
+    # body lowers through lax.cond, which interpret mode can't resolve
 
     @pl.when(k == 0)
     def _():
@@ -601,6 +607,24 @@ def _int4_kernel_stacked_fused(*refs, n_k: int, group: int, has_ln: bool,
         out = acc_ref[:]
         if has_bias:
             out = out + bias_ref[0].astype(jnp.float32)  # [1, BO]
+        if rope_tiles:
+            # RoPE epilogue on the q||k column range (rotate-half, HF
+            # convention — ops/rope.py): per-head rotation while the
+            # tile is still in VMEM. Saves the whole XLA rope + slice
+            # glue between the qkv matmul and the attention (measured
+            # ~0.5 ms/step of per-op overhead at Mistral-7B b4,
+            # benches/hotspot_tune.py attn_glue_only).
+            c = cos_ref[:].astype(jnp.float32)  # [BM, D]
+            s = sin_ref[:].astype(jnp.float32)
+            half = rope_dim // 2
+            parts = []
+            for h in range(out.shape[1] // rope_dim):
+                a = out[:, h * rope_dim : (h + 1) * rope_dim]
+                rot = jnp.concatenate([-a[:, half:], a[:, :half]], axis=1)
+                parts.append(a * c + rot * s)
+            roped = jnp.concatenate(parts, axis=1)
+            # v-range tiles (o_id >= rope_tiles) pass through untouched
+            out = jnp.where(o_id < rope_tiles, roped, out)
         if has_res:
             out = out + res_ref[:].astype(jnp.float32)
         o_ref[:] = out.astype(o_ref.dtype)
@@ -608,7 +632,8 @@ def _int4_kernel_stacked_fused(*refs, n_k: int, group: int, has_ln: bool,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("group", "silu", "bm", "bk", "bo", "interpret"),
+    static_argnames=("group", "silu", "bm", "bk", "bo", "interpret",
+                     "rope_heads", "rope_dim"),
 )
 def matmul_dequant_int4_stacked_fused(
     x: jnp.ndarray,       # [M, IN]; with silu: [M, 2*IN] = gate||up
@@ -621,6 +646,10 @@ def matmul_dequant_int4_stacked_fused(
     res: jnp.ndarray = None,     # [M, OUT] residual added in the epilogue
     bias: jnp.ndarray = None,    # [L, 1, OUT] per-layer bias epilogue
     silu: bool = False,          # x is gate||up; compute silu(g)*u
+    rope_cos: jnp.ndarray = None,  # [M, D] gathered rotation rows —
+    rope_sin: jnp.ndarray = None,  # RoPE epilogue on the q||k columns
+    rope_heads: int = 0,         # static: leading heads to rope (Nq+Nk)
+    rope_dim: int = 0,           # static: head_dim D
     bm: int = 256,
     bk: int = 1024,
     bo=None,
@@ -703,6 +732,20 @@ def matmul_dequant_int4_stacked_fused(
         in_specs.append(pl.BlockSpec((1, 1, bo),
                                      lambda m, o, k, l: (l[0], 0, o),
                                      memory_space=pltpu.VMEM))
+    rope_tiles = 0
+    if rope_cos is not None:
+        # the roped column range must tile cleanly: whole heads per
+        # o-tile and a tile-aligned q||k boundary (rope_fuse_supported)
+        assert rope_heads and rope_dim and not has_res
+        assert bo % rope_dim == 0 and (rope_heads * rope_dim) % bo == 0
+        rope_tiles = rope_heads * rope_dim // bo
+        inputs.extend([rope_cos, rope_sin])
+        in_specs.extend([
+            pl.BlockSpec((bm, rope_dim), lambda m, o, k, l: (m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, rope_dim), lambda m, o, k, l: (m, 0),
+                         memory_space=pltpu.VMEM),
+        ])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -716,7 +759,8 @@ def matmul_dequant_int4_stacked_fused(
         functools.partial(_int4_kernel_stacked_fused, n_k=n_k, group=group,
                           has_ln=has_ln, has_silu=has_silu,
                           has_res=has_res, has_bias=has_bias,
-                          full_scales=full_scales),
+                          full_scales=full_scales,
+                          rope_tiles=rope_tiles, rope_dim=rope_dim),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((M, OUT), res.dtype if has_res
                                        else x.dtype),
@@ -727,6 +771,23 @@ def matmul_dequant_int4_stacked_fused(
         ),
         interpret=interpret,
     )(jnp.asarray(l, jnp.int32).reshape(1), *inputs)
+
+
+def rope_fuse_supported(H: int, q_dim: int, kv_dim: int, D: int,
+                        group: int, batch: int, bk: int = 1024) -> bool:
+    """Can matmul_dequant_int4_stacked_fused apply RoPE in its epilogue
+    for a qkv projection [H -> q_dim + 2*kv_dim]? Requires whole heads
+    per output tile and a tile-aligned q||k / v boundary, with the same
+    bo the wrapper will pick. D must be lane-sized (128) — smaller head
+    dims fall back to the XLA rope."""
+    if D % 128 or H % (2 * group):
+        return False
+    OUT = q_dim + 2 * kv_dim
+    INP = H // 2
+    bka = _pick_bk(INP, group, bk)
+    bm = min(256, _round_up(max(batch, 1), 8))
+    bo = _pick_bo(OUT, INP // bka, target=4096 if bm <= 32 else 1024)
+    return bo % D == 0 and (q_dim + kv_dim) % bo == 0
 
 
 # -- MLP pair mega-kernel ------------------------------------------------------
