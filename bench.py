@@ -52,6 +52,30 @@ def main() -> None:
         }))
         raise SystemExit(1)
     res["vs_baseline"] = round(res["value"] / BASELINE_TOKENS_PER_S, 3)
+
+    # BASELINE measurement config 4 (Qwen3-1.7B continuous-batched
+    # serving; single-chip stand-in — v5e-8 is unavailable here), folded
+    # into the same JSON line. Guarded by an alarm so a hang can never
+    # cost the flagship record above.
+    import signal
+
+    def _bail(*_):
+        raise TimeoutError("qwen3 leg timed out")
+
+    signal.signal(signal.SIGALRM, _bail)
+    signal.alarm(900)
+    try:
+        q = run(batch=4, decode_steps=32, bits=4, group=64,
+                context=1024, serving=True, shape="qwen3_17b")
+        for k in ("value", "ms_per_step", "eff_gb_s",
+                  "serving_steady_tok_s", "serving_tok_s",
+                  "serving_ttft_p50_s", "serving_ttft_p95_s"):
+            if k in q:
+                res[f"qwen3_17b_{'tok_s' if k == 'value' else k}"] = q[k]
+    except Exception as e:  # noqa: BLE001 — qwen3 leg is best-effort
+        res["qwen3_17b_error"] = f"{type(e).__name__}: {e}"[:200]
+    finally:
+        signal.alarm(0)
     print(json.dumps(res))
 
 

@@ -325,6 +325,7 @@ def streaming_leg(cfg, params, max_new: int = 96, chunk: int = 8) -> dict:
     np.asarray(nxt)
     arrivals = []
     last_sync = None
+    min_gap = float("inf")
     step_dt = 0.0
     nxt, cache = launch(nxt[-1])
     while step < max_new:
@@ -334,7 +335,10 @@ def streaming_leg(cfg, params, max_new: int = 96, chunk: int = 8) -> dict:
         nh = np.asarray(nxt)          # sync; `ahead` runs meanwhile
         now = time.perf_counter()
         if last_sync is not None:
-            step_dt = min((now - last_sync) / chunk, 0.25)
+            # min-gap estimate — a last-gap estimate feeds back through
+            # the pacing sleeps (see engine._prefill_and_loop)
+            min_gap = min(min_gap, now - last_sync)
+            step_dt = min(min_gap / chunk, 0.25)
         last_sync = now
         # paced emission (engine stream_pace, the SSE default): each
         # already-produced token is released at the measured per-step
@@ -360,7 +364,8 @@ def streaming_leg(cfg, params, max_new: int = 96, chunk: int = 8) -> dict:
 
 
 def serving_leg(cfg, params, n_requests: int = 16, prompt_len: int = 512,
-                max_new: int = 256, arrival_gap_s: float = 0.25) -> dict:
+                max_new: int = 256, arrival_gap_s: float = 0.25,
+                prefill_chunk: int = 256, capacity: int = 16) -> dict:
     """Sustained serving throughput under continuous batching at the
     flagship shape (BASELINE: ">=85% of roofline decode tokens/s/chip
     under continuous batching"), reusing the quantized params.
@@ -397,9 +402,10 @@ def serving_leg(cfg, params, n_requests: int = 16, prompt_len: int = 512,
     batcher = ContinuousBatcher(
         causal_lm, cfg, params, eos_ids=set(),
         config=SchedulerConfig(
-            batch_capacity=16, block_size=64, n_blocks=16 * 16 + 1,
+            batch_capacity=capacity, block_size=64,
+            n_blocks=capacity * 16 + 1,
             max_blocks_per_seq=16, prefill_bucket=64, dtype="bfloat16",
-            attn_impl=attn, prefill_chunk_tokens=256,
+            attn_impl=attn, prefill_chunk_tokens=prefill_chunk,
         ),
     )
     # warmup: compile admission + quantum

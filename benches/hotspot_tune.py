@@ -231,6 +231,22 @@ def main():
                           jnp.zeros((B,), jnp.int32))
         report("head_gather_only", secs, 0)
 
+        # same lookup as B unrolled dynamic-slices (causal_lm.embed_rows)
+        @jax.jit
+        def slice_prog(tok, embed):
+            def step(tok, _):
+                rows = [jax.lax.dynamic_slice_in_dim(embed, tok[b], 1, 0)
+                        for b in range(B)]
+                x = jnp.concatenate(rows, axis=0)
+                return (tok + x[:, 0].astype(jnp.int32)) % 1000, None
+
+            tok, _ = jax.lax.scan(step, tok, None, length=N_STEPS)
+            return tok
+
+        secs = fence_time(lambda t: slice_prog(t, params["embed"]),
+                          jnp.zeros((B,), jnp.int32))
+        report("head_gather_slices", secs, 0)
+
         @jax.jit
         def argmax_prog(x, fln):
             def step(x, _):

@@ -652,6 +652,7 @@ class GPTEngine:
             return encoded
         pace = self.config.stream_pace and chunk > 1
         last_sync = None
+        min_gap = float("inf")
         step_dt = 0.0
         nxt, cache = launch(tok_dev, step)
         while True:
@@ -661,8 +662,15 @@ class GPTEngine:
             nh = self._fetch(nxt)  # [chunk, B] — syncs while `ahead` runs
             now = time.perf_counter()
             if last_sync is not None:
-                # measured chunk interval -> per-step production rate
-                step_dt = min((now - last_sync) / chunk, 0.25)
+                # per-step production rate from the MINIMUM observed
+                # inter-sync gap: a raw last-gap estimate feeds back (the
+                # gap includes this loop's own pacing sleeps, so one
+                # overestimate inflates the next — measured runaway from
+                # 7 ms/step to 20), while pacing below the true rate
+                # leaves the gap at pure execution time, which the min
+                # converges to
+                min_gap = min(min_gap, now - last_sync)
+                step_dt = min(min_gap / chunk, 0.25)
             last_sync = now
             for i in range(min(chunk, max_tokens - step)):
                 if pace and ahead is not None and step_dt and i:
