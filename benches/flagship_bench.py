@@ -365,7 +365,7 @@ def streaming_leg(cfg, params, max_new: int = 96, chunk: int = 8) -> dict:
 
 def serving_leg(cfg, params, n_requests: int = 16, prompt_len: int = 512,
                 max_new: int = 256, arrival_gap_s: float = 0.25,
-                prefill_chunk: int = 256, capacity: int = 16) -> dict:
+                prefill_chunk: int = 0, capacity: int = 16) -> dict:
     """Sustained serving throughput under continuous batching at the
     flagship shape (BASELINE: ">=85% of roofline decode tokens/s/chip
     under continuous batching"), reusing the quantized params.
@@ -395,10 +395,16 @@ def serving_leg(cfg, params, n_requests: int = 16, prompt_len: int = 512,
     # itself runs AT dense speed — the old leg's 35% "tax" was requests
     # queueing for rows at capacity 8 plus admission interleave. 16 rows
     # admit every arrival immediately (b16 decode is bandwidth-bound, so
-    # the wider quantum is nearly free per token), chunked prefill keeps
-    # long admissions from stalling running streams, and the prefix
-    # cache rides the shipped default (no hits on random prompts; its
-    # bookkeeping cost is part of the honest measurement).
+    # the wider quantum is nearly free per token). prefill_chunk=0 =
+    # whole-prompt admission, the scheduler default: the round-4 sweep
+    # (benchlogs_r4/serving_sweep.log) measured TTFT p50 0.196 s at
+    # chunk 0 vs 1.06 s at chunk 256 — at 512-token prompts a whole
+    # prompt is a single quantum, while chunking splits admission across
+    # decode-interleaved quanta and defers the first token; chunked
+    # prefill earns its keep on prompts MUCH longer than a decode
+    # quantum (it bounds running streams' stall), not at this load. The
+    # prefix cache rides the shipped default (no hits on random prompts;
+    # its bookkeeping cost is part of the honest measurement).
     batcher = ContinuousBatcher(
         causal_lm, cfg, params, eos_ids=set(),
         config=SchedulerConfig(

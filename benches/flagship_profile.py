@@ -73,6 +73,10 @@ def main():
                     help="override contraction tile for the mm_* singles")
     ap.add_argument("--bo", type=int, default=None,
                     help="override output tile for the mm_* singles")
+    ap.add_argument("--attn-impl", default="pallas",
+                    help="frozen-merge route for the `full` phase: "
+                         "pallas (the shipped routing) | pallas_frozen "
+                         "(force the flash_decode_frozen kernel) | xla")
     args = ap.parse_args()
     phases = args.phases.split(",")
 
@@ -300,11 +304,23 @@ def main():
         report("mlp", secs, w_bytes["gate_up_w"] + w_bytes["down_w"])
 
     # -- attn: rope + in-flight + frozen merge ----------------------------
-    if "attn" in phases:
-        cache = create_kv_cache(cfg, B, T, dtype=jnp.bfloat16)
+    # attn      - bf16 cache through the XLA merge (the b4 default route)
+    # attn_fp8  - fp8 (e4m3) cache through the same route: measures
+    #             whether XLA fuses the fp8->bf16 convert into the dots
+    #             or materializes a bf16 copy (which would eat the
+    #             bandwidth win fp8 exists for)
+    # attn_kernel[_fp8] - the flash_decode_frozen Pallas kernel route
+    for attn_nm in ("attn", "attn_fp8"):
+        if attn_nm not in phases:
+            continue
+        cache_dt = (jnp.float8_e4m3fn if attn_nm.endswith("fp8")
+                    else jnp.bfloat16)
+        cache = create_kv_cache(cfg, B, T, dtype=cache_dt)
         cache = cache._replace(
-            k=jnp.ones_like(cache.k) * 0.01,
-            v=jnp.ones_like(cache.v) * 0.01,
+            k=(jnp.ones_like(cache.k, jnp.bfloat16) * 0.01).astype(
+                cache_dt),
+            v=(jnp.ones_like(cache.v, jnp.bfloat16) * 0.01).astype(
+                cache_dt),
             kv_pos=jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None],
                                     (B, T)),
             valid=jnp.ones((B, T), bool),
@@ -355,10 +371,69 @@ def main():
         secs = fence_time(
             lambda x: prog(x, cache.k, cache.v, cache.kv_pos, cache.valid),
             x0, reps=args.reps)
-        kv_read = L * B * Nk * T * D * 2 * 2  # K + V, bf16
+        isz = jnp.dtype(cache_dt).itemsize
+        kv_read = L * B * Nk * T * D * isz * 2  # K + V
         # + the once-per-chunk transpose (read+write), amortized
-        kT_amort = 2 * (L * B * Nk * T * D * 2) / N_STEPS
-        report("attn", secs, kv_read + kT_amort)
+        kT_amort = 2 * (L * B * Nk * T * D * isz) / N_STEPS
+        report(attn_nm, secs, kv_read + kT_amort)
+        cache.k.delete()
+        cache.v.delete()
+
+    # -- attn via the flash_decode_frozen Pallas kernel --------------------
+    # The kernel reads the stacked cache directly (no whole-chunk K
+    # transpose) and upcasts per tile in VMEM — the route that should
+    # keep fp8's bandwidth win if the XLA route loses it to a
+    # materialized convert.
+    for attn_nm in ("attn_kernel", "attn_kernel_fp8"):
+        if attn_nm not in phases:
+            continue
+        from tinygpt_tpu.ops.attention_kernels import flash_decode_frozen
+
+        cache_dt = (jnp.float8_e4m3fn if attn_nm.endswith("fp8")
+                    else jnp.bfloat16)
+        k_st = jnp.full((L, B, Nk, T, D), 0.01, cache_dt)
+        v_st = jnp.full((L, B, Nk, T, D), 0.01, cache_dt)
+        valid = jnp.ones((B, T), bool)
+        scale = D ** -0.5
+
+        @jax.jit
+        def prog(x, k_stack, v_stack, valid):
+            infl_k0 = jnp.zeros((L, B, Nk, N_STEPS, D), jnp.bfloat16)
+            infl_v0 = jnp.zeros_like(infl_k0)
+
+            def step(carry, step_i):
+                x, ik_all, iv_all = carry
+                mask = valid  # frozen slots all visible at these positions
+
+                def lf(x, scanned):
+                    ik, iv, l = scanned
+                    q = x.reshape(B, Nq, D)
+                    k = (x[:, : Nk * D]).reshape(B, Nk, 1, D)
+                    v = (x[:, Nk * D : 2 * Nk * D]).reshape(B, Nk, 1, D)
+                    ik = jax.lax.dynamic_update_slice(
+                        ik, k.astype(ik.dtype), (0, 0, step_i, 0))
+                    iv = jax.lax.dynamic_update_slice(
+                        iv, v.astype(iv.dtype), (0, 0, step_i, 0))
+                    attn = flash_decode_frozen(
+                        q, k_stack, v_stack, mask, ik, iv, l, step_i,
+                        scale=scale, window=cfg.sliding_window)
+                    return attn.reshape(B, q_dim).astype(x.dtype), (ik, iv)
+
+                x, (ik_all, iv_all) = jax.lax.scan(
+                    lf, x, (ik_all, iv_all, ls))
+                return (x, ik_all, iv_all), None
+
+            (x, _, _), _ = jax.lax.scan(
+                step, (x, infl_k0, infl_v0),
+                jnp.arange(N_STEPS, dtype=jnp.int32))
+            return x
+
+        secs = fence_time(lambda x: prog(x, k_st, v_st, valid),
+                          x0, reps=args.reps)
+        isz = jnp.dtype(cache_dt).itemsize
+        report(attn_nm, secs, L * B * Nk * T * D * isz * 2)
+        k_st.delete()
+        v_st.delete()
 
     # -- head: final norm + lm_head + argmax + embed ----------------------
     if "head" in phases:
@@ -392,7 +467,7 @@ def main():
             return causal_lm.decode_steps(
                 p, cfg, tok, c, pos0, keys,
                 lambda lg, k: jnp.argmax(lg, -1).astype(jnp.int32),
-                attn_impl="pallas"
+                attn_impl=args.attn_impl
                 if jax.devices()[0].platform == "tpu" else "xla",
             )
 

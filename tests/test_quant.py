@@ -155,10 +155,19 @@ def test_stacked_fused_kernel_matches_composition():
                                    atol=2e-3, err_msg=f"bias l={l}")
 
 
-def test_stacked_fused_rope_epilogue_matches_xla_rope():
+@pytest.mark.parametrize(
+    "L,IN,Nq,Nk",
+    [
+        (2, 256, 6, 1),     # tiny: bo=256, q||k/v boundary 896 mid-tile
+        (1, 4096, 32, 8),   # flagship qkv shape: bo=2048, boundary 5120
+        # mid-tile (the per-head rope gate, not tile-aligned)
+    ],
+)
+def test_stacked_fused_rope_epilogue_matches_xla_rope(L, IN, Nq, Nk):
     """RoPE folded into the fused qkv kernel's epilogue (interpret mode)
     vs the XLA apply_rope_gathered on the kernel's unroped output —
-    q||k columns rotated, v columns untouched."""
+    q||k columns rotated, v columns untouched, incl. tiles where the
+    q||k / v boundary falls mid-tile (head-granular gating)."""
     from tinygpt_tpu.ops.quant_kernels import (
         matmul_dequant_int4_stacked_fused,
         rope_fuse_supported,
@@ -166,8 +175,7 @@ def test_stacked_fused_rope_epilogue_matches_xla_rope():
     from tinygpt_tpu.ops.rope import apply_rope_gathered, compute_rope_freqs
 
     rng = np.random.default_rng(17)
-    L, IN, M, G, D = 2, 256, 4, 64, 128
-    Nq, Nk = 6, 1
+    M, G, D = 4, 64, 128
     OUT = (Nq + 2 * Nk) * D
     assert rope_fuse_supported(IN, Nq * D, Nk * D, D, G, M)
     w = rng.standard_normal((L, IN, OUT)).astype(np.float32) * 0.05

@@ -61,12 +61,17 @@ def _pick_bo(out: int, n_k: int, target: int = 4096) -> int:
     """Output-tile width. Two forces, measured on v5e (gate_up/down/o at
     Mistral-7B shapes): each weight row's contiguous DMA run is `bo`
     bytes, so bigger bo reads closer to the HBM streaming rate (1 KB
-    segments: ~605 GB/s; 4 KB: ~736); but the grid needs >= ~8 blocks
+    segments: ~605 GB/s; 4 KB: ~736); but the grid needs a few blocks
     total for the DMA pipeline to overlap compute (whole-matrix blocks
     measured ~350 GB/s). Pick the largest power-of-two tile <= target that
-    divides `out` and keeps n_o * n_k >= 8."""
+    divides `out` and keeps n_o * n_k >= 4: the round-4 tile sweep on the
+    flagship decode shapes (benchlogs_r4/mm_{qkv,o,down}_bo*.log) showed
+    the wider-DMA-run force dominating well below the >=8-block floor this
+    rule previously enforced — qkv (OUT 6144) 1.66 -> 1.00 ms at bo 2048
+    (grid 6), o (OUT 4096) 1.33 -> 0.78 ms at bo 2048 (grid 4), down
+    (n_k 7) 2.51 -> 1.96 ms at bo 4096 (grid 7)."""
     for bo in (4096, 2048, 1024, 512, 256, 128):
-        if bo <= target and out % bo == 0 and (out // bo) * n_k >= 8:
+        if bo <= target and out % bo == 0 and (out // bo) * n_k >= 4:
             return bo
     return min(out, target)
 
@@ -536,7 +541,7 @@ def _int4_kernel_stacked_fused(*refs, n_k: int, group: int, has_ln: bool,
                                has_silu: bool, has_res: bool,
                                has_bias: bool = False,
                                full_scales: bool = False,
-                               rope_tiles: int = 0, rope_dim: int = 0):
+                               rope_cols: int = 0, rope_dim: int = 0):
     it = iter(refs[1:])  # refs[0] = scalar prefetch (consumed by index_maps)
     if has_silu:
         g_lo_ref, g_hi_ref, u_lo_ref, u_hi_ref = (next(it) for _ in range(4))
@@ -548,7 +553,7 @@ def _int4_kernel_stacked_fused(*refs, n_k: int, group: int, has_ln: bool,
     res_ref = next(it) if has_res else None
     bias_ref = next(it) if has_bias else None
     cos_ref = sin_ref = None
-    if rope_tiles:
+    if rope_cols:
         cos_ref, sin_ref = next(it), next(it)
     o_ref, acc_ref = next(it), next(it)
 
@@ -607,24 +612,28 @@ def _int4_kernel_stacked_fused(*refs, n_k: int, group: int, has_ln: bool,
         out = acc_ref[:]
         if has_bias:
             out = out + bias_ref[0].astype(jnp.float32)  # [1, BO]
-        if rope_tiles:
+        if rope_cols:
             # RoPE epilogue on the q||k column range (rotate-half, HF
             # convention — ops/rope.py): per-head rotation while the
             # tile is still in VMEM. Saves the whole XLA rope + slice
             # glue between the qkv matmul and the attention (measured
             # ~0.5 ms/step of per-op overhead at Mistral-7B b4,
-            # benches/hotspot_tune.py attn_glue_only).
+            # benches/hotspot_tune.py attn_glue_only). Gated PER HEAD
+            # on the head's global column (the q||k / v boundary need
+            # not be tile-aligned — only head-aligned, which it is by
+            # construction): heads past rope_cols pass through.
             c = cos_ref[:].astype(jnp.float32)  # [BM, D]
             s = sin_ref[:].astype(jnp.float32)
             half = rope_dim // 2
+            bo_cols = out.shape[1]
             parts = []
-            for h in range(out.shape[1] // rope_dim):
+            for h in range(bo_cols // rope_dim):
                 a = out[:, h * rope_dim : (h + 1) * rope_dim]
                 rot = jnp.concatenate([-a[:, half:], a[:, :half]], axis=1)
-                parts.append(a * c + rot * s)
-            roped = jnp.concatenate(parts, axis=1)
-            # v-range tiles (o_id >= rope_tiles) pass through untouched
-            out = jnp.where(o_id < rope_tiles, roped, out)
+                col0 = o_id * bo_cols + h * rope_dim
+                parts.append(jnp.where(col0 < rope_cols,
+                                       a * c + rot * s, a))
+            out = jnp.concatenate(parts, axis=1)
         if has_res:
             out = out + res_ref[:].astype(jnp.float32)
         o_ref[:] = out.astype(o_ref.dtype)
@@ -732,13 +741,13 @@ def matmul_dequant_int4_stacked_fused(
         in_specs.append(pl.BlockSpec((1, 1, bo),
                                      lambda m, o, k, l: (l[0], 0, o),
                                      memory_space=pltpu.VMEM))
-    rope_tiles = 0
+    rope_cols = 0
     if rope_cos is not None:
-        # the roped column range must tile cleanly: whole heads per
-        # o-tile and a tile-aligned q||k boundary (rope_fuse_supported)
+        # whole heads per o-tile (rope_fuse_supported); the q||k / v
+        # boundary may fall mid-tile — the kernel gates per head
         assert rope_heads and rope_dim and not has_res
-        assert bo % rope_dim == 0 and (rope_heads * rope_dim) % bo == 0
-        rope_tiles = rope_heads * rope_dim // bo
+        assert bo % rope_dim == 0
+        rope_cols = rope_heads * rope_dim
         inputs.extend([rope_cos, rope_sin])
         in_specs.extend([
             pl.BlockSpec((bm, rope_dim), lambda m, o, k, l: (m, 0),
@@ -760,7 +769,7 @@ def matmul_dequant_int4_stacked_fused(
                           has_ln=has_ln, has_silu=has_silu,
                           has_res=has_res, has_bias=has_bias,
                           full_scales=full_scales,
-                          rope_tiles=rope_tiles, rope_dim=rope_dim),
+                          rope_cols=rope_cols, rope_dim=rope_dim),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((M, OUT), res.dtype if has_res
                                        else x.dtype),
@@ -777,9 +786,9 @@ def rope_fuse_supported(H: int, q_dim: int, kv_dim: int, D: int,
                         group: int, batch: int, bk: int = 1024) -> bool:
     """Can matmul_dequant_int4_stacked_fused apply RoPE in its epilogue
     for a qkv projection [H -> q_dim + 2*kv_dim]? Requires whole heads
-    per output tile and a tile-aligned q||k / v boundary, with the same
-    bo the wrapper will pick. D must be lane-sized (128) — smaller head
-    dims fall back to the XLA rope."""
+    per output tile with the same bo the wrapper will pick (the q||k / v
+    boundary may fall mid-tile — the kernel gates rope per head). D must
+    be lane-sized (128) — smaller head dims fall back to the XLA rope."""
     if D % 128 or H % (2 * group):
         return False
     OUT = q_dim + 2 * kv_dim
@@ -787,7 +796,7 @@ def rope_fuse_supported(H: int, q_dim: int, kv_dim: int, D: int,
     bka = _pick_bk(INP, group, bk)
     bm = min(256, _round_up(max(batch, 1), 8))
     bo = _pick_bo(OUT, INP // bka, target=4096 if bm <= 32 else 1024)
-    return bo % D == 0 and (q_dim + kv_dim) % bo == 0
+    return bo % D == 0
 
 
 # -- MLP pair mega-kernel ------------------------------------------------------
