@@ -63,7 +63,9 @@ def main() -> None:
         raise TimeoutError("qwen3 leg timed out")
 
     signal.signal(signal.SIGALRM, _bail)
-    signal.alarm(900)
+    signal.alarm(1500)  # first-ever compile of the shape can take ~15
+    # min through the tunnel helper; the persistent compile cache makes
+    # driver reruns start in seconds
     try:
         q = run(batch=4, decode_steps=32, bits=4, group=64,
                 context=1024, serving=True, shape="qwen3_17b")

@@ -335,10 +335,10 @@ def streaming_leg(cfg, params, max_new: int = 96, chunk: int = 8) -> dict:
         nh = np.asarray(nxt)          # sync; `ahead` runs meanwhile
         now = time.perf_counter()
         if last_sync is not None:
-            # min-gap estimate — a last-gap estimate feeds back through
-            # the pacing sleeps (see engine._prefill_and_loop)
+            # 1.15x min-gap estimate — a last-gap estimate feeds back
+            # through the pacing sleeps (see engine._prefill_and_loop)
             min_gap = min(min_gap, now - last_sync)
-            step_dt = min(min_gap / chunk, 0.25)
+            step_dt = min(1.15 * min_gap / chunk, 0.25)
         last_sync = now
         # paced emission (engine stream_pace, the SSE default): each
         # already-produced token is released at the measured per-step

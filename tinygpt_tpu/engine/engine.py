@@ -668,9 +668,15 @@ class GPTEngine:
                 # overestimate inflates the next — measured runaway from
                 # 7 ms/step to 20), while pacing below the true rate
                 # leaves the gap at pure execution time, which the min
-                # converges to
+                # converges to. Paced at 1.15x the min: the min is the
+                # FASTEST chunk, so pacing exactly at it still bursts at
+                # the boundary of every slower-than-fastest chunk
+                # (measured itl p95 30 ms vs p50 6.9); 15% headroom
+                # spreads tokens across typical chunks while the pacing
+                # span (7/8 * 1.15 < 1 chunk) provably ends before the
+                # next sync — the feedback loop cannot re-arm.
                 min_gap = min(min_gap, now - last_sync)
-                step_dt = min(min_gap / chunk, 0.25)
+                step_dt = min(1.15 * min_gap / chunk, 0.25)
             last_sync = now
             for i in range(min(chunk, max_tokens - step)):
                 if pace and ahead is not None and step_dt and i:

@@ -580,22 +580,26 @@ def decode_steps(
     infl_k0 = jnp.zeros((L, B, Nk, n_steps, D), infl_dt)
     infl_v0 = jnp.zeros((L, B, Nk, n_steps, D), infl_dt)
 
-    # Frozen-merge attention routing, measured on v5e at Mistral-7B
-    # b4/T=1024: the XLA merge path runs the step at 9.89 ms vs 10.47 ms
-    # for the Pallas flash_decode_frozen kernel (per-head flash blocks go
-    # compute-bound on sliver-shaped VPU ops), so "pallas" routes to XLA
-    # here. attn_impl="pallas_frozen" forces the kernel (benchable; it
-    # also needs lane/sublane-aligned tiles).
+    # Frozen-merge attention routing, re-measured on v5e at Mistral-7B
+    # b4/T=1024 AFTER the round-4 rope/tile fusions
+    # (benchlogs_r4/profile_attn_routes.log, full_kernel_attn.log): the
+    # flash_decode_frozen kernel runs the attn slice at 1.08 ms/step
+    # (498 GB/s) vs 1.47 for the XLA merge, and the FULL step at 7.27 ms
+    # vs 8.27 — the kernel reads the stacked cache directly (no
+    # whole-chunk K transpose, no per-layer slice copies), which is also
+    # what lets b16 int4 fit (the transpose duplicated cache.k in HBM).
+    # The round-3 measurement that favored XLA (9.89 vs 10.47 ms) predates
+    # the rope fusion — the XLA path's rope glue masked the kernel's win.
+    # "pallas" therefore routes EVERY aligned shape to the kernel;
+    # attn_impl="xla" keeps the oracle path selectable.
     T = cache.k.shape[3]
     use_kernel = (
-        (attn_impl == "pallas_frozen"
-         # large batches: the XLA merge path's whole-chunk K transpose
-         # duplicates cache.k in HBM (OOMs Mistral-7B int4 at b16); the
-         # kernel reads the stacked cache directly and measures ~parity
-         or (attn_impl == "pallas" and B >= 8))
+        attn_impl in ("pallas", "pallas_frozen")
         and D % 128 == 0
         and T % 128 == 0
         and n_steps % 16 == 0
+        # Mosaic fp8 VMEM loads scalarize (measured 66 GB/s vs 498 bf16)
+        and jnp.dtype(cache.k.dtype).itemsize >= 2
     )
     # one whole-chunk K transpose ([L,B,Nk,T,D] -> [...,D,T]): the scores
     # dot consumes K in [D, T] layout, and feeding the natural layout
