@@ -327,11 +327,17 @@ def streaming_leg(cfg, params, max_new: int = 96, chunk: int = 8) -> dict:
     last_sync = None
     min_gap = float("inf")
     step_dt = 0.0
+    # run-ahead depth 2 (engine._prefill_and_loop): two chunks queued
+    # device-side hide the tunnel dispatch+fetch round trip, so the
+    # inter-sync gap is pure execution
     nxt, cache = launch(nxt[-1])
+    ahead = None
+    if chunk < max_new:
+        ahead, cache = launch(nxt[-1])
     while step < max_new:
-        ahead = None
-        if step + chunk < max_new:
-            ahead, cache = launch(nxt[-1])
+        ahead2 = None
+        if ahead is not None and step + 2 * chunk < max_new:
+            ahead2, cache = launch(ahead[-1])
         nh = np.asarray(nxt)          # sync; `ahead` runs meanwhile
         now = time.perf_counter()
         if last_sync is not None:
@@ -352,7 +358,7 @@ def streaming_leg(cfg, params, max_new: int = 96, chunk: int = 8) -> dict:
         step += len(nh)
         if ahead is None:
             break
-        nxt = ahead
+        nxt, ahead = ahead, ahead2
     gaps = np.diff(arrivals[chunk:]) * 1e3  # ms; skip first burst
     span = arrivals[-1] - arrivals[chunk - 1]
     return {

@@ -58,11 +58,14 @@ def check(model_type: str) -> None:
     keys = jax.random.split(jax.random.PRNGKey(0), N)
     greedy = lambda lg, k: jnp.argmax(lg, -1).astype(jnp.int32)
 
-    # fused chunked decode (TPU fuse gate on)
+    # fused chunked decode (TPU fuse gate on), through the SHIPPED
+    # attention routing — at D=128/T%128/N%16 shapes this engages the
+    # flash_decode_frozen kernel (round 4), so the agreement below also
+    # gates the kernel route against the XLA per-step oracle
     cache = create_kv_cache(cfg, B, T, dtype=jnp.bfloat16)
     fused, _ = jax.jit(
         lambda p, c: causal_lm.decode_steps(
-            p, cfg, tok0, c, pos0, keys, greedy, attn_impl="xla")
+            p, cfg, tok0, c, pos0, keys, greedy, attn_impl="pallas")
     )(qp, cache)
     fused = np.asarray(fused)  # [N, B]
 

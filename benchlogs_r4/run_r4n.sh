@@ -1,0 +1,12 @@
+#!/bin/bash
+cd /root/repo
+L=/root/repo/benchlogs_r4
+while ! grep -q ALL_DONE_M $L/runner.log 2>/dev/null; do sleep 30; done
+run() { name=$1; shift; echo "=== $name start $(date +%T)" >> $L/runner.log
+  for a in 1 2 3; do
+    timeout 3600 "$@" > $L/$name.log 2>&1 && { echo "=== $name rc=0 attempt=$a end $(date +%T)" >> $L/runner.log; return 0; }
+    echo "=== $name FAIL attempt=$a rc=$? $(date +%T)" >> $L/runner.log; sleep 30
+  done; }
+run fused_check4 python benches/qwen_fused_check.py
+run profile_final python benches/flagship_profile.py --group 64 --phases empty,mm_qkv,mm_o,mm_gateup,mm_down,mlp,attn_kernel,head,full,ceiling
+echo ALL_DONE_N >> $L/runner.log

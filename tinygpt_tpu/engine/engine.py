@@ -654,11 +654,22 @@ class GPTEngine:
         last_sync = None
         min_gap = float("inf")
         step_dt = 0.0
+        # run-ahead DEPTH 2: with one chunk in flight, every sync still
+        # exposes the tunnel's dispatch+fetch round trip (~27 ms) as a
+        # token burst at each chunk boundary (measured: 83 ms sync
+        # interval vs ~51 ms execution at the flagship). Keeping two
+        # chunks queued device-side collapses the sync gap to pure
+        # execution — the device never waits on the host. Token chaining
+        # stays device-resident (launch consumes the previous chunk's
+        # device output), so depth 2 adds no host round trips.
         nxt, cache = launch(tok_dev, step)
+        ahead = None
+        if step + chunk < max_tokens:
+            ahead, cache = launch(nxt[-1], step + chunk)
         while True:
-            ahead = None
-            if step + chunk < max_tokens:
-                ahead, cache = launch(nxt[-1], step + chunk)
+            ahead2 = None
+            if ahead is not None and step + 2 * chunk < max_tokens:
+                ahead2, cache = launch(ahead[-1], step + 2 * chunk)
             nh = self._fetch(nxt)  # [chunk, B] — syncs while `ahead` runs
             now = time.perf_counter()
             if last_sync is not None:
@@ -691,7 +702,7 @@ class GPTEngine:
                 step += 1
             if ahead is None or step >= max_tokens:
                 return encoded
-            nxt = ahead
+            nxt, ahead = ahead, ahead2
 
     def _spec_prefill_and_loop(self, texts, max_tokens, on_token):
         """Batch-1 decode with n-gram speculative verification, fully
