@@ -567,10 +567,16 @@ def decode_steps(
     # (the same trap the stacked dequant kernels avoid), and the kernel
     # reads only the ROUTED k/E experts (ops/moe_kernels.py).
     moe_stacks = None
-    if cfg.num_local_experts and jax.devices()[0].platform == "tpu":
-        # bf16, int4 and int8 expert stacks all ride gathered kernels
-        src = quant if "moe_gate_up_w" in quant else rest
-        moe_stacks = {k: src.pop(k)
+    if (cfg.num_local_experts and jax.devices()[0].platform == "tpu"
+            and "moe_gate_up_w" in quant):
+        # QUANTIZED expert stacks ride the gathered kernels (int4 MoE
+        # measured 462 GB/s of routed bytes end-to-end, moe_8x1b leg).
+        # bf16 stacks DO NOT: the bf16 gathered kernel streams at only
+        # ~56 GB/s at Mixtral-8x7B shapes vs ~520 for the dense XLA
+        # contraction (benchlogs_r4/moe_kernel_check.log), so even at a
+        # B*k/E = 1/4 routed-bytes advantage dense wins — bf16 decode
+        # routes to moe_mlp below.
+        moe_stacks = {k: quant.pop(k)
                       for k in ("moe_gate_up_w", "moe_down_w")}
 
     # in-flight K/V stay bf16 even for narrower cache dtypes until the
@@ -881,10 +887,16 @@ def decode_paged_steps(
 
     # MoE: routed experts via the gathered kernel (see decode_steps)
     moe_stacks = None
-    if cfg.num_local_experts and jax.devices()[0].platform == "tpu":
-        # bf16, int4 and int8 expert stacks all ride gathered kernels
-        src = quant if "moe_gate_up_w" in quant else rest
-        moe_stacks = {k: src.pop(k)
+    if (cfg.num_local_experts and jax.devices()[0].platform == "tpu"
+            and "moe_gate_up_w" in quant):
+        # QUANTIZED expert stacks ride the gathered kernels (int4 MoE
+        # measured 462 GB/s of routed bytes end-to-end, moe_8x1b leg).
+        # bf16 stacks DO NOT: the bf16 gathered kernel streams at only
+        # ~56 GB/s at Mixtral-8x7B shapes vs ~520 for the dense XLA
+        # contraction (benchlogs_r4/moe_kernel_check.log), so even at a
+        # B*k/E = 1/4 routed-bytes advantage dense wins — bf16 decode
+        # routes to moe_mlp below.
+        moe_stacks = {k: quant.pop(k)
                       for k in ("moe_gate_up_w", "moe_down_w")}
 
     infl_dt = jnp.bfloat16 if jnp.dtype(state.k_pool.dtype).itemsize < 2 \
