@@ -327,18 +327,25 @@ def streaming_leg(cfg, params, max_new: int = 96, chunk: int = 8) -> dict:
     last_sync = None
     min_gap = float("inf")
     step_dt = 0.0
-    # run-ahead depth 2 (engine._prefill_and_loop): two chunks queued
-    # device-side hide the tunnel dispatch+fetch round trip, so the
-    # inter-sync gap is pure execution
+    # run-ahead depth 2 + threaded fetch (engine._prefill_and_loop):
+    # two chunks queued device-side and the next chunk's fetch running
+    # in a worker thread while this chunk's tokens pace out, so the
+    # inter-sync gap is pure chunk execution (the ~27 ms tunnel round
+    # trip otherwise serializes between pacing loops)
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
     nxt, cache = launch(nxt[-1])
     ahead = None
     if chunk < max_new:
         ahead, cache = launch(nxt[-1])
+    fut = pool.submit(np.asarray, nxt)
     while step < max_new:
         ahead2 = None
         if ahead is not None and step + 2 * chunk < max_new:
             ahead2, cache = launch(ahead[-1])
-        nh = np.asarray(nxt)          # sync; `ahead` runs meanwhile
+        nh = fut.result()
+        fut = pool.submit(np.asarray, ahead) if ahead is not None else None
         now = time.perf_counter()
         if last_sync is not None:
             # 1.15x min-gap estimate — a last-gap estimate feeds back
@@ -359,6 +366,7 @@ def streaming_leg(cfg, params, max_new: int = 96, chunk: int = 8) -> dict:
         if ahead is None:
             break
         nxt, ahead = ahead, ahead2
+    pool.shutdown(wait=False)
     gaps = np.diff(arrivals[chunk:]) * 1e3  # ms; skip first burst
     span = arrivals[-1] - arrivals[chunk - 1]
     return {

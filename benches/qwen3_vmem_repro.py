@@ -1,0 +1,50 @@
+"""Repro for the qwen3_17b admission-prefill VMEM OOM (round 4).
+
+The failing op (benchlogs_r4/qwen3_standalone.log) is
+matmul_dequant_int4_stacked on x=[512, 2048] against the qwen3 qkv
+stack [28, 1024, 4096] g64 — "Scoped allocation with size 20.94M and
+limit 16.00M". Compile the exact shape at several bo picks to find
+which tile OOMs and which fits.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import tinygpt_tpu
+
+    tinygpt_tpu.ensure_compile_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from tinygpt_tpu.ops.quant_kernels import matmul_dequant_int4_stacked
+
+    L, INP, OUT, G = 28, 1024, 4096, 64
+    M, IN = 512, 2048
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.integers(0, 255, (L, INP, OUT), np.uint8)
+                       ).astype(jnp.int8)
+    scales = jnp.asarray(rng.random((L, IN // G, OUT), np.float32)) * 0.01
+    x = jnp.asarray(rng.random((M, IN), np.float32)).astype(jnp.bfloat16)
+    li = jnp.asarray(2, jnp.int32)
+
+    for bo in (None, 512, 1024, 2048):
+        try:
+            out = matmul_dequant_int4_stacked(x, data, scales, li, group=G,
+                                              bo=bo)
+            np.asarray(out)
+            print(f"bo={bo}: OK")
+        except Exception as e:  # noqa: BLE001
+            msg = str(e).splitlines()[0][:160]
+            print(f"bo={bo}: FAIL {type(e).__name__}: {msg}")
+
+
+if __name__ == "__main__":
+    main()

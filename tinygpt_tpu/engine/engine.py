@@ -666,43 +666,59 @@ class GPTEngine:
         ahead = None
         if step + chunk < max_tokens:
             ahead, cache = launch(nxt[-1], step + chunk)
-        while True:
-            ahead2 = None
-            if ahead is not None and step + 2 * chunk < max_tokens:
-                ahead2, cache = launch(ahead[-1], step + 2 * chunk)
-            nh = self._fetch(nxt)  # [chunk, B] — syncs while `ahead` runs
-            now = time.perf_counter()
-            if last_sync is not None:
-                # per-step production rate from the MINIMUM observed
-                # inter-sync gap: a raw last-gap estimate feeds back (the
-                # gap includes this loop's own pacing sleeps, so one
-                # overestimate inflates the next — measured runaway from
-                # 7 ms/step to 20), while pacing below the true rate
-                # leaves the gap at pure execution time, which the min
-                # converges to. Paced at 1.15x the min: the min is the
-                # FASTEST chunk, so pacing exactly at it still bursts at
-                # the boundary of every slower-than-fastest chunk
-                # (measured itl p95 30 ms vs p50 6.9); 15% headroom
-                # spreads tokens across typical chunks while the pacing
-                # span (7/8 * 1.15 < 1 chunk) provably ends before the
-                # next sync — the feedback loop cannot re-arm.
-                min_gap = min(min_gap, now - last_sync)
-                step_dt = min(1.15 * min_gap / chunk, 0.25)
-            last_sync = now
-            for i in range(min(chunk, max_tokens - step)):
-                if pace and ahead is not None and step_dt and i:
-                    # emit token i at its paced slot; the run-ahead chunk
-                    # executes underneath, so the last slot lands exactly
-                    # at the next sync point (no throughput loss)
-                    wait = now + i * step_dt - time.perf_counter()
-                    if wait > 0:
-                        time.sleep(wait)
-                if not on_token(step, nh[i]):
+        # The fetch round trip (~27 ms through the tunnel) is dead host
+        # time even with depth-2 run-ahead — it serializes between the
+        # pacing loops and reappears as the boundary burst (measured itl
+        # p95 ~32 ms with depth 2 alone). A single worker thread fetches
+        # chunk k+1 WHILE chunk k's tokens are being paced out, so the
+        # inter-sync interval collapses to pure chunk execution.
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        try:
+            fut = pool.submit(self._fetch, nxt)
+            while True:
+                ahead2 = None
+                if ahead is not None and step + 2 * chunk < max_tokens:
+                    ahead2, cache = launch(ahead[-1], step + 2 * chunk)
+                nh = fut.result()  # [chunk, B]
+                fut = (pool.submit(self._fetch, ahead)
+                       if ahead is not None else None)
+                now = time.perf_counter()
+                if last_sync is not None:
+                    # per-step production rate from the MINIMUM observed
+                    # inter-sync gap: a raw last-gap estimate feeds back
+                    # (the gap includes this loop's own pacing sleeps, so
+                    # one overestimate inflates the next — measured
+                    # runaway from 7 ms/step to 20), while pacing below
+                    # the true rate leaves the gap at pure execution
+                    # time, which the min converges to. Paced at 1.15x
+                    # the min: the min is the FASTEST chunk, so pacing
+                    # exactly at it still bursts at the boundary of every
+                    # slower-than-fastest chunk; 15% headroom spreads
+                    # tokens across typical chunks while the pacing span
+                    # (7/8 * 1.15 < 1 chunk) provably ends before the
+                    # next sync — the feedback loop cannot re-arm.
+                    min_gap = min(min_gap, now - last_sync)
+                    step_dt = min(1.15 * min_gap / chunk, 0.25)
+                last_sync = now
+                for i in range(min(chunk, max_tokens - step)):
+                    if pace and ahead is not None and step_dt and i:
+                        # emit token i at its paced slot; the run-ahead
+                        # chunk executes (and the next fetch proceeds)
+                        # underneath, so the last slot lands at the next
+                        # sync point (no throughput loss)
+                        wait = now + i * step_dt - time.perf_counter()
+                        if wait > 0:
+                            time.sleep(wait)
+                    if not on_token(step, nh[i]):
+                        return encoded
+                    step += 1
+                if ahead is None or step >= max_tokens:
                     return encoded
-                step += 1
-            if ahead is None or step >= max_tokens:
-                return encoded
-            nxt, ahead = ahead, ahead2
+                nxt, ahead = ahead, ahead2
+        finally:
+            pool.shutdown(wait=False)
 
     def _spec_prefill_and_loop(self, texts, max_tokens, on_token):
         """Batch-1 decode with n-gram speculative verification, fully

@@ -57,21 +57,29 @@ def _pick_bk(total: int, group: int, target: int) -> int:
     return best if best is not None else total
 
 
-def _pick_bo(out: int, n_k: int, target: int = 4096) -> int:
+def _pick_bo(out: int, n_k: int, target: int = 4096,
+             min_grid: int = 8) -> int:
     """Output-tile width. Two forces, measured on v5e (gate_up/down/o at
     Mistral-7B shapes): each weight row's contiguous DMA run is `bo`
     bytes, so bigger bo reads closer to the HBM streaming rate (1 KB
     segments: ~605 GB/s; 4 KB: ~736); but the grid needs a few blocks
     total for the DMA pipeline to overlap compute (whole-matrix blocks
-    measured ~350 GB/s). Pick the largest power-of-two tile <= target that
-    divides `out` and keeps n_o * n_k >= 4: the round-4 tile sweep on the
-    flagship decode shapes (benchlogs_r4/mm_{qkv,o,down}_bo*.log) showed
-    the wider-DMA-run force dominating well below the >=8-block floor this
-    rule previously enforced — qkv (OUT 6144) 1.66 -> 1.00 ms at bo 2048
-    (grid 6), o (OUT 4096) 1.33 -> 0.78 ms at bo 2048 (grid 4), down
-    (n_k 7) 2.51 -> 1.96 ms at bo 4096 (grid 7)."""
+    measured ~350 GB/s). Pick the largest power-of-two tile <= target
+    that divides `out` and keeps n_o * n_k >= min_grid.
+
+    min_grid: DECODE-shaped callers (bm <= 32) pass 4 — the round-4 tile
+    sweep (benchlogs_r4/mm_{qkv,o,down}_bo*.log) showed the
+    wider-DMA-run force dominating well below the old >=8-block floor:
+    qkv (OUT 6144) 1.66 -> 1.00 ms at bo 2048 (grid 6), o (OUT 4096)
+    1.33 -> 0.78 ms at bo 2048 (grid 4), down (n_k 7) 2.51 -> 1.96 ms
+    at bo 4096 (grid 7). PREFILL-shaped callers keep 8: their bm-scaled
+    VMEM terms are 8-32x larger and Mosaic's scoped stack is ~3x the
+    naive double-buffer estimate — bo 1024 at bm 256 on the qwen3 qkv
+    stack compiles to a 20.94M scoped allocation vs the 16M limit
+    (benches/qwen3_vmem_repro.py: bo 512 fits, 1024+ OOMs), while the
+    old >=8 pick (512) has run every prefill since round 2."""
     for bo in (4096, 2048, 1024, 512, 256, 128):
-        if bo <= target and out % bo == 0 and (out // bo) * n_k >= 4:
+        if bo <= target and out % bo == 0 and (out // bo) * n_k >= min_grid:
             return bo
     return min(out, target)
 
@@ -134,7 +142,8 @@ def matmul_dequant_int8(
     # wide output tiles are a decode (small-bm) tuning; prefill-sized bm
     # with bo=4096 blows the 16 MB VMEM scoped budget
     if bo is None:
-        bo = _pick_bo(OUT, IN // bk, target=4096 if bm <= 32 else 1024)
+        bo = _pick_bo(OUT, IN // bk, target=4096 if bm <= 32 else 1024,
+                      min_grid=4 if bm <= 32 else 8)
     else:
         bo = min(bo, OUT)
     n_m, n_o, n_k = _cdiv(M, bm), _cdiv(OUT, bo), IN // bk
@@ -237,7 +246,8 @@ def matmul_dequant_int4(
     bm = min(bm, _round_up(M, 8))
     bk = _pick_bk(INP, group, bk)
     if bo is None:  # see the bm<=32 note in matmul_dequant_int8
-        bo = _pick_bo(OUT, INP // bk, target=4096 if bm <= 32 else 1024)
+        bo = _pick_bo(OUT, INP // bk, target=4096 if bm <= 32 else 1024,
+                      min_grid=4 if bm <= 32 else 8)
     else:
         bo = min(bo, OUT)
     n_m, n_o, n_k = _cdiv(M, bm), _cdiv(OUT, bo), INP // bk
@@ -351,7 +361,8 @@ def matmul_dequant_int8_stacked(
     bm = min(bm, _round_up(M, 8))
     bk = _pick_bk(IN, group, bk)
     if bo is None:  # see the bm<=32 note in matmul_dequant_int8
-        bo = _pick_bo(OUT, IN // bk, target=4096 if bm <= 32 else 1024)
+        bo = _pick_bo(OUT, IN // bk, target=4096 if bm <= 32 else 1024,
+                      min_grid=4 if bm <= 32 else 8)
     else:
         bo = min(bo, OUT)
     n_m, n_o, n_k = _cdiv(M, bm), _cdiv(OUT, bo), IN // bk
@@ -452,7 +463,8 @@ def matmul_dequant_int4_stacked(
     bm = min(bm, _round_up(M, 8))
     bk = _pick_bk(INP, group, bk)
     if bo is None:  # see the bm<=32 note in matmul_dequant_int8
-        bo = _pick_bo(OUT, INP // bk, target=4096 if bm <= 32 else 1024)
+        bo = _pick_bo(OUT, INP // bk, target=4096 if bm <= 32 else 1024,
+                      min_grid=4 if bm <= 32 else 8)
     else:
         bo = min(bo, OUT)
     n_m, n_o, n_k = _cdiv(M, bm), _cdiv(OUT, bo), INP // bk
@@ -677,7 +689,8 @@ def matmul_dequant_int4_stacked_fused(
     bm = min(bm, _round_up(M, 8))
     bk = _pick_bk(INP, group, bk)
     if bo is None:  # see the bm<=32 note in matmul_dequant_int8
-        bo = _pick_bo(OUT, INP // bk, target=4096 if bm <= 32 else 1024)
+        bo = _pick_bo(OUT, INP // bk, target=4096 if bm <= 32 else 1024,
+                      min_grid=4 if bm <= 32 else 8)
     else:
         bo = min(bo, OUT)
     n_m, n_o, n_k = _cdiv(M, bm), _cdiv(OUT, bo), INP // bk
@@ -795,7 +808,8 @@ def rope_fuse_supported(H: int, q_dim: int, kv_dim: int, D: int,
     INP = H // 2
     bka = _pick_bk(INP, group, bk)
     bm = min(256, _round_up(max(batch, 1), 8))
-    bo = _pick_bo(OUT, INP // bka, target=4096 if bm <= 32 else 1024)
+    bo = _pick_bo(OUT, INP // bka, target=4096 if bm <= 32 else 1024,
+                      min_grid=4 if bm <= 32 else 8)
     return bo % D == 0
 
 
@@ -944,7 +958,8 @@ def mlp_supported(H: int, I: int, group: int, bk: int = 1024,
     bkb = _pick_bk(I // 2, group, bk)
     if not ((bka // group) % 8 == 0 and (bkb // group) % 8 == 0):
         return False
-    boa = _pick_bo(2 * I, (H // 2) // bka, target=MLP_MEGA_BOA)
+    boa = _pick_bo(2 * I, (H // 2) // bka, target=MLP_MEGA_BOA,
+                   min_grid=4)
     bob = _pick_pow2_divisor(H, target=MLP_MEGA_BOB)
     if not (bkb == tw and (I // 2) % tw == 0 and boa % tw == 0
             and bob is not None):
@@ -985,7 +1000,7 @@ def mlp_fused_int4_stacked(
     assert bkb == tw and (I // 2) % tw == 0, "see mlp_supported"
     nka = INPA // bka
     nkb = INPB // bkb
-    boa = _pick_bo(OUT2I, nka, target=MLP_MEGA_BOA)
+    boa = _pick_bo(OUT2I, nka, target=MLP_MEGA_BOA, min_grid=4)
     assert boa % tw == 0
     bob = _pick_pow2_divisor(OUTH, target=MLP_MEGA_BOB)
     assert bob is not None, "see mlp_supported"  # non-divisor tile would
