@@ -158,6 +158,15 @@ class BatchedInferenceWorker:
         self._next_rid = 0
         self._stopping = False
         self._thread = threading.Thread(target=self._run, daemon=True)
+        # stream pacing across quantum bursts: a decode quantum hands a
+        # row up to decode_quantum tokens at once; release them to the
+        # SSE writer at the measured per-step production rate instead
+        # (same min-gap estimator as engine._prefill_and_loop — the
+        # tokens were genuinely produced that fast; the SSE thread does
+        # the sleeping, never this worker loop)
+        self._last_emit_t: Optional[float] = None
+        self._min_qgap = float("inf")
+        self._tok_dt = 0.0
 
     def start(self) -> None:
         self._thread.start()
@@ -217,7 +226,7 @@ class BatchedInferenceWorker:
         task.chunks.put(None)
         task.done.set()
 
-    def _handle_event(self, ev) -> None:
+    def _handle_event(self, ev, now: float = 0.0, counts=None) -> None:
         st = self._by_rid.get(ev.request_id)
         if st is None:
             return
@@ -228,12 +237,20 @@ class BatchedInferenceWorker:
             return
         if ev.token_id is not None:
             st["n_tokens"] += 1
+            idx = 0
+            if counts is not None:
+                idx = counts.get(ev.request_id, 0)
+                counts[ev.request_id] = idx + 1
             chunk = st["stream"].step(ev.token_id)
             if chunk:
                 out = st["stopper"].push(chunk)
                 if out:
                     st["emitted"].append(out)
-                    task.chunks.put(out)
+                    if idx and self._tok_dt:
+                        # paced slot within this quantum's burst
+                        task.chunks.put((out, now + idx * self._tok_dt))
+                    else:
+                        task.chunks.put(out)
                 if st["stopper"].stopped:
                     self.batcher.cancel(ev.request_id)
                     self._finish(ev.request_id, "stop")
@@ -255,8 +272,19 @@ class BatchedInferenceWorker:
             except queue.Empty:
                 pass
             try:
-                for ev in self.batcher.step():
-                    self._handle_event(ev)
+                events = list(self.batcher.step())
+                now = time.monotonic()
+                if any(ev.token_id is not None for ev in events):
+                    if self._last_emit_t is not None:
+                        gap = now - self._last_emit_t
+                        self._min_qgap = min(self._min_qgap, gap)
+                        q = max(self.batcher.sc.decode_quantum, 1)
+                        self._tok_dt = min(
+                            1.15 * self._min_qgap / q, 0.25)
+                    self._last_emit_t = now
+                counts: Dict[int, int] = {}
+                for ev in events:
+                    self._handle_event(ev, now, counts)
             except Exception as e:
                 log.exception("batched step failed")
                 for rid in list(self._by_rid):
@@ -362,6 +390,21 @@ def sse(data: dict) -> bytes:
 SSE_DONE = b"data: [DONE]\n\n"
 
 
+def _next_chunk(task: InferenceTask) -> Optional[str]:
+    """Pop the next stream chunk, honoring a (text, release_at) paced
+    slot from the batched worker — the sleep runs on this per-connection
+    SSE thread, never in the scheduler loop. Tokens are only ever
+    delayed to the rate they were measured to be produced at."""
+    item = task.chunks.get()
+    if isinstance(item, tuple):
+        text, release_at = item
+        wait = release_at - time.monotonic()
+        if wait > 0:
+            time.sleep(wait)
+        return text
+    return item
+
+
 def chat_sse_chunks(model_id: str, task: InferenceTask):
     """Generator of SSE byte frames for a streaming chat completion
     (reference: ApiHandler.cpp:272-447): role chunk, delta chunks, final
@@ -374,7 +417,7 @@ def chat_sse_chunks(model_id: str, task: InferenceTask):
     yield sse({**base, "choices": [{
         "index": 0, "delta": {"role": "assistant"}, "finish_reason": None}]})
     while True:
-        chunk = task.chunks.get()
+        chunk = _next_chunk(task)
         if chunk is None:
             break
         yield sse({**base, "choices": [{
@@ -395,7 +438,7 @@ def completion_sse_chunks(model_id: str, task: InferenceTask):
         "created": _now(), "model": model_id,
     }
     while True:
-        chunk = task.chunks.get()
+        chunk = _next_chunk(task)
         if chunk is None:
             break
         yield sse({**base, "choices": [{
