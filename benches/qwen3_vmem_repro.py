@@ -26,24 +26,30 @@ def main():
 
     from tinygpt_tpu.ops.quant_kernels import matmul_dequant_int4_stacked
 
-    L, INP, OUT, G = 28, 1024, 4096, 64
+    G = 64
     M, IN = 512, 2048
+    L, INP = 28, 1024
     rng = np.random.default_rng(0)
-    data = jnp.asarray(rng.integers(0, 255, (L, INP, OUT), np.uint8)
-                       ).astype(jnp.int8)
-    scales = jnp.asarray(rng.random((L, IN // G, OUT), np.float32)) * 0.01
     x = jnp.asarray(rng.random((M, IN), np.float32)).astype(jnp.bfloat16)
     li = jnp.asarray(2, jnp.int32)
 
-    for bo in (None, 512, 1024, 2048):
-        try:
-            out = matmul_dequant_int4_stacked(x, data, scales, li, group=G,
-                                              bo=bo)
-            np.asarray(out)
-            print(f"bo={bo}: OK")
-        except Exception as e:  # noqa: BLE001
-            msg = str(e).splitlines()[0][:160]
-            print(f"bo={bo}: FAIL {type(e).__name__}: {msg}")
+    for OUT in (4096, 12288):
+        data = jnp.asarray(rng.integers(0, 255, (L, INP, OUT), np.uint8)
+                           ).astype(jnp.int8)
+        scales = jnp.asarray(rng.random((L, IN // G, OUT), np.float32)
+                             ) * 0.01
+        for bm, bk, bo in ((256, 1024, None), (256, 1024, 512),
+                           (256, 512, 1024), (256, 512, 512),
+                           (128, 1024, 1024), (256, 1024, 1024)):
+            try:
+                out = matmul_dequant_int4_stacked(
+                    x, data, scales, li, group=G, bm=bm, bk=bk, bo=bo)
+                np.asarray(out)
+                print(f"OUT={OUT} bm={bm} bk={bk} bo={bo}: OK")
+            except Exception as e:  # noqa: BLE001
+                msg = str(e).splitlines()[0][:120]
+                print(f"OUT={OUT} bm={bm} bk={bk} bo={bo}: FAIL {msg}")
+        del data, scales
 
 
 if __name__ == "__main__":

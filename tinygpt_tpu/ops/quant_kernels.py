@@ -84,6 +84,31 @@ def _pick_bo(out: int, n_k: int, target: int = 4096,
     return min(out, target)
 
 
+def _cap_single_k(bm: int, bk: int, bo: int, inp: int, out: int,
+                  group: int) -> tuple[int, int]:
+    """Cap (bk, bo) for prefill-shaped single-k-tile calls.
+
+    Mosaic's scoped-VMEM stack for the dequant kernels at bm > 32 blows
+    the 16 MB limit EXACTLY when the k grid dim is 1 and the weight
+    block is 1 MB: measured on hardware (benches/qwen3_vmem_repro.py,
+    'Scoped allocation with size 20.94M'), (bm 256, bk 1024, bo 1024,
+    n_k 1) fails while every one of bm 128 / bk 512 / bo 512 compiles —
+    and the SAME 1 MB block at n_k >= 2 (the flagship prefill) has
+    compiled all round. With one k step there is no accumulate-only
+    iteration: the epilogue write coexists with both double-buffered
+    operand sets on the scoped stack. Halve bo (keeping divisibility)
+    or else bk until the block is <= 512 KB."""
+    while (bm > 32 and inp // bk == 1 and bk * bo > 512 * 1024):
+        if bo % 256 == 0 and out % (bo // 2) == 0:
+            bo //= 2
+        elif (bk % (2 * group) == 0 and inp % (bk // 2) == 0
+              and (bk // 2 // group) % 8 == 0):
+            bk //= 2
+        else:
+            break
+    return bk, bo
+
+
 # -- int8 ---------------------------------------------------------------------
 
 
@@ -146,6 +171,7 @@ def matmul_dequant_int8(
                       min_grid=4 if bm <= 32 else 8)
     else:
         bo = min(bo, OUT)
+    bk, bo = _cap_single_k(bm, bk, bo, IN, OUT, group)
     n_m, n_o, n_k = _cdiv(M, bm), _cdiv(OUT, bo), IN // bk
 
     rows = bk // group
@@ -250,6 +276,7 @@ def matmul_dequant_int4(
                       min_grid=4 if bm <= 32 else 8)
     else:
         bo = min(bo, OUT)
+    bk, bo = _cap_single_k(bm, bk, bo, INP, OUT, group)
     n_m, n_o, n_k = _cdiv(M, bm), _cdiv(OUT, bo), INP // bk
     half_groups = half // group
 
@@ -365,6 +392,7 @@ def matmul_dequant_int8_stacked(
                       min_grid=4 if bm <= 32 else 8)
     else:
         bo = min(bo, OUT)
+    bk, bo = _cap_single_k(bm, bk, bo, IN, OUT, group)
     n_m, n_o, n_k = _cdiv(M, bm), _cdiv(OUT, bo), IN // bk
     rows = bk // group
     # scales are consumed in their NATIVE [L, IN/group, OUT] layout: block
@@ -467,6 +495,7 @@ def matmul_dequant_int4_stacked(
                       min_grid=4 if bm <= 32 else 8)
     else:
         bo = min(bo, OUT)
+    bk, bo = _cap_single_k(bm, bk, bo, INP, OUT, group)
     n_m, n_o, n_k = _cdiv(M, bm), _cdiv(OUT, bo), INP // bk
     rows = bk // group
     # scales consumed in NATIVE [L, IN/group, OUT] layout: the lo plane's
@@ -693,6 +722,7 @@ def matmul_dequant_int4_stacked_fused(
                       min_grid=4 if bm <= 32 else 8)
     else:
         bo = min(bo, OUT)
+    bk, bo = _cap_single_k(bm, bk, bo, INP, OUT, group)
     n_m, n_o, n_k = _cdiv(M, bm), _cdiv(OUT, bo), INP // bk
     rows = bk // group
 
