@@ -323,3 +323,27 @@ def test_mlp_mega_kernel_nonpow2_hidden():
     np.testing.assert_allclose(np.asarray(got)[:, 4096:], ref[:, 4096:],
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_single_k_prefill_block_cap():
+    """Tile-pick regression for the qwen3 admission-prefill VMEM OOM:
+    at bm > 32 with one k tile, Mosaic's scoped stack dies on a 1 MB
+    weight block ('Scoped allocation with size 20.94M', hardware bisect
+    in benches/qwen3_vmem_repro.py) — the cap must shrink the block to
+    <= 512 KB, and must leave decode-shaped and multi-k picks alone."""
+    from tinygpt_tpu.ops.quant_kernels import _cap_single_k, _pick_bo
+
+    # qwen3 qkv prefill: INP 1024, OUT 4096, n_k 1 -> bo halves to 512
+    assert _cap_single_k(256, 1024, 1024, 1024, 4096, 64) == (1024, 512)
+    # qwen3 gate_up prefill (OUT 12288): the auto pick (min_grid=8)
+    # chooses the fatal (1024, 1024) and the cap must fix it
+    bo = _pick_bo(12288, 1, target=1024, min_grid=8)
+    assert bo == 1024
+    assert _cap_single_k(256, 1024, bo, 1024, 12288, 64) == (1024, 512)
+    # flagship qkv prefill (n_k 2): unchanged — this combo compiles
+    assert _cap_single_k(256, 1024, 1024, 2048, 6144, 64) == (1024, 1024)
+    # decode-shaped: untouched regardless of block size
+    assert _cap_single_k(8, 1024, 4096, 1024, 4096, 64) == (1024, 4096)
+    # non-halvable bo (odd divisor fallback): falls back to halving bk
+    assert _cap_single_k(256, 1024, 1187 * 128, 1024, 1187 * 128,
+                         64)[0] == 512
