@@ -1356,10 +1356,17 @@ def test_spec_auto_off_policy():
     b._spec_win_emitted = 0
     b._spec_win_verifies = 0
     b._plain_since_probe = 0
-    # zero-acceptance window -> auto-off
+    # ONE zero-acceptance window is the cold start — still eligible
+    # (a natural-text run measured overall acceptance 0.656 behind a
+    # 0.22 opening window; one window must not disable)
     for _ in range(8):
         assert b._spec_eligible()
         b._spec_policy_update(1, 1)  # 1 emitted per verify = 0 drafts
+    assert not b._spec_disabled
+    # a SECOND consecutive low window -> auto-off
+    for _ in range(8):
+        assert b._spec_eligible()
+        b._spec_policy_update(1, 1)
     assert b._spec_disabled
     # plain quanta until the probe re-enables on the Nth
     assert not b._spec_eligible()
@@ -1369,4 +1376,14 @@ def test_spec_auto_off_policy():
     # healthy acceptance keeps speculation on
     for _ in range(8):
         b._spec_policy_update(2, 1)  # 1 accepted draft per verify
+    assert not b._spec_disabled
+    # ...and resets the consecutive-low-window counter: low, healthy,
+    # low must NOT disable
+    for _ in range(8):
+        b._spec_policy_update(1, 1)
+    assert not b._spec_disabled
+    for _ in range(8):
+        b._spec_policy_update(2, 1)
+    for _ in range(8):
+        b._spec_policy_update(1, 1)
     assert not b._spec_disabled

@@ -925,12 +925,27 @@ class ContinuousBatcher:
         self._spec_win_emitted = 0
         self._spec_win_verifies = 0
         if accept < self.sc.spec_min_acceptance:
+            # TWO consecutive low windows to disable: the first window
+            # covers the cold start, where the n-gram draft has the
+            # least context to match against — measured on natural code
+            # text (benchlogs_r4/spec_natural_default.log) a run whose
+            # overall acceptance was 0.656 still opened with a 0.22
+            # window and a single-window policy switched speculation off
+            # exactly where it pays. Random text fails both windows and
+            # still disables within ~2*spec_window verifies.
+            self._spec_low_windows = getattr(
+                self, "_spec_low_windows", 0) + 1
+            if self._spec_low_windows < 2:
+                return
             self._spec_disabled = True
+            self._spec_low_windows = 0
             self._plain_since_probe = 0
             log.info("speculation auto-off: acceptance %.2f < %.2f over "
                      "%d verifies (re-probe every %d quanta)", accept,
                      self.sc.spec_min_acceptance, self.sc.spec_window,
                      self.sc.spec_probe_every)
+        else:
+            self._spec_low_windows = 0
 
     def _all_greedy(self) -> bool:
         rows = list(self.running.keys())
