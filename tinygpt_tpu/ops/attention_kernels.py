@@ -403,6 +403,10 @@ def flash_decode_frozen(
             bytes_accessed=2 * B * Nk * T * D * 2,
             transcendentals=B * Nq * (T + N),
         ),
+        compiler_params=pltpu.CompilerParams(
+            # b rows are independent; the T tiles accumulate the online
+            # softmax in order
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(scalars, q4, k_stack, v_stack, mask8, k_infl, v_infl)
     return out.reshape(B, Nq, D)

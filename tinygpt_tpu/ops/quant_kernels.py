@@ -196,6 +196,9 @@ def matmul_dequant_int8(
             bytes_accessed=M * IN * 2 + IN * OUT + M * OUT * 2,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel",
+                                 "arbitrary")),
         interpret=interpret,
     )(x, data, s_blocks)
 
@@ -310,6 +313,9 @@ def matmul_dequant_int4(
             bytes_accessed=M * IN * 2 + IN * OUT // 2 + M * OUT * 2,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel",
+                                 "arbitrary")),
         interpret=interpret,
     )(x, x, data, s_lo_blocks, s_hi_blocks)
 
@@ -422,6 +428,9 @@ def matmul_dequant_int8_stacked(
             bytes_accessed=M * IN * 2 + IN * OUT + M * OUT * 2,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel",
+                                 "arbitrary")),
         interpret=interpret,
     )(jnp.asarray(l, jnp.int32).reshape(1), x, data, scales)
 
@@ -543,6 +552,9 @@ def matmul_dequant_int4_stacked(
             bytes_accessed=M * IN * 2 + IN * OUT // 2 + M * OUT * 2,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel",
+                                 "arbitrary")),
         interpret=interpret,
     )(jnp.asarray(l, jnp.int32).reshape(1), x, x, data, scales, scales)
 
@@ -821,6 +833,9 @@ def matmul_dequant_int4_stacked_fused(
             bytes_accessed=M * IN2 * 2 + IN * OUT // 2 + M * OUT * 2,
             transcendentals=M * IN if has_silu else 0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel",
+                                 "arbitrary")),
         interpret=interpret,
     )(jnp.asarray(l, jnp.int32).reshape(1), *inputs)
 
