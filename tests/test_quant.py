@@ -65,10 +65,13 @@ def test_fused_kernel_matches_reference(bits, group, M):
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=2e-3)
 
 
-@pytest.mark.parametrize("bits,group,M", [
-    (8, 64, 16), (4, 64, 16), (4, 32, 4),
+@pytest.mark.parametrize("bits,group,M,x_dtype", [
+    (8, 64, 16, "float32"), (4, 64, 16, "float32"), (4, 32, 4, "float32"),
+    # bf16 activations select the bf16 MXU operand path (mxu_dtype) —
+    # exercised here under interpret's f32 fallback AND the dtype gate
+    (8, 64, 16, "bfloat16"), (4, 64, 16, "bfloat16"),
 ])
-def test_stacked_kernel_matches_reference(bits, group, M):
+def test_stacked_kernel_matches_reference(bits, group, M, x_dtype):
     """Scalar-prefetch stacked-layer kernels (interpret mode) vs explicit
     per-layer dequant matmul, for every layer index."""
     from tinygpt_tpu.ops.quant_kernels import (
@@ -80,25 +83,32 @@ def test_stacked_kernel_matches_reference(bits, group, M):
     L, IN, OUT = 3, 256, 384
     w = rng.standard_normal((L, IN, OUT)).astype(np.float32) * 0.05
     x = rng.standard_normal((M, IN)).astype(np.float32)
+    if x_dtype == "bfloat16":
+        x = np.asarray(jnp.asarray(x).astype(jnp.bfloat16)
+                       ).astype(np.float32)
     qt = quantize_weight(w, bits=bits, group_size=group)
     for l in range(L):
         qt_l = QuantizedTensor(qt.data[l], qt.scales[l], bits,
                                qt.group_size, IN)
         ref = np.asarray(x @ np.asarray(dequantize(qt_l, dtype=jnp.float32)))
+        xk = jnp.asarray(x).astype(x_dtype)
         if bits == 8:
             got = matmul_dequant_int8_stacked(
-                jnp.asarray(x), qt.data, qt.scales,
+                xk, qt.data, qt.scales,
                 jnp.asarray(l, jnp.int32), group=qt.group_size,
                 interpret=True,
             )
         else:
             got = matmul_dequant_int4_stacked(
-                jnp.asarray(x), qt.data, qt.scales,
+                xk, qt.data, qt.scales,
                 jnp.asarray(l, jnp.int32), group=qt.group_size,
                 interpret=True,
             )
-        np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3,
-                                   atol=2e-3, err_msg=f"layer {l}")
+        # bf16 x means a bf16 OUTPUT (dtype follows x): the final
+        # accumulator->bf16 rounding adds up to one bf16 ulp (2^-8 rel)
+        tol = 8e-3 if x_dtype == "bfloat16" else 2e-3
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=tol,
+                                   atol=tol, err_msg=f"layer {l}")
 
 
 def test_stacked_fused_kernel_matches_composition():

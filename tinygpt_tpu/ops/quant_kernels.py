@@ -112,7 +112,8 @@ def _cap_single_k(bm: int, bk: int, bo: int, inp: int, out: int,
 # -- int8 ---------------------------------------------------------------------
 
 
-def _int8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int, group: int):
+def _int8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int,
+                 group: int, mxu_dtype=jnp.float32):
     # s_ref: [1, rows, BO] — this k-block's scale rows, pre-blocked by the
     # wrapper (Mosaic cannot dynamically slice sub-8-row tiles in VMEM).
     #
@@ -127,10 +128,10 @@ def _int8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int, group: int):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = w_ref[:].astype(jnp.float32)  # [BK, BO] int8 → f32 (feeds MXU)
+    w = w_ref[:].astype(mxu_dtype)  # [BK, BO] int8 exact (feeds MXU)
     bk, bo = w.shape
     rows = bk // group
-    x = x_ref[:].astype(jnp.float32)  # [BM, BK]
+    x = x_ref[:].astype(mxu_dtype)  # [BM, BK]
     s = s_ref[0].astype(jnp.float32)  # [rows, BO]
     acc = acc_ref[:]
     for r in range(rows):
@@ -172,12 +173,15 @@ def matmul_dequant_int8(
     else:
         bo = min(bo, OUT)
     bk, bo = _cap_single_k(bm, bk, bo, IN, OUT, group)
+    mxu_dtype = (jnp.bfloat16 if x.dtype == jnp.bfloat16
+                 and not interpret else jnp.float32)
     n_m, n_o, n_k = _cdiv(M, bm), _cdiv(OUT, bo), IN // bk
 
     rows = bk // group
     s_blocks = scales.reshape(n_k, rows, OUT)
     return pl.pallas_call(
-        functools.partial(_int8_kernel, n_k=n_k, group=group),
+        functools.partial(_int8_kernel, n_k=n_k, group=group,
+                          mxu_dtype=mxu_dtype),
         grid=(n_m, n_o, n_k),
         in_specs=[
             pl.BlockSpec((bm, bk), lambda m, o, k: (m, k),
@@ -207,7 +211,8 @@ def matmul_dequant_int8(
 
 
 def _int4_kernel(x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref, o_ref,
-                 acc_ref, *, n_k: int, group: int):
+                 acc_ref, *, n_k: int, group: int,
+                 mxu_dtype=jnp.float32):
     # s_lo/s_hi: [1, rows, BO] — this k-block's scale rows per nibble
     # plane, pre-blocked by the wrapper.
     k = pl.program_id(2)
@@ -223,11 +228,15 @@ def _int4_kernel(x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref, o_ref,
     # -8 bias is folded into a per-group rank-1 correction below, and
     # scales post-multiply per-group partial sums (see _int8_kernel) — so
     # the per-weight VPU work is minimal.
-    lo = (packed & 0x0F).astype(jnp.float32)          # u_lo in [0, 15]
-    hi = ((packed >> 4) & 0x0F).astype(jnp.float32)   # u_hi in [0, 15]
+    # nibbles and bf16 activations are exact in mxu_dtype (see the MXU
+    # operand note at _pick_bo): ONE convert per operand, full-rate dots
+    lo = (packed & 0x0F).astype(mxu_dtype)            # u_lo in [0, 15]
+    hi = ((packed >> 4) & 0x0F).astype(mxu_dtype)     # u_hi in [0, 15]
 
     x_lo = x_lo_ref[:].astype(jnp.float32)
     x_hi = x_hi_ref[:].astype(jnp.float32)
+    x_lo_m = x_lo_ref[:].astype(mxu_dtype)
+    x_hi_m = x_hi_ref[:].astype(mxu_dtype)
     s_lo = s_lo_ref[0].astype(jnp.float32)  # [rows, BO]
     s_hi = s_hi_ref[0].astype(jnp.float32)
     acc = acc_ref[:]
@@ -237,11 +246,11 @@ def _int4_kernel(x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref, o_ref,
         xs_lo = jnp.sum(x_lo[:, sl], axis=1, keepdims=True)  # [BM, 1]
         xs_hi = jnp.sum(x_hi[:, sl], axis=1, keepdims=True)
         acc = acc + s_lo[r][None, :] * (
-            jnp.dot(x_lo[:, sl], lo[sl, :],
+            jnp.dot(x_lo_m[:, sl], lo[sl, :],
                     preferred_element_type=jnp.float32) - 8.0 * xs_lo
         )
         acc = acc + s_hi[r][None, :] * (
-            jnp.dot(x_hi[:, sl], hi[sl, :],
+            jnp.dot(x_hi_m[:, sl], hi[sl, :],
                     preferred_element_type=jnp.float32) - 8.0 * xs_hi
         )
     acc_ref[:] = acc
@@ -280,6 +289,8 @@ def matmul_dequant_int4(
     else:
         bo = min(bo, OUT)
     bk, bo = _cap_single_k(bm, bk, bo, INP, OUT, group)
+    mxu_dtype = (jnp.bfloat16 if x.dtype == jnp.bfloat16
+                 and not interpret else jnp.float32)
     n_m, n_o, n_k = _cdiv(M, bm), _cdiv(OUT, bo), INP // bk
     half_groups = half // group
 
@@ -287,7 +298,8 @@ def matmul_dequant_int4(
     s_lo_blocks = scales[:half_groups].reshape(n_k, rows, OUT)
     s_hi_blocks = scales[half_groups:].reshape(n_k, rows, OUT)
     return pl.pallas_call(
-        functools.partial(_int4_kernel, n_k=n_k, group=group),
+        functools.partial(_int4_kernel, n_k=n_k, group=group,
+                          mxu_dtype=mxu_dtype),
         grid=(n_m, n_o, n_k),
         in_specs=[
             # x lo plane: columns [k*bk, k*bk+bk)
@@ -347,7 +359,7 @@ def matmul_dequant_tpu(x: jnp.ndarray, qt: "QuantizedTensor",
 
 
 def _int8_kernel_stacked(l_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, *,
-                         n_k: int, group: int):
+                         n_k: int, group: int, mxu_dtype=jnp.float32):
     del l_ref  # consumed by the index_maps
     k = pl.program_id(2)
 
@@ -355,10 +367,10 @@ def _int8_kernel_stacked(l_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, *,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = w_ref[0].astype(jnp.float32)  # [BK, BO]
+    w = w_ref[0].astype(mxu_dtype)  # [BK, BO] int8 exact
     bk, bo = w.shape
     rows = bk // group
-    x = x_ref[:].astype(jnp.float32)
+    x = x_ref[:].astype(mxu_dtype)
     s = s_ref[0].astype(jnp.float32)  # [rows, BO]
     acc = acc_ref[:]
     for r in range(rows):
@@ -399,6 +411,8 @@ def matmul_dequant_int8_stacked(
     else:
         bo = min(bo, OUT)
     bk, bo = _cap_single_k(bm, bk, bo, IN, OUT, group)
+    mxu_dtype = (jnp.bfloat16 if x.dtype == jnp.bfloat16
+                 and not interpret else jnp.float32)
     n_m, n_o, n_k = _cdiv(M, bm), _cdiv(OUT, bo), IN // bk
     rows = bk // group
     # scales are consumed in their NATIVE [L, IN/group, OUT] layout: block
@@ -420,7 +434,8 @@ def matmul_dequant_int8_stacked(
         scratch_shapes=[pltpu.VMEM((bm, bo), jnp.float32)],
     )
     return pl.pallas_call(
-        functools.partial(_int8_kernel_stacked, n_k=n_k, group=group),
+        functools.partial(_int8_kernel_stacked, n_k=n_k, group=group,
+                          mxu_dtype=mxu_dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((M, OUT), x.dtype),
         cost_estimate=pl.CostEstimate(
@@ -437,7 +452,8 @@ def matmul_dequant_int8_stacked(
 
 def _int4_kernel_stacked(l_ref, x_lo_ref, x_hi_ref, w_ref, s_lo_ref,
                          s_hi_ref, o_ref, acc_ref, *, n_k: int, group: int,
-                         full_scales: bool = False):
+                         full_scales: bool = False,
+                         mxu_dtype=jnp.float32):
     del l_ref
     k = pl.program_id(2)
 
@@ -448,11 +464,13 @@ def _int4_kernel_stacked(l_ref, x_lo_ref, x_hi_ref, w_ref, s_lo_ref,
     packed = w_ref[0].astype(jnp.int32)  # [BKP, BO]
     bkp, bo = packed.shape
     rows = bkp // group
-    lo = (packed & 0x0F).astype(jnp.float32)
-    hi = ((packed >> 4) & 0x0F).astype(jnp.float32)
+    lo = (packed & 0x0F).astype(mxu_dtype)
+    hi = ((packed >> 4) & 0x0F).astype(mxu_dtype)
 
     x_lo = x_lo_ref[:].astype(jnp.float32)
     x_hi = x_hi_ref[:].astype(jnp.float32)
+    x_lo_m = x_lo_ref[:].astype(mxu_dtype)
+    x_hi_m = x_hi_ref[:].astype(mxu_dtype)
     # full_scales: n_k == 1 and both refs hold the whole [S, BO] scale
     # plane pair; the hi rows sit at a static offset `rows` (a sub-8-row
     # BLOCK is illegal in Mosaic, but static row indexing is fine).
@@ -465,11 +483,11 @@ def _int4_kernel_stacked(l_ref, x_lo_ref, x_hi_ref, w_ref, s_lo_ref,
         xs_lo = jnp.sum(x_lo[:, sl], axis=1, keepdims=True)
         xs_hi = jnp.sum(x_hi[:, sl], axis=1, keepdims=True)
         acc = acc + s_lo[r][None, :] * (
-            jnp.dot(x_lo[:, sl], lo[sl, :],
+            jnp.dot(x_lo_m[:, sl], lo[sl, :],
                     preferred_element_type=jnp.float32) - 8.0 * xs_lo
         )
         acc = acc + s_hi[hi_off + r][None, :] * (
-            jnp.dot(x_hi[:, sl], hi[sl, :],
+            jnp.dot(x_hi_m[:, sl], hi[sl, :],
                     preferred_element_type=jnp.float32) - 8.0 * xs_hi
         )
     acc_ref[:] = acc
@@ -505,6 +523,8 @@ def matmul_dequant_int4_stacked(
     else:
         bo = min(bo, OUT)
     bk, bo = _cap_single_k(bm, bk, bo, INP, OUT, group)
+    mxu_dtype = (jnp.bfloat16 if x.dtype == jnp.bfloat16
+                 and not interpret else jnp.float32)
     n_m, n_o, n_k = _cdiv(M, bm), _cdiv(OUT, bo), INP // bk
     rows = bk // group
     # scales consumed in NATIVE [L, IN/group, OUT] layout: the lo plane's
@@ -544,7 +564,7 @@ def matmul_dequant_int4_stacked(
     )
     return pl.pallas_call(
         functools.partial(_int4_kernel_stacked, n_k=n_k, group=group,
-                          full_scales=full_scales),
+                          full_scales=full_scales, mxu_dtype=mxu_dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((M, OUT), x.dtype),
         cost_estimate=pl.CostEstimate(
