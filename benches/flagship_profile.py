@@ -457,6 +457,43 @@ def main():
             jnp.zeros((B,), jnp.int32), reps=args.reps)
         report("head", secs, qbytes(head_qt))
 
+    # -- prefill: one 512-token admission-shaped forward -------------------
+    # TTFT's compute term. Arithmetic intensity at M=512 is ~2048 FLOP/B
+    # of weights — compute-bound, so this phase measures the MXU operand
+    # path of the stacked dequant kernels (bf16 vs f32 dots), not HBM.
+    if "prefill" in phases:
+        M_PF = 512
+        cache = create_kv_cache(cfg, B, T, dtype=jnp.bfloat16)
+
+        @jax.jit
+        def prog(p, ids, c):
+            # params ride as an ARGUMENT (closing over 4.27 GB embeds
+            # them as jit constants re-serialized through the tunnel)
+            pos = jnp.broadcast_to(jnp.arange(M_PF, dtype=jnp.int32)[None],
+                                   (B, M_PF))
+            logits, c = causal_lm.forward(
+                p, cfg, ids, c, pos, jnp.ones((B, M_PF), bool),
+                last_only=True,
+                attn_impl="pallas"
+                if jax.devices()[0].platform == "tpu" else "xla")
+            return jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)
+
+        ids = jnp.ones((B, M_PF), jnp.int32)
+        t0 = time.perf_counter()
+        np.asarray(prog(params, ids, cache))
+        print(f"prefill compile+first: {time.perf_counter()-t0:.0f}s",
+              file=sys.stderr)
+        best = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            np.asarray(prog(params, ids, cache))
+            best = min(best, time.perf_counter() - t0)
+        results["prefill"] = {"ms_per_step": round(best * 1e3, 3),
+                              "ideal_gb": 0.0, "eff_gb_s": 0}
+        print(f"prefill ({B}x{M_PF} tok) {best*1e3:8.1f} ms/call",
+              file=sys.stderr)
+        del cache
+
     # -- full --------------------------------------------------------------
     if "full" in phases:
         cache = create_kv_cache(cfg, B, T, dtype=jnp.bfloat16)

@@ -70,6 +70,10 @@ def test_fused_kernel_matches_reference(bits, group, M):
     # bf16 activations select the bf16 MXU operand path (mxu_dtype) —
     # exercised here under interpret's f32 fallback AND the dtype gate
     (8, 64, 16, "bfloat16"), (4, 64, 16, "bfloat16"),
+    # M > 32 engages the prefill-shaped dequant_full branch (whole-block
+    # VMEM dequant + one full-K dot instead of per-group K=64 dots)
+    (8, 64, 40, "float32"), (4, 64, 40, "float32"),
+    (4, 32, 40, "bfloat16"),
 ])
 def test_stacked_kernel_matches_reference(bits, group, M, x_dtype):
     """Scalar-prefetch stacked-layer kernels (interpret mode) vs explicit

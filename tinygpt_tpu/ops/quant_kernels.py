@@ -359,7 +359,8 @@ def matmul_dequant_tpu(x: jnp.ndarray, qt: "QuantizedTensor",
 
 
 def _int8_kernel_stacked(l_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, *,
-                         n_k: int, group: int, mxu_dtype=jnp.float32):
+                         n_k: int, group: int, mxu_dtype=jnp.float32,
+                         dequant_full: bool = False):
     del l_ref  # consumed by the index_maps
     k = pl.program_id(2)
 
@@ -367,19 +368,29 @@ def _int8_kernel_stacked(l_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, *,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = w_ref[0].astype(mxu_dtype)  # [BK, BO] int8 exact
-    bk, bo = w.shape
-    rows = bk // group
     x = x_ref[:].astype(mxu_dtype)
     s = s_ref[0].astype(jnp.float32)  # [rows, BO]
     acc = acc_ref[:]
-    for r in range(rows):
-        part = jnp.dot(
-            x[:, r * group : (r + 1) * group],
-            w[r * group : (r + 1) * group, :],
-            preferred_element_type=jnp.float32,
-        )
-        acc = acc + s[r][None, :] * part
+    if dequant_full:
+        # prefill-shaped: one full-K dot on VMEM-dequantized weights
+        # (see the int4 stacked kernel's branch)
+        wf = w_ref[0].astype(jnp.float32)
+        bk, bo = wf.shape
+        rows = bk // group
+        wd = (wf.reshape(rows, group, bo) * s[:, None, :]).reshape(bk, bo)
+        acc = acc + jnp.dot(x, wd.astype(mxu_dtype),
+                            preferred_element_type=jnp.float32)
+    else:
+        w = w_ref[0].astype(mxu_dtype)  # [BK, BO] int8 exact
+        bk, bo = w.shape
+        rows = bk // group
+        for r in range(rows):
+            part = jnp.dot(
+                x[:, r * group : (r + 1) * group],
+                w[r * group : (r + 1) * group, :],
+                preferred_element_type=jnp.float32,
+            )
+            acc = acc + s[r][None, :] * part
     acc_ref[:] = acc
 
     @pl.when(k == n_k - 1)
@@ -435,7 +446,7 @@ def matmul_dequant_int8_stacked(
     )
     return pl.pallas_call(
         functools.partial(_int8_kernel_stacked, n_k=n_k, group=group,
-                          mxu_dtype=mxu_dtype),
+                          mxu_dtype=mxu_dtype, dequant_full=bm > 32),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((M, OUT), x.dtype),
         cost_estimate=pl.CostEstimate(
@@ -453,7 +464,8 @@ def matmul_dequant_int8_stacked(
 def _int4_kernel_stacked(l_ref, x_lo_ref, x_hi_ref, w_ref, s_lo_ref,
                          s_hi_ref, o_ref, acc_ref, *, n_k: int, group: int,
                          full_scales: bool = False,
-                         mxu_dtype=jnp.float32):
+                         mxu_dtype=jnp.float32,
+                         dequant_full: bool = False):
     del l_ref
     k = pl.program_id(2)
 
@@ -464,11 +476,6 @@ def _int4_kernel_stacked(l_ref, x_lo_ref, x_hi_ref, w_ref, s_lo_ref,
     packed = w_ref[0].astype(jnp.int32)  # [BKP, BO]
     bkp, bo = packed.shape
     rows = bkp // group
-    lo = (packed & 0x0F).astype(mxu_dtype)
-    hi = ((packed >> 4) & 0x0F).astype(mxu_dtype)
-
-    x_lo = x_lo_ref[:].astype(jnp.float32)
-    x_hi = x_hi_ref[:].astype(jnp.float32)
     x_lo_m = x_lo_ref[:].astype(mxu_dtype)
     x_hi_m = x_hi_ref[:].astype(mxu_dtype)
     # full_scales: n_k == 1 and both refs hold the whole [S, BO] scale
@@ -478,19 +485,42 @@ def _int4_kernel_stacked(l_ref, x_lo_ref, x_hi_ref, w_ref, s_lo_ref,
     s_hi = s_hi_ref[0].astype(jnp.float32)
     hi_off = rows if full_scales else 0
     acc = acc_ref[:]
-    for r in range(rows):
-        sl = slice(r * group, (r + 1) * group)
-        xs_lo = jnp.sum(x_lo[:, sl], axis=1, keepdims=True)
-        xs_hi = jnp.sum(x_hi[:, sl], axis=1, keepdims=True)
-        acc = acc + s_lo[r][None, :] * (
-            jnp.dot(x_lo_m[:, sl], lo[sl, :],
-                    preferred_element_type=jnp.float32) - 8.0 * xs_lo
-        )
-        acc = acc + s_hi[hi_off + r][None, :] * (
-            jnp.dot(x_hi_m[:, sl], hi[sl, :],
-                    preferred_element_type=jnp.float32) - 8.0 * xs_hi
-        )
-    acc_ref[:] = acc
+    if dequant_full:
+        # PREFILL-shaped (bm > 32): the per-group decomposition below
+        # runs K=group(=64) dots that only half-fill the 128-deep MXU —
+        # measured 80 TFLOPS (~40% of peak) on the 4x512-token flagship
+        # prefill. Dequantize the whole block in VMEM instead (a few
+        # VPU ops per weight, ~0.5 us/block) and run ONE K=bk dot.
+        lo_w = (packed & 0x0F).astype(jnp.float32) - 8.0
+        hi_w = ((packed >> 4) & 0x0F).astype(jnp.float32) - 8.0
+        bo = lo_w.shape[1]
+        w_lo = (lo_w.reshape(rows, group, bo)
+                * s_lo[:rows][:, None, :]).reshape(bkp, bo)
+        w_hi = (hi_w.reshape(rows, group, bo)
+                * s_hi[hi_off:hi_off + rows][:, None, :]).reshape(bkp, bo)
+        acc = acc + jnp.dot(x_lo_m, w_lo.astype(mxu_dtype),
+                            preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(x_hi_m, w_hi.astype(mxu_dtype),
+                            preferred_element_type=jnp.float32)
+        acc_ref[:] = acc
+    else:
+        lo = (packed & 0x0F).astype(mxu_dtype)
+        hi = ((packed >> 4) & 0x0F).astype(mxu_dtype)
+        x_lo = x_lo_ref[:].astype(jnp.float32)
+        x_hi = x_hi_ref[:].astype(jnp.float32)
+        for r in range(rows):
+            sl = slice(r * group, (r + 1) * group)
+            xs_lo = jnp.sum(x_lo[:, sl], axis=1, keepdims=True)
+            xs_hi = jnp.sum(x_hi[:, sl], axis=1, keepdims=True)
+            acc = acc + s_lo[r][None, :] * (
+                jnp.dot(x_lo_m[:, sl], lo[sl, :],
+                        preferred_element_type=jnp.float32) - 8.0 * xs_lo
+            )
+            acc = acc + s_hi[hi_off + r][None, :] * (
+                jnp.dot(x_hi_m[:, sl], hi[sl, :],
+                        preferred_element_type=jnp.float32) - 8.0 * xs_hi
+            )
+        acc_ref[:] = acc
 
     @pl.when(k == n_k - 1)
     def _():
@@ -564,7 +594,8 @@ def matmul_dequant_int4_stacked(
     )
     return pl.pallas_call(
         functools.partial(_int4_kernel_stacked, n_k=n_k, group=group,
-                          full_scales=full_scales, mxu_dtype=mxu_dtype),
+                          full_scales=full_scales, mxu_dtype=mxu_dtype,
+                          dequant_full=bm > 32),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((M, OUT), x.dtype),
         cost_estimate=pl.CostEstimate(
