@@ -181,7 +181,7 @@ def build_flagship(bits: int = 4, group: int = 128,
 def run(batch: int = 4, decode_steps: int = 32, bits: int = 4,
         group: int = 0, context: int = 1024,
         serving: bool = False, kv_dtype: str = "bf16",
-        shape: str = "mistral7b") -> dict:
+        shape: str = "mistral7b", shared_prefix: int = 0) -> dict:
     """Build a BASELINE-shape quantized model and measure decode
     tokens/s/chip; returns the result dict (also used by bench.py as the
     driver's headline metric). group 0 = the shipped default
@@ -279,7 +279,9 @@ def run(batch: int = 4, decode_steps: int = 32, bits: int = 4,
         del cache
         gc.collect()
         res.update(streaming_leg(cfg, params))
-        res.update(serving_leg(cfg, params))
+        res.update(serving_leg(cfg, params, shared_prefix=shared_prefix))
+        if shared_prefix:
+            res["serving_shared_prefix"] = shared_prefix
     return res
 
 
@@ -379,7 +381,8 @@ def streaming_leg(cfg, params, max_new: int = 96, chunk: int = 8) -> dict:
 
 def serving_leg(cfg, params, n_requests: int = 16, prompt_len: int = 512,
                 max_new: int = 256, arrival_gap_s: float = 0.25,
-                prefill_chunk: int = 0, capacity: int = 16) -> dict:
+                prefill_chunk: int = 0, capacity: int = 16,
+                shared_prefix: int = 0) -> dict:
     """Sustained serving throughput under continuous batching at the
     flagship shape (BASELINE: ">=85% of roofline decode tokens/s/chip
     under continuous batching"), reusing the quantized params.
@@ -435,8 +438,14 @@ def serving_leg(cfg, params, n_requests: int = 16, prompt_len: int = 512,
     while batcher.has_work:
         batcher.step()
 
-    prompts = [[int(x) for x in rng.integers(2, cfg.vocab_size, prompt_len)]
-               for _ in range(n_requests)]
+    # shared_prefix > 0: every prompt opens with the same system-prompt-
+    # like prefix (prefix-cache measurement leg; whole 64-token blocks of
+    # it are reused read-only after the first admission) followed by
+    # (prompt_len - shared_prefix) private tokens
+    shared = [int(x) for x in rng.integers(2, cfg.vocab_size, shared_prefix)]
+    prompts = [shared + [int(x) for x in rng.integers(
+        2, cfg.vocab_size, prompt_len - shared_prefix)]
+        for _ in range(n_requests)]
     submit = {}
     first = {}
     finish = {}
@@ -502,10 +511,14 @@ def main():
     ap.add_argument("--shape", default="mistral7b",
                     choices=sorted(SHAPES),
                     help="BASELINE measurement-config architecture")
+    ap.add_argument("--shared-prefix", type=int, default=0,
+                    help="serving leg: tokens of system prompt shared by "
+                         "all requests (prefix-cache measurement)")
     args = ap.parse_args()
     print(json.dumps(run(args.batch, args.decode_steps, args.bits,
                          args.group, args.context, serving=args.serving,
-                         kv_dtype=args.kv_dtype, shape=args.shape)))
+                         kv_dtype=args.kv_dtype, shape=args.shape,
+                         shared_prefix=args.shared_prefix)))
 
 
 if __name__ == "__main__":
