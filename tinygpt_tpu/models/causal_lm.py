@@ -619,8 +619,12 @@ def decode_steps(
     # Mistral-7B b4). Engaged when every layer matmul is int4; qkv bias
     # (qwen2) rides the kernel's bias epilogue and per-head qk-norm
     # (qwen3) stays as the small XLA ops between the fused matmuls.
+    from tinygpt_tpu.ops.quant_kernels import int4_lowerable
+
     fuse = (
         all(k in quant and quant[k].bits == 4
+            and int4_lowerable(quant[k].in_dim)  # e.g. H=896 has no
+            # legal packed-nibble tile — unfused reference fallback
             for k in ("qkv_w", "o_w", "gate_up_w", "down_w"))
         and jax.devices()[0].platform == "tpu"
     )
@@ -910,8 +914,12 @@ def decode_paged_steps(
     # decode_steps — the serving quantum pays the same ~1 ms/step of XLA
     # per-op glue at 7B shapes otherwise. Shape gates use the ACTUAL
     # tensor dims (under shard_map tp they are the per-shard dims).
+    from tinygpt_tpu.ops.quant_kernels import int4_lowerable
+
     fuse = (
         all(k in quant and quant[k].bits == 4
+            and int4_lowerable(quant[k].in_dim)  # e.g. H=896 has no
+            # legal packed-nibble tile — unfused reference fallback
             for k in ("qkv_w", "o_w", "gate_up_w", "down_w"))
         and jax.devices()[0].platform == "tpu"
     )

@@ -186,11 +186,14 @@ def matmul_dequant(x: jnp.ndarray, qt: QuantizedTensor) -> jnp.ndarray:
     """x [..., in] @ dequant(qt) → [..., out], fusing dequant into the
     matmul. Dispatches to the Pallas TPU kernel; falls back to the XLA
     reference path elsewhere (tests run it in interpret mode too)."""
-    from tinygpt_tpu.ops.quant_kernels import matmul_dequant_tpu
+    from tinygpt_tpu.ops.quant_kernels import (
+        int4_lowerable,
+        matmul_dequant_tpu,
+    )
 
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
-    if _use_pallas():
+    if _use_pallas() and (qt.bits != 4 or int4_lowerable(qt.in_dim)):
         out = matmul_dequant_tpu(x2, qt)
     else:
         out = _matmul_dequant_reference(x2, qt)
@@ -213,11 +216,14 @@ def matmul_dequant_stacked(x: jnp.ndarray, qt: QuantizedTensor,
     straight from HBM (a lax.scan `xs` slice would force XLA to copy each
     layer's weights across the custom-call boundary every iteration,
     doubling weight traffic — profiled, see quant_kernels.py)."""
-    from tinygpt_tpu.ops.quant_kernels import matmul_dequant_stacked_tpu
+    from tinygpt_tpu.ops.quant_kernels import (
+        int4_lowerable,
+        matmul_dequant_stacked_tpu,
+    )
 
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
-    if _use_pallas():
+    if _use_pallas() and (qt.bits != 4 or int4_lowerable(qt.in_dim)):
         out = matmul_dequant_stacked_tpu(x2, qt, l)
     else:
         qt_l = QuantizedTensor(qt.data[l], qt.scales[l], qt.bits,
@@ -273,6 +279,20 @@ def quantize_params(
     bits/16 of the table in extra HBM, saves its bf16 read per step."""
     out = dict(params)
     layers = dict(params["layers"])
+    if bits == 4:
+        from tinygpt_tpu.ops.quant_kernels import int4_lowerable
+
+        bad = sorted(k for k, w in layers.items()
+                     if k in _QUANT_KEYS | _QUANT_MOE_KEYS
+                     and not int4_lowerable(w.shape[-2]))
+        if bad:
+            import logging
+
+            logging.getLogger("tinygpt_tpu.quant").warning(
+                "int4 kernels cannot lower for %s (contraction dim an odd "
+                "multiple of 64 lanes) — those matmuls run on the unfused "
+                "XLA dequant path; consider --quantization int8 for this "
+                "architecture", bad)
     for key, w in layers.items():
         if key in _QUANT_KEYS:
             layers[key] = _quantize_stacked(w, bits, group_size)

@@ -84,6 +84,19 @@ def _pick_bo(out: int, n_k: int, target: int = 4096,
     return min(out, target)
 
 
+def int4_lowerable(in_dim: int) -> bool:
+    """Can the packed-int4 kernels lower for a weight with this
+    contraction dim? The half-split nibble packing makes the packed row
+    count INP = in_dim/2, and the kernels window x as (bm, bk) blocks
+    with bk | INP — Mosaic requires the block's last dim be divisible
+    by 128 or equal to the whole array dim, so an INP that is an ODD
+    multiple of 64 lanes (e.g. Qwen2.5-0.5B: H=896 -> INP=448) has no
+    legal tile (bk=448 is neither 128-divisible nor the x array's 896).
+    Callers fall back to the XLA reference dequant (correct, unfused);
+    int8 has no such restriction (bk == in_dim is a whole-dim block)."""
+    return (in_dim // 2) % 128 == 0
+
+
 def _cap_single_k(bm: int, bk: int, bo: int, inp: int, out: int,
                   group: int) -> tuple[int, int]:
     """Cap (bk, bo) for prefill-shaped single-k-tile calls.
