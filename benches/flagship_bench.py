@@ -353,7 +353,8 @@ def streaming_leg(cfg, params, max_new: int = 96, chunk: int = 8) -> dict:
             # 1.15x min-gap estimate — a last-gap estimate feeds back
             # through the pacing sleeps (see engine._prefill_and_loop)
             min_gap = min(min_gap, now - last_sync)
-            step_dt = min(1.15 * min_gap / chunk, 0.25)
+            step_dt = min(1.15 * min_gap / chunk,
+                          0.98 * min_gap / max(1, chunk - 1), 0.25)
         last_sync = now
         # paced emission (engine stream_pace, the SSE default): each
         # already-produced token is released at the measured per-step
@@ -442,6 +443,12 @@ def serving_leg(cfg, params, n_requests: int = 16, prompt_len: int = 512,
     # like prefix (prefix-cache measurement leg; whole 64-token blocks of
     # it are reused read-only after the first admission) followed by
     # (prompt_len - shared_prefix) private tokens
+    assert 0 <= shared_prefix < prompt_len, \
+        f"--shared-prefix must be < prompt_len ({prompt_len})"
+    if shared_prefix % 64:
+        print(f"note: shared_prefix {shared_prefix} is not a multiple of "
+              f"the 64-token block size — only whole blocks are reused "
+              f"({shared_prefix // 64 * 64} tokens)", file=sys.stderr)
     shared = [int(x) for x in rng.integers(2, cfg.vocab_size, shared_prefix)]
     if shared_prefix:
         # the HIT-shaped admission program (p_blk shared blocks + short

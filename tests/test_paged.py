@@ -1355,6 +1355,7 @@ def test_spec_auto_off_policy():
     b._spec_disabled = False
     b._spec_win_emitted = 0
     b._spec_win_verifies = 0
+    b._spec_low_windows = 0
     b._plain_since_probe = 0
     # ONE zero-acceptance window is the cold start — still eligible
     # (a natural-text run measured overall acceptance 0.656 behind a

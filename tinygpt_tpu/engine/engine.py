@@ -672,9 +672,22 @@ class GPTEngine:
         # p95 ~32 ms with depth 2 alone). A single worker thread fetches
         # chunk k+1 WHILE chunk k's tokens are being paced out, so the
         # inter-sync interval collapses to pure chunk execution.
+        # MULTI-HOST runs keep the serial fetch: _fetch is a
+        # process_allgather (a cross-host collective), and racing its
+        # enqueue against the main thread's sharded chunk dispatch could
+        # order collectives differently across processes.
         from concurrent.futures import ThreadPoolExecutor
 
-        pool = ThreadPoolExecutor(max_workers=1)
+        class _Inline:
+            def submit(self, fn, *a):
+                r = fn(*a)
+                return type("F", (), {"result": lambda self: r})()
+
+            def shutdown(self, wait=False):
+                pass
+
+        pool = (ThreadPoolExecutor(max_workers=1)
+                if jax.process_count() == 1 else _Inline())
         try:
             fut = pool.submit(self._fetch, nxt)
             while True:
@@ -700,7 +713,12 @@ class GPTEngine:
                     # (7/8 * 1.15 < 1 chunk) provably ends before the
                     # next sync — the feedback loop cannot re-arm.
                     min_gap = min(min_gap, now - last_sync)
-                    step_dt = min(1.15 * min_gap / chunk, 0.25)
+                    # span clamp: (chunk-1)*step_dt must stay
+                    # inside one chunk (1.15*(chunk-1)/chunk > 1
+                    # from chunk 8 up — review finding)
+                    step_dt = min(1.15 * min_gap / chunk,
+                                  0.98 * min_gap / max(1, chunk - 1),
+                                  0.25)
                 last_sync = now
                 for i in range(min(chunk, max_tokens - step)):
                     if pace and ahead is not None and step_dt and i:

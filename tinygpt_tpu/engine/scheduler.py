@@ -314,6 +314,7 @@ class ContinuousBatcher:
         self._spec_disabled = False
         self._spec_win_emitted = 0
         self._spec_win_verifies = 0
+        self._spec_low_windows = 0
         self._plain_since_probe = 0
         # host mirrors of device state
         self._tables = np.zeros((sc.batch_capacity, sc.max_blocks_per_seq),
@@ -933,8 +934,7 @@ class ContinuousBatcher:
             # window and a single-window policy switched speculation off
             # exactly where it pays. Random text fails both windows and
             # still disables within ~2*spec_window verifies.
-            self._spec_low_windows = getattr(
-                self, "_spec_low_windows", 0) + 1
+            self._spec_low_windows += 1
             if self._spec_low_windows < 2:
                 return
             self._spec_disabled = True

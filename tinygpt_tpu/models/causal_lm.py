@@ -605,7 +605,10 @@ def decode_steps(
         and T % 128 == 0
         and n_steps % 16 == 0
         # Mosaic fp8 VMEM loads scalarize (measured 66 GB/s vs 498 bf16)
-        and jnp.dtype(cache.k.dtype).itemsize >= 2
+        # — fp8 caches route to XLA under "pallas"; the explicit
+        # "pallas_frozen" FORCE keeps its documented contract (benchable)
+        and (jnp.dtype(cache.k.dtype).itemsize >= 2
+             or attn_impl == "pallas_frozen")
     )
     # one whole-chunk K transpose ([L,B,Nk,T,D] -> [...,D,T]): the scores
     # dot consumes K in [D, T] layout, and feeding the natural layout

@@ -279,25 +279,32 @@ def quantize_params(
     bits/16 of the table in extra HBM, saves its bf16 read per step."""
     out = dict(params)
     layers = dict(params["layers"])
+    moe_int8 = set()
     if bits == 4:
         from tinygpt_tpu.ops.quant_kernels import int4_lowerable
 
         bad = sorted(k for k, w in layers.items()
                      if k in _QUANT_KEYS | _QUANT_MOE_KEYS
                      and not int4_lowerable(w.shape[-2]))
+        # MoE expert stacks have no XLA fallback on the decode path (the
+        # gathered kernels are the only gather-free route): quantize
+        # non-lowerable stacks at INT8 — whose whole-dim x block is
+        # always legal — instead of shipping a compile-time crash
+        moe_int8 = {k for k in bad if k in _QUANT_MOE_KEYS}
         if bad:
             import logging
 
             logging.getLogger("tinygpt_tpu.quant").warning(
                 "int4 kernels cannot lower for %s (contraction dim an odd "
-                "multiple of 64 lanes) — those matmuls run on the unfused "
-                "XLA dequant path; consider --quantization int8 for this "
-                "architecture", bad)
+                "multiple of 64 lanes): dense weights run the unfused XLA "
+                "dequant path, MoE expert stacks quantize at int8 — "
+                "consider --quantization int8 for this architecture", bad)
     for key, w in layers.items():
         if key in _QUANT_KEYS:
             layers[key] = _quantize_stacked(w, bits, group_size)
         elif key in _QUANT_MOE_KEYS:
-            layers[key] = _quantize_moe_stacked(w, bits, group_size)
+            layers[key] = _quantize_moe_stacked(
+                w, 8 if key in moe_int8 else bits, group_size)
     out["layers"] = layers
     head = params.get("lm_head")
     if quantize_lm_head:

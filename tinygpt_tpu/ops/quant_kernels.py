@@ -183,11 +183,12 @@ def matmul_dequant_int8(
     if bo is None:
         bo = _pick_bo(OUT, IN // bk, target=4096 if bm <= 32 else 1024,
                       min_grid=4 if bm <= 32 else 8)
+        bk, bo = _cap_single_k(bm, bk, bo, IN, OUT, group)
     else:
-        bo = min(bo, OUT)
-    bk, bo = _cap_single_k(bm, bk, bo, IN, OUT, group)
+        bo = min(bo, OUT)  # explicit picks bypass the cap (repro/sweep tools)
     mxu_dtype = (jnp.bfloat16 if x.dtype == jnp.bfloat16
-                 and not interpret else jnp.float32)
+                 else jnp.float32)  # interpret keeps the same dtype so
+    # the XLA oracle tests the exact TPU operand path 1:1
     n_m, n_o, n_k = _cdiv(M, bm), _cdiv(OUT, bo), IN // bk
 
     rows = bk // group
@@ -299,11 +300,12 @@ def matmul_dequant_int4(
     if bo is None:  # see the bm<=32 note in matmul_dequant_int8
         bo = _pick_bo(OUT, INP // bk, target=4096 if bm <= 32 else 1024,
                       min_grid=4 if bm <= 32 else 8)
+        bk, bo = _cap_single_k(bm, bk, bo, INP, OUT, group)
     else:
-        bo = min(bo, OUT)
-    bk, bo = _cap_single_k(bm, bk, bo, INP, OUT, group)
+        bo = min(bo, OUT)  # explicit picks bypass the cap (repro/sweep tools)
     mxu_dtype = (jnp.bfloat16 if x.dtype == jnp.bfloat16
-                 and not interpret else jnp.float32)
+                 else jnp.float32)  # interpret keeps the same dtype so
+    # the XLA oracle tests the exact TPU operand path 1:1
     n_m, n_o, n_k = _cdiv(M, bm), _cdiv(OUT, bo), INP // bk
     half_groups = half // group
 
@@ -432,11 +434,12 @@ def matmul_dequant_int8_stacked(
     if bo is None:  # see the bm<=32 note in matmul_dequant_int8
         bo = _pick_bo(OUT, IN // bk, target=4096 if bm <= 32 else 1024,
                       min_grid=4 if bm <= 32 else 8)
+        bk, bo = _cap_single_k(bm, bk, bo, IN, OUT, group)
     else:
-        bo = min(bo, OUT)
-    bk, bo = _cap_single_k(bm, bk, bo, IN, OUT, group)
+        bo = min(bo, OUT)  # explicit picks bypass the cap (repro/sweep tools)
     mxu_dtype = (jnp.bfloat16 if x.dtype == jnp.bfloat16
-                 and not interpret else jnp.float32)
+                 else jnp.float32)  # interpret keeps the same dtype so
+    # the XLA oracle tests the exact TPU operand path 1:1
     n_m, n_o, n_k = _cdiv(M, bm), _cdiv(OUT, bo), IN // bk
     rows = bk // group
     # scales are consumed in their NATIVE [L, IN/group, OUT] layout: block
@@ -563,11 +566,12 @@ def matmul_dequant_int4_stacked(
     if bo is None:  # see the bm<=32 note in matmul_dequant_int8
         bo = _pick_bo(OUT, INP // bk, target=4096 if bm <= 32 else 1024,
                       min_grid=4 if bm <= 32 else 8)
+        bk, bo = _cap_single_k(bm, bk, bo, INP, OUT, group)
     else:
-        bo = min(bo, OUT)
-    bk, bo = _cap_single_k(bm, bk, bo, INP, OUT, group)
+        bo = min(bo, OUT)  # explicit picks bypass the cap (repro/sweep tools)
     mxu_dtype = (jnp.bfloat16 if x.dtype == jnp.bfloat16
-                 and not interpret else jnp.float32)
+                 else jnp.float32)  # interpret keeps the same dtype so
+    # the XLA oracle tests the exact TPU operand path 1:1
     n_m, n_o, n_k = _cdiv(M, bm), _cdiv(OUT, bo), INP // bk
     rows = bk // group
     # scales consumed in NATIVE [L, IN/group, OUT] layout: the lo plane's
@@ -796,9 +800,9 @@ def matmul_dequant_int4_stacked_fused(
     if bo is None:  # see the bm<=32 note in matmul_dequant_int8
         bo = _pick_bo(OUT, INP // bk, target=4096 if bm <= 32 else 1024,
                       min_grid=4 if bm <= 32 else 8)
+        bk, bo = _cap_single_k(bm, bk, bo, INP, OUT, group)
     else:
-        bo = min(bo, OUT)
-    bk, bo = _cap_single_k(bm, bk, bo, INP, OUT, group)
+        bo = min(bo, OUT)  # explicit picks bypass the cap (repro/sweep tools)
     n_m, n_o, n_k = _cdiv(M, bm), _cdiv(OUT, bo), INP // bk
     rows = bk // group
 

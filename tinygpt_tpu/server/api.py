@@ -280,7 +280,9 @@ class BatchedInferenceWorker:
                         self._min_qgap = min(self._min_qgap, gap)
                         q = max(self.batcher.sc.decode_quantum, 1)
                         self._tok_dt = min(
-                            1.15 * self._min_qgap / q, 0.25)
+                            1.15 * self._min_qgap / q,
+                            0.98 * self._min_qgap / max(1, q - 1),
+                            0.25)
                     self._last_emit_t = now
                 counts: Dict[int, int] = {}
                 for ev in events:
