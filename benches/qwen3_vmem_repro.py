@@ -1,10 +1,18 @@
 """Repro for the qwen3_17b admission-prefill VMEM OOM (round 4).
 
-The failing op (benchlogs_r4/qwen3_standalone.log) is
+The failing op (benchlogs_r4/qwen3_standalone.log) was
 matmul_dequant_int4_stacked on x=[512, 2048] against the qwen3 qkv
 stack [28, 1024, 4096] g64 — "Scoped allocation with size 20.94M and
-limit 16.00M". Compile the exact shape at several bo picks to find
-which tile OOMs and which fits.
+limit 16.00M". Compile the exact shape at several (bm, bk, bo) picks
+to find which tile OOMs and which fits.
+
+History: with the original PER-GROUP kernel body, (bm 256, bk 1024,
+bo 1024, n_k 1) OOMed while bm 128 / bk 512 / bo 512 each compiled
+(benchlogs_r4/vmem_repro2.log). The round-4 dequant_full branch
+(whole-block VMEM dequant + one full-K dot at bm > 32) replaced that
+body and the same combo now compiles (vmem_repro3.log) — _cap_single_k
+remains as a guard on auto picks only; explicit overrides bypass it so
+this script keeps measuring the requested tiles.
 """
 
 from __future__ import annotations
