@@ -1357,6 +1357,7 @@ def test_spec_auto_off_policy():
     b._spec_win_verifies = 0
     b._spec_low_windows = 0
     b._plain_since_probe = 0
+    b._spec_probing = False
     # ONE zero-acceptance window is the cold start — still eligible
     # (a natural-text run measured overall acceptance 0.656 behind a
     # 0.22 opening window; one window must not disable)
@@ -1388,3 +1389,15 @@ def test_spec_auto_off_policy():
     for _ in range(8):
         b._spec_policy_update(1, 1)
     assert not b._spec_disabled
+    # a RE-PROBE window that comes back low disables after ONE window
+    # (draft context is warm — the cold-start excuse doesn't apply), so
+    # a failed probe costs exactly one spec_window of verifies
+    for _ in range(8):
+        b._spec_policy_update(1, 1)
+    assert b._spec_disabled
+    assert not b._spec_eligible()
+    assert not b._spec_eligible()
+    assert b._spec_eligible()  # probe window opens
+    for _ in range(8):
+        b._spec_policy_update(1, 1)  # probe fails
+    assert b._spec_disabled

@@ -183,6 +183,71 @@ def ngram_draft(context: Sequence[int], n: int, k: int) -> List[int]:
     return []
 
 
+class _MiniFuture:
+    __slots__ = ("_done", "_value", "_exc")
+
+    def __init__(self):
+        import threading
+
+        self._done = threading.Event()
+        self._value = None
+        self._exc = None
+
+    def result(self):
+        self._done.wait()
+        if self._exc is not None:
+            raise self._exc
+        return self._value
+
+
+class _FetchWorker:
+    """One long-lived daemon fetch thread, shared across generate calls.
+
+    Advisor finding: a fresh non-daemon ThreadPoolExecutor per
+    _prefill_and_loop call both pays thread-spawn per request and —
+    because concurrent.futures joins its non-daemon workers at
+    interpreter exit — wedges shutdown if a tunnel _fetch ever hangs.
+    A daemon thread with a SimpleQueue has neither problem."""
+
+    def __init__(self):
+        import queue as _q
+        import threading
+
+        self._q = _q.SimpleQueue()
+        self._t = threading.Thread(
+            target=self._loop, name="tinygpt-fetch", daemon=True)
+        self._t.start()
+
+    def _loop(self):
+        while True:
+            fn, args, fut = self._q.get()
+            try:
+                fut._value = fn(*args)
+            except BaseException as e:
+                fut._exc = e
+            fut._done.set()
+
+    def submit(self, fn, *args):
+        fut = _MiniFuture()
+        self._q.put((fn, args, fut))
+        return fut
+
+
+class _InlinePool:
+    """Multi-host fallback: _fetch is a process_allgather (cross-host
+    collective); racing its enqueue against the main thread's sharded
+    dispatch could order collectives differently across processes."""
+
+    def submit(self, fn, *args):
+        fut = _MiniFuture()
+        try:
+            fut._value = fn(*args)
+        except BaseException as e:
+            fut._exc = e
+        fut._done.set()
+        return fut
+
+
 class GPTEngine:
     def __init__(self, config: GPTConfig):
         self.config = config
@@ -190,6 +255,14 @@ class GPTEngine:
         self._eos_ids: Set[int] = set()
         self._key = jax.random.PRNGKey(config.seed)
         self._forward_jit = None
+        self._fetch_worker: Optional[_FetchWorker] = None
+
+    def _fetch_pool(self):
+        if jax.process_count() != 1:
+            return _InlinePool()
+        if self._fetch_worker is None:
+            self._fetch_worker = _FetchWorker()
+        return self._fetch_worker
 
     # -- lifecycle -----------------------------------------------------
 
@@ -676,67 +749,53 @@ class GPTEngine:
         # process_allgather (a cross-host collective), and racing its
         # enqueue against the main thread's sharded chunk dispatch could
         # order collectives differently across processes.
-        from concurrent.futures import ThreadPoolExecutor
-
-        class _Inline:
-            def submit(self, fn, *a):
-                r = fn(*a)
-                return type("F", (), {"result": lambda self: r})()
-
-            def shutdown(self, wait=False):
-                pass
-
-        pool = (ThreadPoolExecutor(max_workers=1)
-                if jax.process_count() == 1 else _Inline())
-        try:
-            fut = pool.submit(self._fetch, nxt)
-            while True:
-                ahead2 = None
-                if ahead is not None and step + 2 * chunk < max_tokens:
-                    ahead2, cache = launch(ahead[-1], step + 2 * chunk)
-                nh = fut.result()  # [chunk, B]
-                fut = (pool.submit(self._fetch, ahead)
-                       if ahead is not None else None)
-                now = time.perf_counter()
-                if last_sync is not None:
-                    # per-step production rate from the MINIMUM observed
-                    # inter-sync gap: a raw last-gap estimate feeds back
-                    # (the gap includes this loop's own pacing sleeps, so
-                    # one overestimate inflates the next — measured
-                    # runaway from 7 ms/step to 20), while pacing below
-                    # the true rate leaves the gap at pure execution
-                    # time, which the min converges to. Paced at 1.15x
-                    # the min: the min is the FASTEST chunk, so pacing
-                    # exactly at it still bursts at the boundary of every
-                    # slower-than-fastest chunk; 15% headroom spreads
-                    # tokens across typical chunks while the pacing span
-                    # (7/8 * 1.15 < 1 chunk) provably ends before the
-                    # next sync — the feedback loop cannot re-arm.
-                    min_gap = min(min_gap, now - last_sync)
-                    # span clamp: (chunk-1)*step_dt must stay
-                    # inside one chunk (1.15*(chunk-1)/chunk > 1
-                    # from chunk 8 up — review finding)
-                    step_dt = min(1.15 * min_gap / chunk,
-                                  0.98 * min_gap / max(1, chunk - 1),
-                                  0.25)
-                last_sync = now
-                for i in range(min(chunk, max_tokens - step)):
-                    if pace and ahead is not None and step_dt and i:
-                        # emit token i at its paced slot; the run-ahead
-                        # chunk executes (and the next fetch proceeds)
-                        # underneath, so the last slot lands at the next
-                        # sync point (no throughput loss)
-                        wait = now + i * step_dt - time.perf_counter()
-                        if wait > 0:
-                            time.sleep(wait)
-                    if not on_token(step, nh[i]):
-                        return encoded
-                    step += 1
-                if ahead is None or step >= max_tokens:
+        pool = self._fetch_pool()
+        fut = pool.submit(self._fetch, nxt)
+        while True:
+            ahead2 = None
+            if ahead is not None and step + 2 * chunk < max_tokens:
+                ahead2, cache = launch(ahead[-1], step + 2 * chunk)
+            nh = fut.result()  # [chunk, B]
+            fut = (pool.submit(self._fetch, ahead)
+                   if ahead is not None else None)
+            now = time.perf_counter()
+            if last_sync is not None:
+                # per-step production rate from the MINIMUM observed
+                # inter-sync gap: a raw last-gap estimate feeds back
+                # (the gap includes this loop's own pacing sleeps, so
+                # one overestimate inflates the next — measured
+                # runaway from 7 ms/step to 20), while pacing below
+                # the true rate leaves the gap at pure execution
+                # time, which the min converges to. Paced at 1.15x
+                # the min: the min is the FASTEST chunk, so pacing
+                # exactly at it still bursts at the boundary of every
+                # slower-than-fastest chunk; 15% headroom spreads
+                # tokens across typical chunks while the pacing span
+                # (7/8 * 1.15 < 1 chunk) provably ends before the
+                # next sync — the feedback loop cannot re-arm.
+                min_gap = min(min_gap, now - last_sync)
+                # span clamp: (chunk-1)*step_dt must stay
+                # inside one chunk (1.15*(chunk-1)/chunk > 1
+                # from chunk 8 up — review finding)
+                step_dt = min(1.15 * min_gap / chunk,
+                              0.98 * min_gap / max(1, chunk - 1),
+                              0.25)
+            last_sync = now
+            for i in range(min(chunk, max_tokens - step)):
+                if pace and ahead is not None and step_dt and i:
+                    # emit token i at its paced slot; the run-ahead
+                    # chunk executes (and the next fetch proceeds)
+                    # underneath, so the last slot lands at the next
+                    # sync point (no throughput loss)
+                    wait = now + i * step_dt - time.perf_counter()
+                    if wait > 0:
+                        time.sleep(wait)
+                if not on_token(step, nh[i]):
                     return encoded
-                nxt, ahead = ahead, ahead2
-        finally:
-            pool.shutdown(wait=False)
+                step += 1
+            if ahead is None or step >= max_tokens:
+                return encoded
+            nxt, ahead = ahead, ahead2
 
     def _spec_prefill_and_loop(self, texts, max_tokens, on_token):
         """Batch-1 decode with n-gram speculative verification, fully

@@ -104,9 +104,12 @@ class SchedulerConfig:
     # text is self-repetitive (code, extraction); on text where drafts
     # rarely match it costs (gamma+1)x attention/head compute per
     # emitted token for nothing. When mean accepted-drafts-per-verify
-    # over a spec_window of verifies falls below spec_min_acceptance,
-    # the scheduler falls back to plain quanta and re-probes with one
-    # speculative window every spec_probe_every plain quanta.
+    # over a spec_window of verifies falls below spec_min_acceptance
+    # (two consecutive low windows from a cold start; ONE low window
+    # when the window is a re-probe), the scheduler falls back to plain
+    # quanta and re-probes with one speculative window every
+    # spec_probe_every plain quanta — a failed re-probe costs exactly
+    # one window of unprofitable verifies.
     spec_auto_off: bool = True
     spec_min_acceptance: float = 0.25
     spec_window: int = 32
@@ -316,6 +319,10 @@ class ContinuousBatcher:
         self._spec_win_verifies = 0
         self._spec_low_windows = 0
         self._plain_since_probe = 0
+        # True while the current window was opened by a re-probe: a low
+        # probe window disables after ONE window (the draft context is
+        # warm, so the cold-start excuse doesn't apply)
+        self._spec_probing = False
         # host mirrors of device state
         self._tables = np.zeros((sc.batch_capacity, sc.max_blocks_per_seq),
                                 np.int32)
@@ -908,6 +915,7 @@ class ContinuousBatcher:
                 self._plain_since_probe = 0
                 self._spec_win_emitted = 0
                 self._spec_win_verifies = 0
+                self._spec_probing = True
                 log.info("speculation re-probe after %d plain quanta",
                          self.sc.spec_probe_every)
                 return True
@@ -925,17 +933,20 @@ class ContinuousBatcher:
         accept = self._spec_win_emitted / self._spec_win_verifies - 1.0
         self._spec_win_emitted = 0
         self._spec_win_verifies = 0
+        probing, self._spec_probing = self._spec_probing, False
         if accept < self.sc.spec_min_acceptance:
-            # TWO consecutive low windows to disable: the first window
-            # covers the cold start, where the n-gram draft has the
-            # least context to match against — measured on natural code
-            # text (benchlogs_r4/spec_natural_default.log) a run whose
-            # overall acceptance was 0.656 still opened with a 0.22
-            # window and a single-window policy switched speculation off
-            # exactly where it pays. Random text fails both windows and
-            # still disables within ~2*spec_window verifies.
+            # TWO consecutive low windows to disable on a COLD start: the
+            # first window has the least draft context to match against —
+            # measured on natural code text
+            # (benchlogs_r4/spec_natural_default.log) a run whose overall
+            # acceptance was 0.656 still opened with a 0.22 window and a
+            # single-window policy switched speculation off exactly where
+            # it pays. Random text fails both windows and still disables
+            # within ~2*spec_window verifies. A RE-PROBE window disables
+            # after one low window: its draft context is already warm, so
+            # a failed probe costs exactly one spec_window of verifies.
             self._spec_low_windows += 1
-            if self._spec_low_windows < 2:
+            if self._spec_low_windows < 2 and not probing:
                 return
             self._spec_disabled = True
             self._spec_low_windows = 0

@@ -118,6 +118,18 @@ def _cap_single_k(bm: int, bk: int, bo: int, inp: int, out: int,
               and (bk // 2 // group) % 8 == 0):
             bk //= 2
         else:
+            # neither dim can legally halve (non-256-divisible explicit
+            # bo, exotic OUT): the scoped-VMEM compile failure the cap
+            # exists to prevent may still fire — surface it instead of
+            # silently returning an uncapped geometry (advisor finding)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "dequant tile cap fell through: bm=%d n_k=1 block "
+                "%d KB > 512 KB (bk=%d bo=%d inp=%d out=%d group=%d) "
+                "— Mosaic scoped-VMEM compile may OOM; prefer a "
+                "256-divisible bo or the unfused XLA path",
+                bm, bk * bo // 1024, bk, bo, inp, out, group)
             break
     return bk, bo
 

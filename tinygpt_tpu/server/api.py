@@ -274,11 +274,21 @@ class BatchedInferenceWorker:
             try:
                 events = list(self.batcher.step())
                 now = time.monotonic()
-                if any(ev.token_id is not None for ev in events):
+                per_rid: Dict[int, int] = {}
+                for ev in events:
+                    if ev.token_id is not None:
+                        per_rid[ev.request_id] = per_rid.get(
+                            ev.request_id, 0) + 1
+                if per_rid:
                     if self._last_emit_t is not None:
                         gap = now - self._last_emit_t
                         self._min_qgap = min(self._min_qgap, gap)
-                        q = max(self.batcher.sc.decode_quantum, 1)
+                        # divisor = the actual max tokens any row emits in
+                        # THIS burst: speculative quanta emit more than
+                        # decode_quantum per row, and dividing by the
+                        # configured quantum would pace idx*tok_dt past
+                        # the measured production span (advisor finding)
+                        q = max(max(per_rid.values()), 1)
                         self._tok_dt = min(
                             1.15 * self._min_qgap / q,
                             0.98 * self._min_qgap / max(1, q - 1),
