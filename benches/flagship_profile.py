@@ -64,11 +64,18 @@ def fence_time(fn, *args, reps=3, chain=4):
 
 
 def main():
+    global B, N_STEPS, T
     ap = argparse.ArgumentParser()
     ap.add_argument("--phases", default="ceiling,empty,mm,mm_qkv,mm_o,"
                     "mm_gateup,mm_down,attn,head,full")
     ap.add_argument("--group", type=int, default=128)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--shape", default="mistral7b",
+                    help="BASELINE measurement-config architecture "
+                         "(benches/flagship_bench.SHAPES)")
+    ap.add_argument("--batch", type=int, default=B)
+    ap.add_argument("--steps", type=int, default=N_STEPS)
+    ap.add_argument("--context", type=int, default=T)
     ap.add_argument("--bk", type=int, default=None,
                     help="override contraction tile for the mm_* singles")
     ap.add_argument("--bo", type=int, default=None,
@@ -78,6 +85,7 @@ def main():
                          "pallas (the shipped routing) | pallas_frozen "
                          "(force the flash_decode_frozen kernel) | xla")
     args = ap.parse_args()
+    B, N_STEPS, T = args.batch, args.steps, args.context
     phases = args.phases.split(",")
 
     import tinygpt_tpu
@@ -175,7 +183,8 @@ def main():
                           "group": args.group, "phases": results}))
         return
 
-    cfg, params, nbytes = build_flagship(bits=4, group=args.group)
+    cfg, params, nbytes = build_flagship(bits=4, group=args.group,
+                                         shape=args.shape)
     L, H, D = cfg.num_hidden_layers, cfg.hidden_size, cfg.head_dim
     Nq, Nk, I = (cfg.num_attention_heads, cfg.num_kv_heads,
                  cfg.intermediate_size)
@@ -530,7 +539,8 @@ def main():
     if "ceiling" in phases:
         run_ceiling()
 
-    print(json.dumps({"metric": "flagship_phase_profile", "b": B,
+    print(json.dumps({"metric": "flagship_phase_profile",
+                      "shape": args.shape, "b": B,
                       "t": T, "n_steps": N_STEPS, "group": args.group,
                       "phases": results}))
 
