@@ -66,10 +66,11 @@ class GPTConfig:
     # weight-only quantization: None | "int8" | "int4"
     quantization: Optional[str] = None
     # None = auto (resolve_quant_group): int4 64 for dense-MLP models /
-    # 128 for MoE expert stacks, int8 128 — each the config that passes
-    # its own Δppl gate (PPL_GATE.json credible-scale model: int4
-    # g64+AWQ +0.46 ≤ 0.5 abs bar, g128+AWQ +0.81 FAILS;
-    # PPL_GATE_MOE.json: MoE g128+AWQ passes, g64 fails).
+    # 128 for MoE expert stacks, int8 128 — each the cheapest-bytes
+    # config that passes its own credible-scale Δppl gate
+    # (PPL_GATE.json: dense int4 g64+AWQ +0.46 ≤ 0.5 abs bar, g128+AWQ
+    # +0.81 FAILS; PPL_GATE_MOE.json held-out ppl 9.71: MoE g128+AWQ
+    # +0.25 passes, g64+AWQ +0.11 also passes but costs ~6% more bytes).
     quant_group_size: Optional[int] = None
     # AWQ activation-aware scaling (ops/awq.py): calibrate per-channel
     # scales on real activations and fold them into the weights before
@@ -157,9 +158,13 @@ def resolve_quant_group(bits: int, group: Optional[int],
     PPL_GATE.json) g128+AWQ fails the ≤0.5 int4 bar (+0.81) while
     g64+AWQ passes (+0.46); the cost is ~3% more weight bytes (bf16
     scales per 64 vs 128 int4 weights). MoE expert stacks keep 128:
-    their own gate (PPL_GATE_MOE.json) shows g64 WORSE there (+4.3%
-    rel vs +0.85% at g128+AWQ — grouping noise dominates the small
-    expert matrices). int8 defaults to 128 (passes plain, −0.02)."""
+    on the CREDIBLE-SCALE MoE gate (PPL_GATE_MOE.json, held-out ppl
+    9.71, absolute bars applied) g128+AWQ passes at +0.25 ≤ 0.5 —
+    g64+AWQ is better still (+0.11) but costs ~6% more weight bytes,
+    and the policy ships the cheapest config that clears the bar.
+    (The round-3 TOY gate had g64 failing on MoE; the credible-scale
+    rerun reversed that ordering — see the JSON's note.)
+    int8 defaults to 128 (passes plain, +0.003)."""
     if group is not None:
         return group
     if bits == 4 and not moe:
