@@ -160,13 +160,19 @@ def build_flagship(bits: int = 4, group: int = 128,
         layers["q_norm"] = jnp.ones((L, D), jnp.bfloat16)
         layers["k_norm"] = jnp.ones((L, D), jnp.bfloat16)
     cos, sin = compute_rope_freqs(D, 4096, cfg.rope_theta, None)
+    from tinygpt_tpu.ops.quant import HEAD_PAD_MULTIPLE
+
+    # head OUT padded exactly as the engine's quantize path
+    # (ops/quant.pad_head_out): non-pow2 vocabs (qwen 151936) otherwise
+    # tile at bo=128 and the head phase runs at 189 GB/s
+    Vp = V + (-V % HEAD_PAD_MULTIPLE) if bits != 16 else V
     params = {
         "embed": jax.random.normal(ks[4], (V, H), jnp.bfloat16) * 0.02,
         "layers": layers,
         "final_ln": jnp.ones((H,), jnp.bfloat16),
         # tied checkpoints reuse the embedding as the head; the engine
         # materializes a quantized transposed copy at load — mirror that
-        "lm_head": qkey((H, V), ks[5]),
+        "lm_head": qkey((H, Vp), ks[5]),
         "rope_cos": jnp.asarray(cos),
         "rope_sin": jnp.asarray(sin),
     }

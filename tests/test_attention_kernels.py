@@ -177,6 +177,73 @@ def test_decode_frozen_kernel_vs_oracle(G, window):
         )
 
 
+def test_e4m3_expand_exact_all_bytes():
+    """_e4m3_expand_f32 (the integer-op fp8 decode the frozen kernels use
+    for fp8 caches) vs the hardware convert, over EVERY byte value —
+    normals, subnormals, both zeros. The two NaN encodings (0x7f/0xff)
+    are excluded: KV quantization never writes NaN."""
+    import ml_dtypes
+
+    from tinygpt_tpu.ops.attention_kernels import _e4m3_expand_f32
+
+    raw = np.arange(256, dtype=np.uint8)
+    expected = raw.view(ml_dtypes.float8_e4m3fn).astype(np.float32)
+    got = np.asarray(_e4m3_expand_f32(jnp.asarray(raw.view(np.int8))))
+    finite = ~np.isnan(expected)
+    np.testing.assert_array_equal(got[finite], expected[finite])
+
+
+@pytest.mark.parametrize("window", [None, 12])
+def test_decode_frozen_kernel_fp8_vs_oracle(window):
+    """flash_decode_frozen on an fp8 (e4m3) stacked cache — the raw-byte
+    int8 load + VPU expand path — vs the XLA oracle reading the same fp8
+    cache through convert."""
+    from tinygpt_tpu.ops.attention import sdpa_decode_frozen
+    from tinygpt_tpu.ops.attention_kernels import flash_decode_frozen
+
+    Lyr, B, Nk, G, T, D, N = 2, 2, 2, 4, 24, 64, 8
+    Nq = Nk * G
+    rng = np.random.default_rng(11)
+    P = 17
+    step = 3
+    ks = (rng.standard_normal((Lyr, B, Nk, T, D)) * 0.3).astype(np.float32)
+    vs = (rng.standard_normal((Lyr, B, Nk, T, D)) * 0.3).astype(np.float32)
+    # sprinkle values in the subnormal range so the expand's exactness
+    # there is actually exercised
+    ks[..., :8] *= 0.01
+    ks8 = jnp.asarray(ks).astype(jnp.float8_e4m3fn)
+    vs8 = jnp.asarray(vs).astype(jnp.float8_e4m3fn)
+    ki = (rng.standard_normal((B, Nk, N, D)) * 0.3).astype(np.float32)
+    vi = (rng.standard_normal((B, Nk, N, D)) * 0.3).astype(np.float32)
+    q = (rng.standard_normal((B, 1, Nq, D)) * 0.3).astype(np.float32)
+    valid = np.zeros((B, T), bool)
+    valid[:, :P] = True
+    kv_pos = np.zeros((B, T), np.int32)
+    kv_pos[:, :P] = np.arange(P)
+    q_pos = np.full((B, 1), P + step, np.int32)
+
+    for l in range(Lyr):
+        ref = sdpa_decode_frozen(
+            jnp.asarray(q), ks8[l], vs8[l],
+            jnp.asarray(kv_pos), jnp.asarray(valid), jnp.asarray(ki),
+            jnp.asarray(vi), jnp.asarray(step, jnp.int32),
+            jnp.asarray(q_pos), scale=D ** -0.5, sliding_window=window,
+        )
+        mask = (kv_pos <= q_pos) & valid
+        if window is not None:
+            mask &= kv_pos > q_pos - window
+        got = flash_decode_frozen(
+            jnp.asarray(q[:, 0]), ks8, vs8,
+            jnp.asarray(mask), jnp.asarray(ki), jnp.asarray(vi),
+            jnp.asarray(l, jnp.int32), jnp.asarray(step, jnp.int32),
+            scale=D ** -0.5, window=window, bt=8, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref)[:, 0], rtol=2e-5, atol=2e-5,
+            err_msg=f"layer {l}",
+        )
+
+
 def test_model_forward_pallas_interpret_matches_xla(tmp_path):
     """Whole-model check: forward with attn_impl pallas-interpret equals
     the XLA path (uses a tiny random llama)."""

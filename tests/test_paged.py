@@ -97,6 +97,47 @@ def test_paged_frozen_kernel_vs_xla_oracle():
                                    err_msg=f"layer {l}")
 
 
+def test_paged_frozen_kernel_fp8_vs_xla_oracle():
+    """The frozen paged kernel on fp8 (e4m3) pools — the raw-byte int8
+    load + VPU expand path (attention_kernels._e4m3_expand_f32) — vs the
+    XLA gather oracle reading the same fp8 pools through convert."""
+    from tinygpt_tpu.ops.paged_attention import (
+        paged_decode_frozen_tpu,
+        paged_decode_frozen_xla,
+    )
+
+    rng = np.random.default_rng(5)
+    L, n_blocks, Nk, bs, D, B, MB, G, N = 2, 16, 2, 16, 64, 3, 4, 2, 8
+    Nq = Nk * G
+    kp = (rng.standard_normal((L, n_blocks, Nk, bs, D)) * 0.3).astype(np.float32)
+    vp = (rng.standard_normal((L, n_blocks, Nk, bs, D)) * 0.3).astype(np.float32)
+    kp[..., :8] *= 0.01  # exercise the e4m3 subnormal range
+    kp[:, 0] = 0.0
+    vp[:, 0] = 0.0
+    kp8 = jnp.asarray(kp).astype(jnp.float8_e4m3fn)
+    vp8 = jnp.asarray(vp).astype(jnp.float8_e4m3fn)
+    ki = (rng.standard_normal((B, Nk, N, D)) * 0.3).astype(np.float32)
+    vi = (rng.standard_normal((B, Nk, N, D)) * 0.3).astype(np.float32)
+    q = (rng.standard_normal((B, Nq, D)) * 0.3).astype(np.float32)
+    tables = np.array([[1, 2, 3, 0], [4, 5, 0, 0], [6, 0, 0, 0]], np.int32)
+    lengths0 = np.array([41, 20, 9], np.int32)
+    starts = np.array([0, 3, 1], np.int32)
+    step = 2
+    for l in range(L):
+        args = (jnp.asarray(q), kp8, vp8,
+                jnp.asarray(tables), jnp.asarray(lengths0),
+                jnp.asarray(starts), jnp.asarray(ki), jnp.asarray(vi),
+                jnp.asarray(l, jnp.int32), jnp.asarray(step, jnp.int32))
+        ref = paged_decode_frozen_xla(
+            args[0], kp8[l], vp8[l], *args[3:8],
+            args[9], scale=D ** -0.5)
+        got = paged_decode_frozen_tpu(*args, scale=D ** -0.5,
+                                      interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"layer {l}")
+
+
 def test_paged_spec_kernel_vs_xla_oracle():
     """paged_decode_spec_tpu (S verify queries, prior-valid + own-round
     causal in-flight masks, interpret mode) vs the XLA gather oracle."""

@@ -227,6 +227,177 @@ def test_stacked_fused_rope_epilogue_matches_xla_rope(L, IN, Nq, Nk):
                                    atol=2e-3, err_msg=f"rope l={l}")
 
 
+@pytest.mark.parametrize(
+    "L,IN,Nq,Nk",
+    [
+        (2, 256, 6, 1),     # boundary mid-tile
+        (1, 2048, 16, 8),   # qwen3-1.7B qkv shape (the fusion's target)
+    ],
+)
+def test_stacked_fused_qk_norm_epilogue_matches_xla(L, IN, Nq, Nk):
+    """Per-head qk RMSNorm (qwen3) fused into the rope epilogue
+    (interpret mode) vs the XLA composition on the kernel's raw output:
+    q heads normed with q_norm, k heads with k_norm — both pre-rope —
+    v heads untouched."""
+    from tinygpt_tpu.ops.quant_kernels import (
+        matmul_dequant_int4_stacked_fused,
+        rope_fuse_supported,
+    )
+    from tinygpt_tpu.ops.norms import rms_norm
+    from tinygpt_tpu.ops.rope import apply_rope_gathered, compute_rope_freqs
+
+    rng = np.random.default_rng(23)
+    M, G, D = 4, 64, 128
+    EPS = 1e-6
+    OUT = (Nq + 2 * Nk) * D
+    assert rope_fuse_supported(IN, Nq * D, Nk * D, D, G, M)
+    w = rng.standard_normal((L, IN, OUT)).astype(np.float32) * 0.05
+    qt = quantize_weight(w, bits=4, group_size=G)
+    x = rng.standard_normal((M, IN)).astype(np.float32)
+    ln = rng.standard_normal((L, 1, IN)).astype(np.float32)
+    qn = (1 + 0.1 * rng.standard_normal((L, D))).astype(np.float32)
+    kn = (1 + 0.1 * rng.standard_normal((L, D))).astype(np.float32)
+    cos, sin = compute_rope_freqs(D, 64)
+    positions = np.array([3, 11, 0, 42], np.int32)
+    cos_r = jnp.asarray(cos[positions])
+    sin_r = jnp.asarray(sin[positions])
+    inv = 1.0 / np.sqrt((x ** 2).mean(-1, keepdims=True) + EPS)
+    for l in range(L):
+        li = jnp.asarray(l, jnp.int32)
+        base = matmul_dequant_int4_stacked_fused(
+            jnp.asarray(x), qt.data, qt.scales, li, group=G,
+            ln=jnp.asarray(ln), invrms=jnp.asarray(inv), interpret=True,
+        )
+        got = matmul_dequant_int4_stacked_fused(
+            jnp.asarray(x), qt.data, qt.scales, li, group=G,
+            ln=jnp.asarray(ln), invrms=jnp.asarray(inv),
+            rope_cos=cos_r, rope_sin=sin_r,
+            rope_heads=Nq + Nk, rope_dim=D,
+            qk_norm_w=(jnp.asarray(qn), jnp.asarray(kn)),
+            qk_heads=Nq, eps=EPS, interpret=True,
+        )
+        q = np.asarray(base)[:, : Nq * D].reshape(M, 1, Nq, D)
+        k = np.asarray(base)[:, Nq * D : (Nq + Nk) * D].reshape(M, 1, Nk, D)
+        qn_x = rms_norm(jnp.asarray(q), jnp.asarray(qn[l]), EPS)
+        kn_x = rms_norm(jnp.asarray(k), jnp.asarray(kn[l]), EPS)
+        qr, kr = apply_rope_gathered(
+            qn_x, kn_x, cos_r[:, None, None, :], sin_r[:, None, None, :])
+        ref = np.concatenate(
+            [np.asarray(qr).reshape(M, -1), np.asarray(kr).reshape(M, -1),
+             np.asarray(base)[:, (Nq + Nk) * D :]], axis=1)
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3,
+                                   atol=2e-3, err_msg=f"qk-norm l={l}")
+
+
+def test_int4_odd64_lane_padding():
+    """Odd-64-lane contraction dims (Qwen2.5-0.5B's H=896 family):
+    quantize_weight row-pads to the next 256 multiple so the packed
+    kernels lower; the wrappers pad x to match. Checks (a) the padded
+    reference path equals the float matmul up to quant noise, (b) the
+    packed kernel (interpret) equals the padded reference exactly-ish,
+    (c) the fused stacked kernel pads internally for ln and silu
+    prologues."""
+    from tinygpt_tpu.ops.quant import matmul_dequant
+    from tinygpt_tpu.ops.quant_kernels import (
+        matmul_dequant_int4,
+        matmul_dequant_int4_stacked_fused,
+    )
+
+    rng = np.random.default_rng(31)
+    IN, OUT, M, G = 192, 256, 4, 64  # IN/2 = 96, not 128-divisible
+    w = rng.standard_normal((IN, OUT)).astype(np.float32) * 0.05
+    qt = quantize_weight(w, bits=4, group_size=G)
+    assert qt.in_dim == 256 and qt.data.shape == (128, OUT)
+    x = rng.standard_normal((M, IN)).astype(np.float32)
+
+    ref_f = x @ w
+    got = np.asarray(matmul_dequant(jnp.asarray(x), qt))
+    assert got.shape == (M, OUT)
+    # int4 g64 quant noise on random weights; the exact check is below
+    np.testing.assert_allclose(got, ref_f, rtol=0, atol=0.4)
+
+    # kernel vs the dequantize-based reference on the same padded tensor
+    xp = np.pad(x, ((0, 0), (0, 64)))
+    ref_q = xp @ np.asarray(dequantize(qt, jnp.float32))
+    kern = np.asarray(matmul_dequant_int4(
+        jnp.asarray(xp), qt.data, qt.scales, group=G, interpret=True))
+    np.testing.assert_allclose(kern, ref_q, rtol=2e-3, atol=2e-3)
+
+    # fused stacked wrapper pads x and ln internally (unpadded inputs)
+    L = 2
+    ws = rng.standard_normal((L, IN, OUT)).astype(np.float32) * 0.05
+    qs = quantize_weight(ws, bits=4, group_size=G)
+    ln = rng.standard_normal((L, 1, IN)).astype(np.float32)
+    inv = 1.0 / np.sqrt((x ** 2).mean(-1, keepdims=True) + 1e-6)
+    for l in range(L):
+        wd = np.asarray(dequantize(
+            QuantizedTensor(qs.data[l], qs.scales[l], 4, G, qs.in_dim),
+            jnp.float32))
+        ref = np.pad(x * inv * ln[l], ((0, 0), (0, 64))) @ wd
+        got = np.asarray(matmul_dequant_int4_stacked_fused(
+            jnp.asarray(x), qs.data, qs.scales, jnp.asarray(l, jnp.int32),
+            group=G, ln=jnp.asarray(ln), invrms=jnp.asarray(inv),
+            interpret=True))
+        np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3,
+                                   err_msg=f"fused ln l={l}")
+    # silu prologue: gate||up segments pad independently
+    gate_up = rng.standard_normal((M, 2 * IN)).astype(np.float32) * 0.5
+
+    def silu(v):
+        return v / (1 + np.exp(-v))
+
+    act = silu(gate_up[:, :IN]) * gate_up[:, IN:]
+    for l in range(L):
+        wd = np.asarray(dequantize(
+            QuantizedTensor(qs.data[l], qs.scales[l], 4, G, qs.in_dim),
+            jnp.float32))
+        ref = np.pad(act, ((0, 0), (0, 64))) @ wd
+        got = np.asarray(matmul_dequant_int4_stacked_fused(
+            jnp.asarray(gate_up), qs.data, qs.scales,
+            jnp.asarray(l, jnp.int32), group=G, silu=True,
+            interpret=True))
+        np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3,
+                                   err_msg=f"fused silu l={l}")
+
+
+def test_int4_odd64_model_forward(tmp_path):
+    """Model-level: an H=896-family architecture (hidden an odd multiple
+    of 64) quantizes at int4 without warnings and its forward tracks the
+    float model — the path Qwen2.5-0.5B takes (geometry previously
+    warned + fell back to the unfused XLA dequant)."""
+    from tinygpt_tpu.engine.kv_cache import create_kv_cache
+    from tinygpt_tpu.hf.config import parse_model_config
+    from tinygpt_tpu.models import causal_lm
+    from tinygpt_tpu.ops.quant import quantize_params
+
+    cfg = parse_model_config({
+        "model_type": "qwen2", "vocab_size": 512, "hidden_size": 192,
+        "num_hidden_layers": 2, "num_attention_heads": 3,
+        "num_key_value_heads": 1, "intermediate_size": 320,
+        "max_position_embeddings": 128, "rope_theta": 10000.0,
+        "rms_norm_eps": 1e-6, "tie_word_embeddings": False,
+    })
+    params = causal_lm.init_params(cfg, seed=5, dtype=jnp.float32)
+    qparams = quantize_params(params, bits=4, group_size=32)
+    assert qparams["layers"]["qkv_w"].in_dim == 256  # padded from 192
+    assert qparams["layers"]["down_w"].in_dim == 512  # padded from 320
+    # (next 256 multiple: the packed planes need 128-divisible rows)
+
+    rng = np.random.default_rng(2)
+    ids = rng.integers(0, cfg.vocab_size, (2, 8))
+    pos = jnp.broadcast_to(jnp.arange(8), (2, 8))
+    vld = jnp.ones((2, 8), jnp.bool_)
+    cache = create_kv_cache(cfg, 2, 16, dtype=jnp.float32)
+    ref, _ = causal_lm.forward(params, cfg, jnp.asarray(ids), cache,
+                               pos, vld)
+    cache = create_kv_cache(cfg, 2, 16, dtype=jnp.float32)
+    got, _ = causal_lm.forward(qparams, cfg, jnp.asarray(ids), cache,
+                               pos, vld)
+    assert got.shape == ref.shape
+    agree = (np.asarray(ref).argmax(-1) == np.asarray(got).argmax(-1)).mean()
+    assert agree > 0.6, agree
+
+
 def test_matmul_any_dispatch():
     rng = np.random.default_rng(3)
     w = rng.standard_normal((128, 64)).astype(np.float32) * 0.05

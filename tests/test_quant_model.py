@@ -52,6 +52,47 @@ def test_quantized_forward_close_to_float(llama_dir, bits):
         assert np.abs(ref - got).max() < 0.5
 
 
+def test_quantized_head_padding_exact(llama_dir):
+    """pad_head_out: the quantized lm_head's OUT dim is padded to the DMA
+    tile multiple, pad columns quantize to exact zero logits, and every
+    forward path slices back to vocab_size — logits must match a
+    hand-quantized UNPADDED head bit for bit."""
+    from tinygpt_tpu.ops.quant import (HEAD_PAD_MULTIPLE, pad_head_out,
+                                       quantize_weight)
+
+    cfg = load_model_config(llama_dir)
+    params = causal_lm.load_params(
+        cfg, load_safetensors_dir(llama_dir), dtype=jnp.float32
+    )
+    qparams = quantize_params(params, bits=4, group_size=32)
+    head = qparams["lm_head"]
+    assert head.data.shape[-1] % HEAD_PAD_MULTIPLE == 0
+    # pad columns are exact zeros after dequant-matmul: scale rows for the
+    # pad region multiply a zero-sum biased-nibble column
+    w = params["lm_head"] if params["lm_head"] is not None \
+        else jnp.asarray(params["embed"]).T
+    assert np.all(np.asarray(pad_head_out(w))[:, cfg.vocab_size:] == 0)
+
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, cfg.vocab_size, (2, 8))
+    pos = jnp.broadcast_to(jnp.arange(8), (2, 8))
+    vld = jnp.ones((2, 8), jnp.bool_)
+    cache = create_kv_cache(cfg, 2, 16, dtype=jnp.float32)
+    got, _ = causal_lm.forward(qparams, cfg, jnp.asarray(ids), cache,
+                               pos, vld)
+    assert got.shape[-1] == cfg.vocab_size
+
+    # unpadded manual head -> same logits (pad columns contribute nothing)
+    q2 = dict(qparams)
+    q2["lm_head"] = quantize_weight(w, bits=4, group_size=32)
+    cache = create_kv_cache(cfg, 2, 16, dtype=jnp.float32)
+    ref, _ = causal_lm.forward(q2, cfg, jnp.asarray(ids), cache, pos, vld)
+    # padded vs unpadded shapes compile to different reduction orders —
+    # equal to one f32 ulp
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-5)
+
+
 def test_engine_with_quantization(tmp_path):
     d = str(tmp_path / "m")
     build_full_model_dir(d, seed=13)

@@ -516,7 +516,9 @@ def forward(
     if head is None:
         logits = x @ params["embed"].T
     else:
-        logits = matmul_any(x, head)
+        # [..., :V]: quantized heads may carry DMA-alignment pad columns
+        # (ops/quant.pad_head_out) — exact zeros, sliced off here
+        logits = matmul_any(x, head)[..., : cfg.vocab_size]
     new_cache = KVCache(
         k=new_k, v=new_v, kv_pos=kv_pos, valid=valid,
         length=slot + S,
@@ -653,14 +655,17 @@ def decode_steps(
                               quant["gate_up_w"].group_size, batch=B)
         )
         # RoPE folded into the qkv kernel's epilogue (q||k columns roped
-        # while the tile is in VMEM) — kills the per-layer XLA rope glue
+        # while the tile is in VMEM) — kills the per-layer XLA rope glue.
+        # qk-norm models (qwen3) fuse their per-head RMSNorm into the
+        # same epilogue (pre-rope), so they ride the fused path too —
+        # round 4 excluded them, and the per-layer XLA norm+rope glue was
+        # the largest overhead of the qwen3_17b step (28 layers of
+        # [B, 1, N, D]-sized ops between kernel launches).
         from tinygpt_tpu.ops.quant_kernels import rope_fuse_supported
 
-        rope_fused = (
-            not cfg.qk_norm
-            and rope_fuse_supported(cfg.hidden_size, q_dim, Nk * D, D,
-                                    quant["qkv_w"].group_size, B)
-        )
+        rope_fused = rope_fuse_supported(cfg.hidden_size, q_dim, Nk * D, D,
+                                         quant["qkv_w"].group_size, B)
+        qk_fused = rope_fused and cfg.qk_norm
 
     def one_step(tok, positions, infl_k, infl_v, step):
         x = params["embed"][tok[:, None]]  # [B, 1, H]
@@ -703,6 +708,11 @@ def decode_steps(
                     rkw = dict(rope_cos=rope_c[:, 0, 0, :],
                                rope_sin=rope_s[:, 0, 0, :],
                                rope_heads=Nq + Nk, rope_dim=D)
+                    if qk_fused:
+                        rkw.update(
+                            qk_norm_w=(params["layers"]["q_norm"],
+                                       params["layers"]["k_norm"]),
+                            qk_heads=Nq, eps=cfg.rms_norm_eps)
                 qkv = mm_fused(x2, qt.data, qt.scales, l,
                                group=qt.group_size, ln=ln_in,
                                invrms=invrms(x2),
@@ -715,7 +725,7 @@ def decode_steps(
             q = qkv[..., :q_dim].reshape(B, 1, Nq, D)
             k = qkv[..., q_dim : q_dim + Nk * D].reshape(B, 1, Nk, D)
             v = qkv[..., q_dim + Nk * D :].reshape(B, 1, Nk, D)
-            if cfg.qk_norm:
+            if cfg.qk_norm and not (fuse and qk_fused):
                 q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
                 k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
             if not (fuse and rope_fused):
@@ -802,13 +812,13 @@ def decode_steps(
                 x2, head.data[None], head.scales[None],
                 jnp.asarray(0, jnp.int32), group=head.group_size,
                 ln=params["final_ln"][None, None, :], invrms=inv,
-            )[:, None, :]
+            )[:, None, : cfg.vocab_size]  # drop head pad cols (quant.py)
         else:
             x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
             if head is None:
                 logits = x @ params["embed"].T
             else:
-                logits = matmul_any(x, head)
+                logits = matmul_any(x, head)[..., : cfg.vocab_size]
         return logits.astype(jnp.float32), infl_k, infl_v
 
     def body(carry, key_step):
@@ -939,8 +949,12 @@ def decode_paged_steps(
         ln_post = params["layers"]["post_ln"][:, None, :]
         qkv_bias = (params["layers"]["qkv_b"][:, None, :]
                     if "qkv_b" in params["layers"] else None)
-        h_loc = 2 * quant["gate_up_w"].data.shape[1]
-        i_loc = 2 * quant["down_w"].data.shape[1]
+        # actual (per-shard under shard_map tp) LOGICAL dims, derived
+        # from never-padded tensors: quantize_weight may row-pad a
+        # stack's contraction dim (odd-64-lane), so data.shape[1] can
+        # exceed the activation width — ln widths and OUT dims cannot.
+        h_loc = ln_in.shape[-1]
+        i_loc = quant["gate_up_w"].data.shape[2] // 2
         mlp_mega = (
             quant["gate_up_w"].group_size == quant["down_w"].group_size
             and B <= 32
@@ -949,15 +963,17 @@ def decode_paged_steps(
         )
         from tinygpt_tpu.ops.quant_kernels import rope_fuse_supported
 
-        # actual tensor dims (see the fuse note above): o_w packs q_dim
-        # rows, qkv_w's output is q_dim + 2*kv_dim
-        q_loc = 2 * quant["o_w"].data.shape[1]
-        kv_loc = (quant["qkv_w"].data.shape[2] - q_loc) // 2
-        rope_fused = (
-            not cfg.qk_norm
-            and rope_fuse_supported(h_loc, q_loc, kv_loc, D,
-                                    quant["qkv_w"].group_size, B)
-        )
+        # qkv_w's (unpadded) output is q_dim + 2*kv_dim; split via the
+        # shard-invariant GQA ratio
+        out_qkv = quant["qkv_w"].data.shape[2]
+        gqa = cfg.num_attention_heads // cfg.num_kv_heads
+        kv_loc = out_qkv // (gqa + 2)
+        q_loc = out_qkv - 2 * kv_loc
+        rope_fused = rope_fuse_supported(h_loc, q_loc, kv_loc, D,
+                                         quant["qkv_w"].group_size, B)
+        # per-head qk RMSNorm (qwen3) fused into the same epilogue —
+        # norm weights are per-head-dim [L, D], replicated under tp
+        qk_fused = rope_fused and cfg.qk_norm
 
     def one_step(tok, infl_k, infl_v, step, kp, vp):
         lengths_t = lengths0 + step * act_i
@@ -988,6 +1004,11 @@ def decode_paged_steps(
                     rkw = dict(rope_cos=rope_c[:, 0, 0, :],
                                rope_sin=rope_s[:, 0, 0, :],
                                rope_heads=Nq + Nk, rope_dim=D)
+                    if qk_fused:
+                        rkw.update(
+                            qk_norm_w=(params["layers"]["q_norm"],
+                                       params["layers"]["k_norm"]),
+                            qk_heads=Nq, eps=cfg.rms_norm_eps)
                 qkv = mm_fused(x2, qt.data, qt.scales, l,
                                group=qt.group_size, ln=ln_in,
                                invrms=invrms(x2),
@@ -1000,7 +1021,7 @@ def decode_paged_steps(
             q = qkv[..., :q_dim].reshape(B, 1, Nq, D)
             k = qkv[..., q_dim : q_dim + Nk * D].reshape(B, 1, Nk, D)
             v = qkv[..., q_dim + Nk * D :].reshape(B, 1, Nk, D)
-            if cfg.qk_norm:
+            if cfg.qk_norm and not (fuse and qk_fused):
                 q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
                 k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
             if not (fuse and rope_fused):
@@ -1076,13 +1097,13 @@ def decode_paged_steps(
                 x2, head.data[None], head.scales[None],
                 jnp.asarray(0, jnp.int32), group=head.group_size,
                 ln=params["final_ln"][None, None, :], invrms=inv,
-            )
+            )[:, : cfg.vocab_size]  # drop head pad cols (quant.py)
         else:
             x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
             if head is None:
                 logits = x[:, 0] @ params["embed"].T
             else:
-                logits = matmul_any(x[:, 0], head)
+                logits = matmul_any(x[:, 0], head)[..., : cfg.vocab_size]
         return logits.astype(jnp.float32), infl_k, infl_v
 
     # the pools ride through the scan as UNCHANGED carry: consumed only
@@ -1277,7 +1298,7 @@ def decode_paged_spec_steps(
         if head is None:
             logits = x @ params["embed"].T
         else:
-            logits = matmul_any(x, head)
+            logits = matmul_any(x, head)[..., : cfg.vocab_size]
         return logits.astype(jnp.float32), infl_k, infl_v
 
     def round_fn(carry, r):
@@ -1504,7 +1525,7 @@ def forward_paged(
     if head is None:
         logits = x[:, 0] @ params["embed"].T
     else:
-        logits = matmul_any(x[:, 0], head)
+        logits = matmul_any(x[:, 0], head)[..., : cfg.vocab_size]
     new_state = state._replace(k_pool=new_k, v_pool=new_v,
                                lengths=new_lengths)
     return logits.astype(jnp.float32), new_state

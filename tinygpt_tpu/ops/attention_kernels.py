@@ -35,6 +35,29 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _e4m3_expand_f32(raw_i8: jnp.ndarray) -> jnp.ndarray:
+    """Expand float8_e4m3fn RAW BYTES (loaded as int8) to f32 with
+    integer ops — exact for normals, subnormals, and zeros.
+
+    Mosaic scalarizes fp8 VMEM loads (measured 66 GB/s vs ~500 bf16,
+    round-4 README routing note), but int8 loads run at full rate — so
+    the fp8 cache is BITCAST to int8 outside the kernel and the e4m3
+    decode happens on the VPU: a normal (exp field e>=1) maps to the f32
+    bit pattern ((mag << 20) + (120 << 23)) — the e4m3 mantissa's 3 bits
+    land in the f32 mantissa's top bits and the +120 rebias turns the
+    4-bit exponent into f32's 8-bit one; subnormals are m * 2^-9 computed
+    arithmetically (an integer->float convert is exact) to avoid f32
+    subnormal intermediates, which TPU flushes to zero. e4m3fn NaN (mag
+    0x7F) maps to a large finite — KV quantization never writes NaN."""
+    i = raw_i8.astype(jnp.int32)  # sign-extends: i < 0 iff sign bit set
+    mag = i & 0x7F
+    nrm = jax.lax.bitcast_convert_type(
+        (mag << 20) + (120 << 23), jnp.float32)
+    sub = mag.astype(jnp.float32) * (2.0 ** -9)  # covers mag == 0 exactly
+    f = jnp.where(mag >= 8, nrm, sub)
+    return jnp.where(i < 0, -f, f)
+
+
 def _pick_bt(T: int, target: int) -> int:
     """KV-tile length: the largest multiple of 128 that divides T, at
     most `target`, else T itself (one full tile). Two constraints meet
@@ -257,6 +280,7 @@ def _decode_frozen_kernel(
     n_t: int,
     n_kv: int,
     window,     # Optional[int] — sliding window for the in-flight mask
+    kv_e4m3: bool = False,  # frozen K/V are e4m3 bytes bitcast to int8
 ):
     # Grid is (B, T/BT): one KV tile carries ALL Nk heads (≈1 MB DMAs —
     # a per-(b, head) grid issues 8x smaller transfers and goes
@@ -274,28 +298,31 @@ def _decode_frozen_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    def dots(x_rows, kv_ref, idx, contract):
+    def dots(x_rows, kv_ref, idx, contract, expand=False):
         """Per-head MXU dots, rows stacked to [Nk*G, cols]."""
         outs = []
         for h in range(n_kv):
+            tile = kv_ref[idx + (h,)]
+            tile = (_e4m3_expand_f32(tile) if expand
+                    else tile.astype(jnp.float32))
             outs.append(jax.lax.dot_general(
-                x_rows[h * G : (h + 1) * G],
-                kv_ref[idx + (h,)].astype(jnp.float32),
+                x_rows[h * G : (h + 1) * G], tile,
                 ((contract, ((), ()))),
                 preferred_element_type=jnp.float32,
             ))
         return jnp.concatenate(outs, axis=0)
 
     q = q_ref[0].astype(jnp.float32).reshape(R, q_ref.shape[3])
-    s = dots(q, k_ref, (0, 0), ((1,), (1,))) * scale  # [R, BT]
-    s = jnp.where(mask_ref[0, 0][None, :] != 0, s, NEG_INF)
+    s = dots(q, k_ref, (0, 0), ((1,), (1,)), expand=kv_e4m3) * scale
+    s = jnp.where(mask_ref[0, 0][None, :] != 0, s, NEG_INF)  # [R, BT]
 
     m_prev = m_scr[:, :1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
     p = jnp.exp(s - m_new)
     alpha = jnp.exp(m_prev - m_new)
     l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
-    acc = acc_scr[:] * alpha + dots(p, v_ref, (0, 0), ((1,), (0,)))
+    acc = acc_scr[:] * alpha + dots(p, v_ref, (0, 0), ((1,), (0,)),
+                                    expand=kv_e4m3)
 
     @pl.when(jt < n_t - 1)
     def _():
@@ -363,8 +390,15 @@ def flash_decode_frozen(
     scalars = jnp.stack([jnp.asarray(l, jnp.int32),
                          jnp.asarray(step, jnp.int32)])
 
+    kv_e4m3 = k_stack.dtype == jnp.float8_e4m3fn
+    if kv_e4m3:
+        # Mosaic fp8 VMEM loads scalarize; int8 loads run at full rate —
+        # ship the raw bytes and decode on the VPU (_e4m3_expand_f32)
+        k_stack = jax.lax.bitcast_convert_type(k_stack, jnp.int8)
+        v_stack = jax.lax.bitcast_convert_type(v_stack, jnp.int8)
+
     kernel = functools.partial(_decode_frozen_kernel, scale=scale, n_t=n_t,
-                               n_kv=Nk, window=window)
+                               n_kv=Nk, window=window, kv_e4m3=kv_e4m3)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, n_t),

@@ -20,7 +20,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tinygpt_tpu.ops.attention_kernels import _e4m3_expand_f32
+
 NEG_INF = -1e30
+
+
+def _bitcast_e4m3_pools(*pools):
+    """fp8 pools ride the kernels as raw int8 bytes (Mosaic scalarizes
+    fp8 VMEM loads; int8 loads run at full rate — see
+    attention_kernels._e4m3_expand_f32). Returns (pools..., kv_e4m3)."""
+    if pools[0].dtype != jnp.float8_e4m3fn:
+        return (*pools, False)
+    return (*(jax.lax.bitcast_convert_type(p, jnp.int8) for p in pools),
+            True)
 
 
 def paged_gather_dense(pool: jnp.ndarray, block_tables: jnp.ndarray):
@@ -70,6 +82,7 @@ def _paged_decode_kernel(
     n_blk: int,
     bs: int,
     sliding_window,
+    kv_e4m3: bool = False,
 ):
     b = pl.program_id(0)
     j = pl.program_id(2)
@@ -84,10 +97,14 @@ def _paged_decode_kernel(
     start = starts_ref[b]
     block_live = (j * bs < length) & ((j + 1) * bs > start)
 
+    def expand(tile):
+        return (_e4m3_expand_f32(tile) if kv_e4m3
+                else tile.astype(jnp.float32))
+
     @pl.when(block_live)
     def _():
         q = q_ref[0, 0].astype(jnp.float32)      # [G, D]
-        k = k_ref[0, 0].astype(jnp.float32)      # [bs, D]
+        k = expand(k_ref[0, 0])                  # [bs, D]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -107,7 +124,7 @@ def _paged_decode_kernel(
             l_scr.shape,
         )
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            p, v_ref[0, 0].astype(jnp.float32),
+            p, expand(v_ref[0, 0]),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -167,9 +184,10 @@ def paged_decode_tpu(
             pltpu.VMEM((G, D), jnp.float32),
         ],
     )
+    k_pool, v_pool, kv_e4m3 = _bitcast_e4m3_pools(k_pool, v_pool)
     kernel = functools.partial(
         _paged_decode_kernel, scale=scale, n_blk=MB, bs=bs,
-        sliding_window=sliding_window,
+        sliding_window=sliding_window, kv_e4m3=kv_e4m3,
     )
     out = pl.pallas_call(
         kernel,
@@ -277,6 +295,7 @@ def _paged_frozen_kernel(
     n_kv: int,
     bs: int,
     sliding_window,
+    kv_e4m3: bool = False,
 ):
     b = pl.program_id(0)
     j = pl.program_id(1)
@@ -293,12 +312,14 @@ def _paged_frozen_kernel(
     start = starts_ref[b]
     block_live = (j * bs < length) & ((j + 1) * bs > start)
 
-    def dots(x_rows, kv_ref, idx, contract):
+    def dots(x_rows, kv_ref, idx, contract, expand=False):
         outs = []
         for h in range(n_kv):
+            tile = kv_ref[idx + (h,)]
+            tile = (_e4m3_expand_f32(tile) if expand
+                    else tile.astype(jnp.float32))
             outs.append(jax.lax.dot_general(
-                x_rows[h * G : (h + 1) * G],
-                kv_ref[idx + (h,)].astype(jnp.float32),
+                x_rows[h * G : (h + 1) * G], tile,
                 ((contract, ((), ()))),
                 preferred_element_type=jnp.float32,
             ))
@@ -308,7 +329,8 @@ def _paged_frozen_kernel(
 
     @pl.when(block_live)
     def _():
-        s = dots(q, k_ref, (0, 0), ((1,), (1,))) * scale  # [R, bs]
+        s = dots(q, k_ref, (0, 0), ((1,), (1,)),
+                 expand=kv_e4m3) * scale  # [R, bs]
         t = j * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
         mask = (t < length) & (t >= start)
         if sliding_window is not None:
@@ -324,7 +346,8 @@ def _paged_frozen_kernel(
             l_scr.shape,
         )
         acc_scr[:] = acc_scr[:] * alpha + dots(p, v_ref, (0, 0),
-                                               ((1,), (0,)))
+                                               ((1,), (0,)),
+                                               expand=kv_e4m3)
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
 
     @pl.when(j == n_blk - 1)
@@ -405,9 +428,10 @@ def paged_decode_frozen_tpu(
             pltpu.VMEM((Nk * G, D), jnp.float32),
         ],
     )
+    k_pools, v_pools, kv_e4m3 = _bitcast_e4m3_pools(k_pools, v_pools)
     kernel = functools.partial(
         _paged_frozen_kernel, scale=scale, n_blk=MB, n_kv=Nk, bs=bs,
-        sliding_window=sliding_window,
+        sliding_window=sliding_window, kv_e4m3=kv_e4m3,
     )
     out = pl.pallas_call(
         kernel,
@@ -513,6 +537,7 @@ def _paged_spec_kernel(
     n_kv: int,
     bs: int,
     n_g: int,     # G = Nq // Nk (rows per query position)
+    kv_e4m3: bool = False,
 ):
     b = pl.program_id(0)
     j = pl.program_id(1)
@@ -529,12 +554,14 @@ def _paged_spec_kernel(
     start = starts_ref[b]
     block_live = (j * bs < length) & ((j + 1) * bs > start)
 
-    def dots(x_rows, kv_ref, idx, contract):
+    def dots(x_rows, kv_ref, idx, contract, expand=False):
         outs = []
         for h in range(n_kv):
+            tile = kv_ref[idx + (h,)]
+            tile = (_e4m3_expand_f32(tile) if expand
+                    else tile.astype(jnp.float32))
             outs.append(jax.lax.dot_general(
-                x_rows[h * SG : (h + 1) * SG],
-                kv_ref[idx + (h,)].astype(jnp.float32),
+                x_rows[h * SG : (h + 1) * SG], tile,
                 ((contract, ((), ()))),
                 preferred_element_type=jnp.float32,
             ))
@@ -544,7 +571,8 @@ def _paged_spec_kernel(
 
     @pl.when(block_live)
     def _():
-        s = dots(q, k_ref, (0, 0), ((1,), (1,))) * scale  # [R, bs]
+        s = dots(q, k_ref, (0, 0), ((1,), (1,)),
+                 expand=kv_e4m3) * scale  # [R, bs]
         t = j * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
         mask = (t < length) & (t >= start)
         s = jnp.where(mask, s, NEG_INF)
@@ -558,7 +586,8 @@ def _paged_spec_kernel(
             l_scr.shape,
         )
         acc_scr[:] = acc_scr[:] * alpha + dots(p, v_ref, (0, 0),
-                                               ((1,), (0,)))
+                                               ((1,), (0,)),
+                                               expand=kv_e4m3)
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
 
     @pl.when(j == n_blk - 1)
@@ -644,8 +673,10 @@ def paged_decode_spec_tpu(
             pltpu.VMEM((Nk * S * G, D), jnp.float32),
         ],
     )
+    k_pools, v_pools, kv_e4m3 = _bitcast_e4m3_pools(k_pools, v_pools)
     kernel = functools.partial(
         _paged_spec_kernel, scale=scale, n_blk=MB, n_kv=Nk, bs=bs, n_g=G,
+        kv_e4m3=kv_e4m3,
     )
     out = pl.pallas_call(
         kernel,

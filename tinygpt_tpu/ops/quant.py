@@ -130,9 +130,24 @@ def quantize_weight(
 ) -> QuantizedTensor:
     """Symmetric per-group (or per-channel when group_size=None) quant.
     Runs on device — host-side numpy converts GB-scale weights at
-    single-core speed."""
+    single-core speed.
+
+    int4 contraction dims that are an odd multiple of 64 lanes (e.g.
+    Qwen2.5-0.5B H=896 → packed rows 448, no legal Mosaic tile — see
+    int4_lowerable) are ZERO-PADDED to the next 256 multiple before
+    packing, so the packed kernels always lower. Pad rows contribute
+    exactly 0 (zero weight rows; the matmul wrappers pad x with zeros to
+    match), the QuantizedTensor's in_dim reports the PADDED dim, and the
+    pad costs in_p/in_dim − 1 extra weight bytes (~14% at 896 → 1024 —
+    still far cheaper than the unfused XLA fallback it replaces,
+    measured 813 tok/s unfused vs 2,216 int8-fused on the 0.5B)."""
     assert bits in (8, 4)
     in_dim, out_dim = w.shape[-2], w.shape[-1]
+    if bits == 4 and (in_dim // 2) % 128:
+        in_p = -(-in_dim // 256) * 256
+        widths = [(0, 0)] * (w.ndim - 2) + [(0, in_p - in_dim), (0, 0)]
+        w = jnp.pad(jnp.asarray(w), widths)
+        in_dim = in_p
     g = min(group_size or in_dim, in_dim)  # clamp: small projections
     if bits == 4:
         # the packed kernel needs whole groups inside each nibble plane
@@ -182,6 +197,17 @@ def _use_pallas() -> bool:
         return False
 
 
+def pad_x_to(x2: jnp.ndarray, in_dim: int) -> jnp.ndarray:
+    """Zero-pad activations to a quantized weight's (row-padded)
+    contraction dim — see quantize_weight's odd-64-lane note. Pad rows
+    of the weight are zero, so the padded columns contribute exactly 0."""
+    pad = in_dim - x2.shape[-1]
+    if not pad:
+        return x2
+    widths = [(0, 0)] * (x2.ndim - 1) + [(0, pad)]
+    return jnp.pad(x2, widths)
+
+
 def matmul_dequant(x: jnp.ndarray, qt: QuantizedTensor) -> jnp.ndarray:
     """x [..., in] @ dequant(qt) → [..., out], fusing dequant into the
     matmul. Dispatches to the Pallas TPU kernel; falls back to the XLA
@@ -192,7 +218,7 @@ def matmul_dequant(x: jnp.ndarray, qt: QuantizedTensor) -> jnp.ndarray:
     )
 
     lead = x.shape[:-1]
-    x2 = x.reshape(-1, x.shape[-1])
+    x2 = pad_x_to(x.reshape(-1, x.shape[-1]), qt.in_dim)
     if _use_pallas() and (qt.bits != 4 or int4_lowerable(qt.in_dim)):
         out = matmul_dequant_tpu(x2, qt)
     else:
@@ -222,7 +248,7 @@ def matmul_dequant_stacked(x: jnp.ndarray, qt: QuantizedTensor,
     )
 
     lead = x.shape[:-1]
-    x2 = x.reshape(-1, x.shape[-1])
+    x2 = pad_x_to(x.reshape(-1, x.shape[-1]), qt.in_dim)
     if _use_pallas() and (qt.bits != 4 or int4_lowerable(qt.in_dim)):
         out = matmul_dequant_stacked_tpu(x2, qt, l)
     else:
@@ -283,22 +309,22 @@ def quantize_params(
     if bits == 4:
         from tinygpt_tpu.ops.quant_kernels import int4_lowerable
 
-        bad = sorted(k for k, w in layers.items()
-                     if k in _QUANT_KEYS | _QUANT_MOE_KEYS
-                     and not int4_lowerable(w.shape[-2]))
-        # MoE expert stacks have no XLA fallback on the decode path (the
-        # gathered kernels are the only gather-free route): quantize
-        # non-lowerable stacks at INT8 — whose whole-dim x block is
-        # always legal — instead of shipping a compile-time crash
-        moe_int8 = {k for k in bad if k in _QUANT_MOE_KEYS}
-        if bad:
+        # DENSE weights with odd-64-lane contraction dims (H=896 etc.)
+        # no longer fall off the fused path: quantize_weight zero-pads
+        # their rows to the next 256 multiple so every packed kernel
+        # lowers (the matmul wrappers pad x to match). MoE expert stacks
+        # keep the int8 fallback: the gathered kernels are the only
+        # gather-free decode route and take no row padding yet.
+        moe_int8 = {k for k, w in layers.items()
+                    if k in _QUANT_MOE_KEYS
+                    and not int4_lowerable(w.shape[-2])}
+        if moe_int8:
             import logging
 
             logging.getLogger("tinygpt_tpu.quant").warning(
-                "int4 kernels cannot lower for %s (contraction dim an odd "
-                "multiple of 64 lanes): dense weights run the unfused XLA "
-                "dequant path, MoE expert stacks quantize at int8 — "
-                "consider --quantization int8 for this architecture", bad)
+                "int4 gathered kernels cannot lower for %s (contraction "
+                "dim an odd multiple of 64 lanes): these MoE expert "
+                "stacks quantize at int8 instead", sorted(moe_int8))
     for key, w in layers.items():
         if key in _QUANT_KEYS:
             layers[key] = _quantize_stacked(w, bits, group_size)
@@ -309,11 +335,30 @@ def quantize_params(
     head = params.get("lm_head")
     if quantize_lm_head:
         if head is not None:
-            out["lm_head"] = quantize_weight(head, bits=bits,
+            out["lm_head"] = quantize_weight(pad_head_out(head), bits=bits,
                                              group_size=group_size)
         elif "embed" in params:  # tied: quantize a transposed copy
             out["lm_head"] = quantize_weight(
-                jnp.asarray(params["embed"]).T, bits=bits,
+                pad_head_out(jnp.asarray(params["embed"]).T), bits=bits,
                 group_size=group_size,
             )
     return out
+
+
+HEAD_PAD_MULTIPLE = 2048
+
+
+def pad_head_out(w) -> jnp.ndarray:
+    """Zero-pad the lm_head's OUT (vocab) dim to a 2048 multiple before
+    quantization. The packed kernels need a power-of-two output tile that
+    divides OUT; a vocab like Qwen's 151936 = 2^7*1187 only tiles at
+    bo=128, whose 128-byte DMA runs measured 189 GB/s vs ~600 at 2048+
+    (PROFILE_r05_qwen3.json head phase). Zero columns are exact under the
+    biased-nibble encoding (q=0, scale placeholder -> logits exactly 0);
+    every model head path slices [..., :vocab_size] after the matmul so
+    pad columns can never win sampling. ~1% extra head bytes."""
+    V = w.shape[-1]
+    pad = -V % HEAD_PAD_MULTIPLE
+    if not pad:
+        return jnp.asarray(w)
+    return jnp.pad(jnp.asarray(w), ((0, 0), (0, pad)))

@@ -674,7 +674,8 @@ def _int4_kernel_stacked_fused(*refs, n_k: int, group: int, has_ln: bool,
                                has_silu: bool, has_res: bool,
                                has_bias: bool = False,
                                full_scales: bool = False,
-                               rope_cols: int = 0, rope_dim: int = 0):
+                               rope_cols: int = 0, rope_dim: int = 0,
+                               qk_cols: int = 0, eps: float = 0.0):
     it = iter(refs[1:])  # refs[0] = scalar prefetch (consumed by index_maps)
     if has_silu:
         g_lo_ref, g_hi_ref, u_lo_ref, u_hi_ref = (next(it) for _ in range(4))
@@ -688,6 +689,9 @@ def _int4_kernel_stacked_fused(*refs, n_k: int, group: int, has_ln: bool,
     cos_ref = sin_ref = None
     if rope_cols:
         cos_ref, sin_ref = next(it), next(it)
+    qn_ref = kn_ref = None
+    if qk_cols:
+        qn_ref, kn_ref = next(it), next(it)
     o_ref, acc_ref = next(it), next(it)
 
     k = pl.program_id(2)
@@ -762,8 +766,21 @@ def _int4_kernel_stacked_fused(*refs, n_k: int, group: int, has_ln: bool,
             parts = []
             for h in range(bo_cols // rope_dim):
                 a = out[:, h * rope_dim : (h + 1) * rope_dim]
-                rot = jnp.concatenate([-a[:, half:], a[:, :half]], axis=1)
                 col0 = o_id * bo_cols + h * rope_dim
+                if qk_cols:
+                    # per-head qk RMSNorm (qwen3) fused pre-rope: heads
+                    # below qk_cols take q_norm, k heads take k_norm, v
+                    # heads pass through (col0 >= rope_cols). The norm
+                    # runs on the f32 accumulator — the XLA path norms
+                    # the bf16-rounded matmul output.
+                    inv = jax.lax.rsqrt(
+                        jnp.mean(a * a, axis=1, keepdims=True) + eps)
+                    nw = jnp.where(col0 < qk_cols,
+                                   qn_ref[0].astype(jnp.float32),
+                                   kn_ref[0].astype(jnp.float32))
+                    a = jnp.where(col0 < rope_cols,
+                                  a * inv * nw[None, :], a)
+                rot = jnp.concatenate([-a[:, half:], a[:, :half]], axis=1)
                 parts.append(jnp.where(col0 < rope_cols,
                                        a * c + rot * s, a))
             out = jnp.concatenate(parts, axis=1)
@@ -775,7 +792,7 @@ def _int4_kernel_stacked_fused(*refs, n_k: int, group: int, has_ln: bool,
 @functools.partial(
     jax.jit,
     static_argnames=("group", "silu", "bm", "bk", "bo", "interpret",
-                     "rope_heads", "rope_dim"),
+                     "rope_heads", "rope_dim", "qk_heads", "eps"),
 )
 def matmul_dequant_int4_stacked_fused(
     x: jnp.ndarray,       # [M, IN]; with silu: [M, 2*IN] = gate||up
@@ -792,16 +809,32 @@ def matmul_dequant_int4_stacked_fused(
     rope_sin: jnp.ndarray = None,  # RoPE epilogue on the q||k columns
     rope_heads: int = 0,         # static: leading heads to rope (Nq+Nk)
     rope_dim: int = 0,           # static: head_dim D
+    qk_norm_w=None,              # (q_norm [L, D], k_norm [L, D]) — fused
+    #                              per-head qk RMSNorm pre-rope (qwen3)
+    qk_heads: int = 0,           # static: q heads (q/k norm boundary)
+    eps: float = 0.0,            # static: rms eps for the fused qk norm
     bm: int = 256,
     bk: int = 1024,
     bo=None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     has_silu = bool(silu)
-    IN2 = x.shape[1]
-    IN = IN2 // 2 if has_silu else IN2
-    M = x.shape[0]
     L, INP, OUT = data.shape
+    in_p = 2 * INP  # the weight's (possibly row-padded) contraction dim
+    IN = x.shape[1] // 2 if has_silu else x.shape[1]
+    if IN != in_p:
+        # odd-64-lane contraction dims are row-padded at quantize time
+        # (quantize_weight); pad x per plane-segment to match — the pad
+        # columns multiply zero weight rows, contributing exactly 0
+        assert IN < in_p, (IN, in_p)
+        z = jnp.zeros((x.shape[0], in_p - IN), x.dtype)
+        x = (jnp.concatenate([x[:, :IN], z, x[:, IN:], z], axis=1)
+             if has_silu else jnp.concatenate([x, z], axis=1))
+        if ln is not None and ln.shape[-1] != in_p:
+            ln = jnp.pad(ln, ((0, 0), (0, 0), (0, in_p - ln.shape[-1])))
+        IN = in_p
+    IN2 = x.shape[1]
+    M = x.shape[0]
     half = IN // 2
     assert INP == half
     has_ln = ln is not None
@@ -890,6 +923,18 @@ def matmul_dequant_int4_stacked_fused(
             pl.BlockSpec((bm, rope_dim), lambda m, o, k, l: (m, 0),
                          memory_space=pltpu.VMEM),
         ])
+    qk_cols = 0
+    if qk_norm_w is not None:
+        assert rope_cols and qk_heads, "fused qk norm rides the rope epilogue"
+        qk_cols = qk_heads * rope_dim
+        qn, kn = qk_norm_w  # [L, D] each, layer-indexed like ln
+        inputs.extend([qn, kn])
+        in_specs.extend([
+            pl.BlockSpec((1, rope_dim), lambda m, o, k, l: (l[0], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rope_dim), lambda m, o, k, l: (l[0], 0),
+                         memory_space=pltpu.VMEM),
+        ])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -904,7 +949,8 @@ def matmul_dequant_int4_stacked_fused(
                           has_ln=has_ln, has_silu=has_silu,
                           has_res=has_res, has_bias=has_bias,
                           full_scales=full_scales,
-                          rope_cols=rope_cols, rope_dim=rope_dim),
+                          rope_cols=rope_cols, rope_dim=rope_dim,
+                          qk_cols=qk_cols, eps=eps),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((M, OUT), res.dtype if has_res
                                        else x.dtype),
@@ -927,7 +973,13 @@ def rope_fuse_supported(H: int, q_dim: int, kv_dim: int, D: int,
     per output tile with the same bo the wrapper will pick (the q||k / v
     boundary may fall mid-tile — the kernel gates rope per head). D must
     be lane-sized (128) — smaller head dims fall back to the XLA rope."""
-    if D % 128 or H % (2 * group):
+    if D % 128:
+        return False
+    if (H // 2) % 128:
+        # odd-64-lane hidden dims are row-padded at quantize time
+        # (quantize_weight); mirror the padded geometry the wrapper sees
+        H = -(-H // 256) * 256
+    if H % (2 * group):
         return False
     OUT = q_dim + 2 * kv_dim
     INP = H // 2
@@ -1078,6 +1130,11 @@ def mlp_supported(H: int, I: int, group: int, bk: int = 1024,
     bm=32 at flagship shapes (advisor finding, round 3)."""
     tw = bk
     if H % (2 * group) or I % (2 * group):
+        return False
+    if (H // 2) % 128 or (I // 2) % 128:
+        # row-padded stacks (quantize_weight's odd-64-lane pad) don't
+        # match the mega kernel's whole-activation tiling — the 2-call
+        # fused path (which pads x internally) handles them
         return False
     bka = _pick_bk(H // 2, group, bk)
     bkb = _pick_bk(I // 2, group, bk)
