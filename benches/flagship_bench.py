@@ -258,7 +258,14 @@ def run(batch: int = 4, decode_steps: int = 32, bits: int = 4,
         np.asarray(toks)  # one fence per chain (see bench.py)
         best = min(best, (time.perf_counter() - t0) / chain)
 
-    hot = nbytes - params["embed"].size * 2  # embed gather is traffic-free
+    # hot bytes/step = weights+scales (embed gather is traffic-free)
+    # PLUS the KV-cache read — the same accounting as the phase
+    # profiler's "full" row (round 4's 4.01-vs-4.543 GB discrepancy was
+    # this term; see README "Roofline and byte accounting")
+    kv_read = (cfg.num_hidden_layers * B * cfg.num_kv_heads
+               * args.context * cfg.head_dim
+               * jnp.dtype(kv_dt).itemsize * 2)
+    hot = nbytes - params["embed"].size * 2 + kv_read
     if cfg.num_local_experts:
         # the gathered decode kernels read only the ROUTED k/E experts
         moe_bytes = sum(
