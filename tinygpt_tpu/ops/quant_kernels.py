@@ -776,8 +776,8 @@ def _int4_kernel_stacked_fused(*refs, n_k: int, group: int, has_ln: bool,
                     inv = jax.lax.rsqrt(
                         jnp.mean(a * a, axis=1, keepdims=True) + eps)
                     nw = jnp.where(col0 < qk_cols,
-                                   qn_ref[0].astype(jnp.float32),
-                                   kn_ref[0].astype(jnp.float32))
+                                   qn_ref[0, 0].astype(jnp.float32),
+                                   kn_ref[0, 0].astype(jnp.float32))
                     a = jnp.where(col0 < rope_cols,
                                   a * inv * nw[None, :], a)
                 rot = jnp.concatenate([-a[:, half:], a[:, :half]], axis=1)
@@ -928,11 +928,15 @@ def matmul_dequant_int4_stacked_fused(
         assert rope_cols and qk_heads, "fused qk norm rides the rope epilogue"
         qk_cols = qk_heads * rope_dim
         qn, kn = qk_norm_w  # [L, D] each, layer-indexed like ln
-        inputs.extend([qn, kn])
+        # dummy middle axis: Mosaic requires the last-two block dims be
+        # (8k, 128k) or equal to the array dims — (1, D) over [L, D]
+        # is illegal, (1, 1, D) over [L, 1, D] is exact
+        inputs.extend([qn.reshape(qn.shape[0], 1, qn.shape[1]),
+                       kn.reshape(kn.shape[0], 1, kn.shape[1])])
         in_specs.extend([
-            pl.BlockSpec((1, rope_dim), lambda m, o, k, l: (l[0], 0),
+            pl.BlockSpec((1, 1, rope_dim), lambda m, o, k, l: (l[0], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rope_dim), lambda m, o, k, l: (l[0], 0),
+            pl.BlockSpec((1, 1, rope_dim), lambda m, o, k, l: (l[0], 0, 0),
                          memory_space=pltpu.VMEM),
         ])
 
