@@ -84,6 +84,15 @@ def main():
                     help="frozen-merge route for the `full` phase: "
                          "pallas (the shipped routing) | pallas_frozen "
                          "(force the flash_decode_frozen kernel) | xla")
+    ap.add_argument("--compiler-options", dest="compiler_options",
+                    default=None,
+                    help="JSON dict of XLA compiler options for the "
+                         "`full` phase jit (TPU flags must ride here: "
+                         "the tunneled backend compiles remotely and "
+                         "ignores client XLA_FLAGS)")
+    ap.add_argument("--trace", default=None,
+                    help="directory for a jax.profiler device trace of "
+                         "the `full` phase (per-XLA-op durations)")
     args = ap.parse_args()
     B, N_STEPS, T = args.batch, args.steps, args.context
     phases = args.phases.split(",")
@@ -507,7 +516,11 @@ def main():
     if "full" in phases:
         cache = create_kv_cache(cfg, B, T, dtype=jnp.bfloat16)
 
-        @functools.partial(jax.jit, donate_argnums=(2,))
+        copts = (json.loads(args.compiler_options)
+                 if args.compiler_options else None)
+
+        @functools.partial(jax.jit, donate_argnums=(2,),
+                           compiler_options=copts)
         def decode_n(p, tok, c, pos0):
             keys = jax.random.split(jax.random.PRNGKey(0), N_STEPS)
             return causal_lm.decode_steps(
@@ -532,6 +545,15 @@ def main():
         hot = nbytes - params["embed"].size * 2
         kv_read = L * B * Nk * T * D * 2 * 2
         report("full", best, hot + kv_read)
+
+        if args.trace:
+            # one fenced chain under a device trace: per-XLA-op
+            # durations land in <trace>/plugins/profile/*/vm.trace.json.gz
+            with jax.profiler.trace(args.trace):
+                for _ in range(2):
+                    toks, cache = decode_n(params, toks[-1], cache, pos0)
+                np.asarray(toks)
+            print(f"trace written to {args.trace}", file=sys.stderr)
 
     # ceiling runs LAST: its 2 GB buffer OOMed build_flagship when it
     # ran first (round-3 profile_g64.log, RESOURCE_EXHAUSTED in

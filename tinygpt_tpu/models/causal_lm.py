@@ -526,6 +526,26 @@ def forward(
     return logits.astype(jnp.float32), new_cache
 
 
+
+# XLA's memory-space-assignment pass re-prefetches small stacked scale
+# arrays into VMEM (S(1)) on EVERY layer iteration of the decode scan
+# when they fit its budget — 28 x 19 us/step at the qwen3_17b shape,
+# 0.52 ms of a 3.34 ms step (round-5 device trace). Compiler flags
+# can't reach the tunneled remote compiler, so deny MSA the buffer:
+# slice the layer's scales outside the kernel (one extra pass of the
+# scale bytes per step) and index the slice layer-invariantly. Large
+# stacks (7B: 50 MB) never tempted MSA and stay stacked for free.
+_MSA_SCALE_SLICE_BYTES = 32 * 2**20
+
+
+def _sliced_scales(qt: QuantizedTensor, l):
+    """(scales_operand, scales_sliced_flag) for the fused kernels."""
+    if qt.scales.nbytes <= _MSA_SCALE_SLICE_BYTES:
+        return jax.lax.dynamic_index_in_dim(qt.scales, l, 0,
+                                            keepdims=True), True
+    return qt.scales, False
+
+
 def decode_steps(
     params: Dict,
     cfg: ModelConfig,
@@ -713,10 +733,11 @@ def decode_steps(
                             qk_norm_w=(params["layers"]["q_norm"],
                                        params["layers"]["k_norm"]),
                             qk_heads=Nq, eps=cfg.rms_norm_eps)
-                qkv = mm_fused(x2, qt.data, qt.scales, l,
+                sc, ssl = _sliced_scales(qt, l)
+                qkv = mm_fused(x2, qt.data, sc, l,
                                group=qt.group_size, ln=ln_in,
-                               invrms=invrms(x2),
-                               bias=qkv_bias, **rkw)[:, None, :]
+                               invrms=invrms(x2), bias=qkv_bias,
+                               scales_sliced=ssl, **rkw)[:, None, :]
             else:
                 h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
                 qkv = mm(h, "qkv_w")
@@ -755,22 +776,31 @@ def decode_steps(
                 )
             if fuse:
                 qt = quant["o_w"]
-                x2 = mm_fused(attn.reshape(B, q_dim), qt.data, qt.scales,
-                              l, group=qt.group_size, res=x[:, 0, :])
+                sc, ssl = _sliced_scales(qt, l)
+                x2 = mm_fused(attn.reshape(B, q_dim), qt.data, sc,
+                              l, group=qt.group_size, res=x[:, 0, :],
+                              scales_sliced=ssl)
                 if mlp_mega:
                     gqt, dqt = quant["gate_up_w"], quant["down_w"]
+                    gsc, gssl = _sliced_scales(gqt, l)
+                    dsc, dssl = _sliced_scales(dqt, l)
                     x2 = mlp_fused_int4_stacked(
-                        x2, gqt.data, gqt.scales, dqt.data, dqt.scales,
+                        x2, gqt.data, gsc, dqt.data, dsc,
                         ln_post, invrms(x2), l, group=gqt.group_size,
+                        gu_sliced=gssl, dn_sliced=dssl,
                     )
                 else:
                     qt = quant["gate_up_w"]
-                    gate_up = mm_fused(x2, qt.data, qt.scales, l,
+                    sc, ssl = _sliced_scales(qt, l)
+                    gate_up = mm_fused(x2, qt.data, sc, l,
                                        group=qt.group_size, ln=ln_post,
-                                       invrms=invrms(x2))
+                                       invrms=invrms(x2),
+                                       scales_sliced=ssl)
                     qt = quant["down_w"]
-                    x2 = mm_fused(gate_up, qt.data, qt.scales, l,
-                                  group=qt.group_size, silu=True, res=x2)
+                    sc, ssl = _sliced_scales(qt, l)
+                    x2 = mm_fused(gate_up, qt.data, sc, l,
+                                  group=qt.group_size, silu=True, res=x2,
+                                  scales_sliced=ssl)
                 return x2[:, None, :], (ik, iv)
             x = x + mm(attn.reshape(B, 1, q_dim), "o_w")
             h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
@@ -1009,10 +1039,11 @@ def decode_paged_steps(
                             qk_norm_w=(params["layers"]["q_norm"],
                                        params["layers"]["k_norm"]),
                             qk_heads=Nq, eps=cfg.rms_norm_eps)
-                qkv = mm_fused(x2, qt.data, qt.scales, l,
+                sc, ssl = _sliced_scales(qt, l)
+                qkv = mm_fused(x2, qt.data, sc, l,
                                group=qt.group_size, ln=ln_in,
-                               invrms=invrms(x2),
-                               bias=qkv_bias, **rkw)[:, None, :]
+                               invrms=invrms(x2), bias=qkv_bias,
+                               scales_sliced=ssl, **rkw)[:, None, :]
             else:
                 h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
                 qkv = mm(h, "qkv_w")
@@ -1041,22 +1072,31 @@ def decode_paged_steps(
             )
             if fuse:
                 qt = quant["o_w"]
-                x2 = mm_fused(attn.reshape(B, q_dim), qt.data, qt.scales,
-                              l, group=qt.group_size, res=x[:, 0, :])
+                sc, ssl = _sliced_scales(qt, l)
+                x2 = mm_fused(attn.reshape(B, q_dim), qt.data, sc,
+                              l, group=qt.group_size, res=x[:, 0, :],
+                              scales_sliced=ssl)
                 if mlp_mega:
                     gqt, dqt = quant["gate_up_w"], quant["down_w"]
+                    gsc, gssl = _sliced_scales(gqt, l)
+                    dsc, dssl = _sliced_scales(dqt, l)
                     x2 = mlp_fused_int4_stacked(
-                        x2, gqt.data, gqt.scales, dqt.data, dqt.scales,
+                        x2, gqt.data, gsc, dqt.data, dsc,
                         ln_post, invrms(x2), l, group=gqt.group_size,
+                        gu_sliced=gssl, dn_sliced=dssl,
                     )
                 else:
                     qt = quant["gate_up_w"]
-                    gate_up = mm_fused(x2, qt.data, qt.scales, l,
+                    sc, ssl = _sliced_scales(qt, l)
+                    gate_up = mm_fused(x2, qt.data, sc, l,
                                        group=qt.group_size, ln=ln_post,
-                                       invrms=invrms(x2))
+                                       invrms=invrms(x2),
+                                       scales_sliced=ssl)
                     qt = quant["down_w"]
-                    x2 = mm_fused(gate_up, qt.data, qt.scales, l,
-                                  group=qt.group_size, silu=True, res=x2)
+                    sc, ssl = _sliced_scales(qt, l)
+                    x2 = mm_fused(gate_up, qt.data, sc, l,
+                                  group=qt.group_size, silu=True, res=x2,
+                                  scales_sliced=ssl)
                 return x2[:, None, :], (ik, iv)
             x = x + mm(attn.reshape(B, 1, q_dim), "o_w")
             h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)

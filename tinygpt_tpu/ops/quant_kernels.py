@@ -426,7 +426,8 @@ def _int8_kernel_stacked(l_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, *,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group", "bm", "bk", "bo", "interpret")
+    jax.jit, static_argnames=("group", "bm", "bk", "bo", "interpret",
+                              "scales_sliced")
 )
 def matmul_dequant_int8_stacked(
     x: jnp.ndarray,       # [M, IN]
@@ -438,6 +439,9 @@ def matmul_dequant_int8_stacked(
     bk: int = 1024,
     bo=None,  # None: auto (_pick_bo)
     interpret: bool = False,
+    scales_sliced: bool = False,  # scales is this layer's [1, ...] slice
+    #   (see matmul_dequant_int4_stacked_fused: denies XLA's MSA pass
+    #   the small stacked scale buffer it re-prefetches every layer)
 ) -> jnp.ndarray:
     M, IN = x.shape
     L, _, OUT = data.shape
@@ -465,7 +469,9 @@ def matmul_dequant_int8_stacked(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bk, bo), lambda m, o, k, l: (l[0], k, o),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, bo), lambda m, o, k, l: (l[0], k, o),
+            pl.BlockSpec((1, rows, bo),
+                         lambda m, o, k, l: (0 if scales_sliced else l[0],
+                                             k, o),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bo), lambda m, o, k, l: (m, o),
@@ -556,7 +562,8 @@ def _int4_kernel_stacked(l_ref, x_lo_ref, x_hi_ref, w_ref, s_lo_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group", "bm", "bk", "bo", "interpret")
+    jax.jit, static_argnames=("group", "bm", "bk", "bo", "interpret",
+                              "scales_sliced")
 )
 def matmul_dequant_int4_stacked(
     x: jnp.ndarray,       # [M, IN]
@@ -568,6 +575,9 @@ def matmul_dequant_int4_stacked(
     bk: int = 1024,
     bo=None,  # None: auto (_pick_bo)
     interpret: bool = False,
+    scales_sliced: bool = False,  # scales is this layer's [1, ...] slice
+    #   (see matmul_dequant_int4_stacked_fused: denies XLA's MSA pass
+    #   the small stacked scale buffer it re-prefetches every layer)
 ) -> jnp.ndarray:
     M, IN = x.shape
     L, INP, OUT = data.shape
@@ -597,10 +607,12 @@ def matmul_dequant_int4_stacked(
     s_rows = scales.shape[1] if full_scales else rows
 
     def s_lo_map(m, o, k, l):
-        return (l[0], 0 if full_scales else k, o)
+        return (0 if scales_sliced else l[0],
+                0 if full_scales else k, o)
 
     def s_hi_map(m, o, k, l, _nk=n_k):
-        return (l[0], 0 if full_scales else k + _nk, o)
+        return (0 if scales_sliced else l[0],
+                0 if full_scales else k + _nk, o)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -643,14 +655,23 @@ def matmul_dequant_stacked_tpu(x: jnp.ndarray, qt: "QuantizedTensor",
                                l: jnp.ndarray,
                                interpret: bool = False) -> jnp.ndarray:
     """Dispatch by bit width for stacked [L, in, out] quantized weights;
-    x is [M, IN] 2-D, l the traced layer index."""
+    x is [M, IN] 2-D, l the traced layer index. Small scale stacks are
+    sliced per layer outside the kernel — XLA's MSA pass otherwise
+    re-prefetches the whole stacked array into VMEM every layer
+    iteration of a decode scan (see matmul_dequant_int4_stacked_fused's
+    scales_sliced note)."""
+    sc, ssl = qt.scales, False
+    if qt.data.ndim == 3 and qt.scales.nbytes <= 32 * 2**20             and qt.scales.shape[0] > 1:
+        sc = jax.lax.dynamic_index_in_dim(qt.scales, l, 0, keepdims=True)
+        ssl = True
     if qt.bits == 8:
         return matmul_dequant_int8_stacked(
-            x, qt.data, qt.scales, l, group=qt.group_size,
-            interpret=interpret,
+            x, qt.data, sc, l, group=qt.group_size,
+            interpret=interpret, scales_sliced=ssl,
         )
     return matmul_dequant_int4_stacked(
-        x, qt.data, qt.scales, l, group=qt.group_size, interpret=interpret
+        x, qt.data, sc, l, group=qt.group_size, interpret=interpret,
+        scales_sliced=ssl,
     )
 
 
@@ -792,7 +813,8 @@ def _int4_kernel_stacked_fused(*refs, n_k: int, group: int, has_ln: bool,
 @functools.partial(
     jax.jit,
     static_argnames=("group", "silu", "bm", "bk", "bo", "interpret",
-                     "rope_heads", "rope_dim", "qk_heads", "eps"),
+                     "rope_heads", "rope_dim", "qk_heads", "eps",
+                     "scales_sliced"),
 )
 def matmul_dequant_int4_stacked_fused(
     x: jnp.ndarray,       # [M, IN]; with silu: [M, 2*IN] = gate||up
@@ -817,6 +839,15 @@ def matmul_dequant_int4_stacked_fused(
     bk: int = 1024,
     bo=None,
     interpret: bool = False,
+    scales_sliced: bool = False,  # scales is THIS layer's [1, IN/group,
+    #   OUT] slice (layer-invariant index 0), not the [L, ...] stack.
+    #   Callers inside a layer scan slice small scale stacks per layer:
+    #   XLA's memory-space-assignment pass otherwise re-prefetches the
+    #   WHOLE stacked array into VMEM (S(1)) every layer iteration when
+    #   it fits its budget — 28 x 19 us/step of copy-done at the
+    #   qwen3_17b shape (0.52 ms of a 3.34 ms step, round-5 trace).
+    #   A per-layer dynamic slice costs one extra pass of the scale
+    #   bytes (~23 us/step there) and denies MSA the stacked buffer.
 ) -> jnp.ndarray:
     has_silu = bool(silu)
     L, INP, OUT = data.shape
@@ -886,10 +917,12 @@ def matmul_dequant_int4_stacked_fused(
     s_rows = scales.shape[1] if full_scales else rows
 
     def s_lo_map(m, o, k, l):
-        return (l[0], 0 if full_scales else k, o)
+        return (0 if scales_sliced else l[0],
+                0 if full_scales else k, o)
 
     def s_hi_map(m, o, k, l, _nk=n_k):
-        return (l[0], 0 if full_scales else k + _nk, o)
+        return (0 if scales_sliced else l[0],
+                0 if full_scales else k + _nk, o)
 
     inputs.extend([data, scales, scales])
     in_specs.extend([
@@ -1156,7 +1189,8 @@ def mlp_supported(H: int, I: int, group: int, bk: int = 1024,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group", "bm", "bk", "interpret")
+    jax.jit, static_argnames=("group", "bm", "bk", "interpret",
+                              "gu_sliced", "dn_sliced")
 )
 def mlp_fused_int4_stacked(
     x: jnp.ndarray,          # [M, H] residual stream (post-attention)
@@ -1171,6 +1205,10 @@ def mlp_fused_int4_stacked(
     bm: int = 32,
     bk: int = 1024,
     interpret: bool = False,
+    gu_sliced: bool = False,  # gu_scales is this layer's [1, ...] slice
+    dn_sliced: bool = False,  # dn_scales likewise — see the
+    #   scales_sliced note on matmul_dequant_int4_stacked_fused (MSA
+    #   re-prefetches small stacked scale arrays every layer iteration)
 ) -> jnp.ndarray:
     """x + down(silu(g)*u) with [g||u] = gate_up(rms(x)*ln), one call."""
     M, H = x.shape
@@ -1231,22 +1269,26 @@ def mlp_fused_int4_stacked(
                          lambda i, l: (l[0], a_idx(i)[0], a_idx(i)[1]),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rows_a, boa),
-                         lambda i, l: (l[0], a_idx(i)[0], a_idx(i)[1]),
+                         lambda i, l: (0 if gu_sliced else l[0],
+                                       a_idx(i)[0], a_idx(i)[1]),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rows_a, boa),
                          lambda i, l, _n=nka:
-                         (l[0], a_idx(i)[0] + _n, a_idx(i)[1]),
+                         (0 if gu_sliced else l[0],
+                          a_idx(i)[0] + _n, a_idx(i)[1]),
                          memory_space=pltpu.VMEM),
             # down weight + scale planes
             pl.BlockSpec((1, bkb, bob),
                          lambda i, l: (l[0], b_idx(i)[0], b_idx(i)[1]),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rows_b, bob),
-                         lambda i, l: (l[0], b_idx(i)[0], b_idx(i)[1]),
+                         lambda i, l: (0 if dn_sliced else l[0],
+                                       b_idx(i)[0], b_idx(i)[1]),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rows_b, bob),
                          lambda i, l, _n=nkb:
-                         (l[0], b_idx(i)[0] + _n, b_idx(i)[1]),
+                         (0 if dn_sliced else l[0],
+                          b_idx(i)[0] + _n, b_idx(i)[1]),
                          memory_space=pltpu.VMEM),
             # residual (phase B epilogue)
             pl.BlockSpec((bm, bob), lambda i, l: (0, b_idx(i)[1]),
