@@ -114,7 +114,10 @@ def test_int4_gather_full_scales_mode():
     wd = dequantize(qt, dtype=jnp.float32)
     got = moe_gather_matmul_int4(x, qt.data, qt.scales, jnp.int32(0), idx,
                                  group=qt.group_size, interpret=True)
-    ref = jnp.einsum("ri,rio->ro", x, wd[0, idx])
+    # IN=128 row-pads to 256 at quantize time (odd-64-lane rule); the
+    # pad rows dequantize to exact zeros — slice the oracle to logical
+    # rows (the kernel wrapper zero-pads x to match internally)
+    ref = jnp.einsum("ri,rio->ro", x, wd[0, idx][:, : x.shape[1], :])
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-3)
 

@@ -258,6 +258,13 @@ def _moe_layer_params(lp: Dict, quant, l) -> Dict:
                 qt.data[l], qt.scales[l], qt.bits, qt.group_size,
                 qt.in_dim,
             ))
+        # odd-64-lane stacks dequantize with their quantize-time row
+        # padding (exact-zero rows); slice back to the logical dims the
+        # dense einsums expect — gate_up's rows are H (= down's out),
+        # down's rows are I (= gate_up's out / 2)
+        gu, dn = lp["moe_gate_up_w"], lp["moe_down_w"]
+        lp["moe_gate_up_w"] = gu[:, : dn.shape[-1], :]
+        lp["moe_down_w"] = dn[:, : gu.shape[-1] // 2, :]
     return lp
 
 

@@ -257,6 +257,15 @@ def moe_gather_matmul_int4(
 
     R, IN = x.shape
     L, E, INP, OUT = data.shape
+    if IN != 2 * INP:
+        # odd-64-lane expert stacks row-pad at quantize time
+        # (quantize_weight); the pad rows are exact zeros, so padding x
+        # to match contributes exactly 0 (same contract as pad_x_to on
+        # the dense wrappers)
+        from tinygpt_tpu.ops.quant import pad_x_to
+
+        x = pad_x_to(x, 2 * INP)
+        IN = 2 * INP
     half = IN // 2
     assert INP == half, "packed rows must be in/2"
     bk = _pick_bk(INP, group, min(bk, INP))

@@ -277,7 +277,9 @@ def _quantize_moe_stacked(w, bits: int,
     return QuantizedTensor(
         qt.data.reshape(L, E, -1, out_dim),
         qt.scales.reshape(L, E, -1, out_dim),
-        bits=qt.bits, group_size=qt.group_size, in_dim=in_dim,
+        # qt.in_dim, NOT the caller's: odd-64-lane dims row-pad inside
+        # quantize_weight and in_dim must report the padded rows
+        bits=qt.bits, group_size=qt.group_size, in_dim=qt.in_dim,
     )
 
 
