@@ -110,9 +110,19 @@ def main():
     from tinygpt_tpu.ops.attention import sdpa_decode_frozen
     from tinygpt_tpu.ops.norms import rms_norm
     from tinygpt_tpu.ops.quant import matmul_any
+    from tinygpt_tpu.models.causal_lm import _sliced_scales
     from tinygpt_tpu.ops.quant_kernels import (
-        matmul_dequant_int4_stacked_fused as mm_fused,
+        matmul_dequant_int4_stacked_fused as _mm_fused_raw,
     )
+
+    def mm_fused(x, data, scales_qt_l, l, **kw):
+        """mm_fused with the model's MSA-denial scale slicing (see
+        causal_lm._sliced_scales): phases must run the SAME operand
+        shapes as decode_steps or they re-create the MSA re-prefetch
+        the model no longer pays."""
+        qt, = scales_qt_l
+        sc, ssl = _sliced_scales(qt, l)
+        return _mm_fused_raw(x, data, sc, l, scales_sliced=ssl, **kw)
     from tinygpt_tpu.ops.rope import apply_rope
 
     results = {}
@@ -244,17 +254,17 @@ def main():
     if "mm" in phases:
         def body(x, l, ly):
             qt = ly["qkv_w"]
-            qkv = mm_fused(x, qt.data, qt.scales, l, group=qt.group_size,
+            qkv = mm_fused(x, qt.data, (qt,), l, group=qt.group_size,
                            ln=ly["input_ln"][:, None, :], invrms=invrms(x))
             a = qkv[:, :q_dim]
             qt = ly["o_w"]
-            x2 = mm_fused(a, qt.data, qt.scales, l, group=qt.group_size,
+            x2 = mm_fused(a, qt.data, (qt,), l, group=qt.group_size,
                           res=x)
             qt = ly["gate_up_w"]
-            gu = mm_fused(x2, qt.data, qt.scales, l, group=qt.group_size,
+            gu = mm_fused(x2, qt.data, (qt,), l, group=qt.group_size,
                           ln=ly["post_ln"][:, None, :], invrms=invrms(x2))
             qt = ly["down_w"]
-            return mm_fused(gu, qt.data, qt.scales, l, group=qt.group_size,
+            return mm_fused(gu, qt.data, (qt,), l, group=qt.group_size,
                             silu=True, res=x2)
 
         secs = fence_time(scan_steps(body, "mm"), x0, reps=args.reps)
@@ -279,7 +289,7 @@ def main():
                 kw["bk"] = args.bk
             if args.bo:
                 kw["bo"] = args.bo
-            out = mm_fused(x, qt.data, qt.scales, l, group=qt.group_size,
+            out = mm_fused(x, qt.data, (qt,), l, group=qt.group_size,
                            **kw)
             return fold(out, x)
 
@@ -295,7 +305,7 @@ def main():
                 kw["bk"] = args.bk
             if args.bo:
                 kw["bo"] = args.bo
-            out = mm_fused(x[:, :I], qt.data, qt.scales, l,
+            out = mm_fused(x[:, :I], qt.data, (qt,), l,
                            group=qt.group_size, **kw)
             return x + jnp.pad(out, ((0, 0), (0, I - H))) * 1e-3
 
@@ -313,10 +323,12 @@ def main():
 
         def body(x, l, ly):
             gqt, dqt = ly["gate_up_w"], ly["down_w"]
+            gsc, gssl = _sliced_scales(gqt, l)
+            dsc, dssl = _sliced_scales(dqt, l)
             return mlp_fused_int4_stacked(
-                x, gqt.data, gqt.scales, dqt.data, dqt.scales,
+                x, gqt.data, gsc, dqt.data, dsc,
                 ly["post_ln"][:, None, :], invrms(x), l,
-                group=gqt.group_size)
+                group=gqt.group_size, gu_sliced=gssl, dn_sliced=dssl)
 
         secs = fence_time(scan_steps(body, "mlp"), x0, reps=args.reps)
         report("mlp", secs, w_bytes["gate_up_w"] + w_bytes["down_w"])
